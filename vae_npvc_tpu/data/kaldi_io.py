@@ -1,0 +1,428 @@
+"""Kaldi-compatible ark/scp matrix I/O in pure numpy.
+
+The reference pipeline's inter-stage contract is the Kaldi data-dir convention:
+``feats.scp`` points at binary ark files (``path:offset``) holding float matrices,
+optionally with row-range suffixes (``path:offset[s:e]``) for windowed reads — the
+reference's dataset does range reads straight from ark for its random temporal crops
+(reference: vae_npvc/dataset/utt2mel_spk.py:62-65 uses kaldiio slice syntax).
+
+This module re-implements that contract from scratch (no kaldiio dependency):
+
+- read: uncompressed ``FM``/``DM`` float/double matrices, ``FV``/``DV`` vectors, and
+  all three compressed formats (``CM ``/``CM2``/``CM3``), with efficient seek-based
+  row-range reads for the uncompressed hot path.
+- write: ``ArkWriter`` emits ark(+scp) with optional Kaldi compression format 1
+  (per-column byte quantization) or 2 (global uint16), matching the reference
+  decoder's ``WriteHelper(..., compression_method=1)`` output contract
+  (reference: vae_npvc/decoder/basic.py:55-57).
+
+Byte layout (Kaldi binary mode):
+  scp line  : ``<utt> <ark_path>:<byte_offset>``
+  at offset : ``\\0B`` binary flag, then a space-terminated token (``FM ``, ``CM `` ...)
+  FM/DM     : ``\\x04`` + int32 rows, ``\\x04`` + int32 cols, row-major data
+  CM*       : GlobalHeader {min f32, range f32, rows i32, cols i32} then
+              format 1: 4×uint16 per-column percentile headers + uint8 data (col-major)
+              format 2: uint16 per element (row-major)
+              format 3: uint8 per element (row-major)
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import struct
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_BINARY_FLAG = b"\x00B"
+_RANGE_RE = re.compile(r"^(.*)\[([^\]]*)\]$")
+
+
+# ---------------------------------------------------------------------------
+# scp / specifier parsing
+# ---------------------------------------------------------------------------
+
+def read_scp(path):
+    """Read an scp file into an ordered {utt: rxspecifier} dict."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            utt, rx = line.split(None, 1)
+            out[utt] = rx
+    return out
+
+
+def _parse_range(range_str, num_rows, num_cols):
+    """Parse '[s:e]' or '[s:e,cs:ce]' (inclusive, Kaldi-style) into slices."""
+    parts = range_str.split(",")
+    def one(p, n):
+        p = p.strip()
+        if not p or p == ":":
+            return 0, n - 1
+        s, e = p.split(":")
+        s = int(s) if s else 0
+        e = int(e) if e else n - 1
+        return s, e
+    rs, re_ = one(parts[0], num_rows)
+    if len(parts) > 1:
+        cs, ce = one(parts[1], num_cols)
+    else:
+        cs, ce = 0, num_cols - 1
+    return rs, re_, cs, ce
+
+
+def _split_rxspec(rxspec):
+    """Split 'path:offset[range]' into (path, offset, range_str)."""
+    rxspec = rxspec.strip()
+    m = _RANGE_RE.match(rxspec)
+    range_str = None
+    if m:
+        rxspec, range_str = m.group(1), m.group(2)
+    # Split on the last ':' that is followed by digits (the offset).
+    path, offset = rxspec, 0
+    idx = rxspec.rfind(":")
+    if idx > 0:
+        maybe_off = rxspec[idx + 1:]
+        if maybe_off.isdigit():
+            path, offset = rxspec[:idx], int(maybe_off)
+    return path, offset, range_str
+
+
+# ---------------------------------------------------------------------------
+# low-level binary readers
+# ---------------------------------------------------------------------------
+
+def _read_token(f):
+    tok = b""
+    while True:
+        c = f.read(1)
+        if not c or c == b" ":
+            break
+        tok += c
+    return tok.decode()
+
+
+def _read_basic_int(f):
+    size = f.read(1)[0]
+    if size == 4:
+        return struct.unpack("<i", f.read(4))[0]
+    if size == 8:
+        return struct.unpack("<q", f.read(8))[0]
+    raise ValueError(f"unsupported int size {size}")
+
+
+def _expect_binary(f):
+    flag = f.read(2)
+    if flag != _BINARY_FLAG:
+        raise ValueError(
+            f"expected Kaldi binary flag \\0B, got {flag!r} (text arks unsupported)")
+
+
+def _uint16_to_float(p, min_value, range_value):
+    return min_value + range_value * (p.astype(np.float64) / 65535.0)
+
+
+def _float_to_uint16(f, min_value, range_value):
+    x = (np.asarray(f, dtype=np.float64) - min_value) / max(range_value, 1e-20)
+    return np.clip(x * 65535.0 + 0.499, 0, 65535).astype(np.uint16)
+
+
+def _char_to_float(u8, p0, p25, p75, p100):
+    """Piecewise-linear uint8 -> float decode used by Kaldi format-1 columns."""
+    v = u8.astype(np.float64)
+    lo = p0 + (p25 - p0) * (v / 64.0)
+    mid = p25 + (p75 - p25) * ((v - 64.0) / 128.0)
+    hi = p75 + (p100 - p75) * ((v - 192.0) / 63.0)
+    return np.where(v <= 64, lo, np.where(v <= 192, mid, hi))
+
+
+def _float_to_char(x, p0, p25, p75, p100):
+    """Inverse piecewise-linear encode (valid-format quantizer)."""
+    x = np.asarray(x, dtype=np.float64)
+    eps = 1e-20
+    lo = np.clip((x - p0) / max(p25 - p0, eps) * 64.0 + 0.5, 0, 64)
+    mid = np.clip(64.0 + (x - p25) / max(p75 - p25, eps) * 128.0 + 0.5, 65, 192)
+    hi = np.clip(192.0 + (x - p75) / max(p100 - p75, eps) * 63.0 + 0.5, 193, 255)
+    out = np.where(x <= p25, lo, np.where(x <= p75, mid, hi))
+    return out.astype(np.uint8)
+
+
+def _read_compressed(f, token, row_range=None):
+    min_value, range_value, num_rows, num_cols = struct.unpack("<ffii", f.read(16))
+    if token == "CM":  # format 1: per-column headers + uint8 col-major
+        headers = np.frombuffer(f.read(8 * num_cols), dtype="<u2").reshape(num_cols, 4)
+        data = np.frombuffer(f.read(num_rows * num_cols), dtype=np.uint8)
+        data = data.reshape(num_cols, num_rows)  # column-major storage
+        pf = _uint16_to_float(headers, min_value, range_value)  # (cols, 4)
+        out = np.empty((num_rows, num_cols), dtype=np.float32)
+        for c in range(num_cols):
+            out[:, c] = _char_to_float(data[c], *pf[c])
+    elif token == "CM2":  # uint16 per element, row-major
+        data = np.frombuffer(f.read(2 * num_rows * num_cols), dtype="<u2")
+        out = _uint16_to_float(data, min_value, range_value)
+        out = out.reshape(num_rows, num_cols).astype(np.float32)
+    elif token == "CM3":  # uint8 per element, row-major
+        data = np.frombuffer(f.read(num_rows * num_cols), dtype=np.uint8)
+        out = (min_value + range_value * (data.astype(np.float64) / 255.0))
+        out = out.reshape(num_rows, num_cols).astype(np.float32)
+    else:
+        raise ValueError(f"unknown compressed token {token!r}")
+    if row_range is not None:
+        rs, re_ = row_range
+        out = out[rs:re_ + 1]
+    return out
+
+
+def _read_matrix_at(f, range_str=None):
+    """Read one binary matrix/vector from current file position."""
+    _expect_binary(f)
+    token = _read_token(f)
+    if token in ("FM", "DM"):
+        dtype = np.dtype("<f4") if token == "FM" else np.dtype("<f8")
+        num_rows = _read_basic_int(f)
+        num_cols = _read_basic_int(f)
+        if range_str is not None:
+            rs, re_, cs, ce = _parse_range(range_str, num_rows, num_cols)
+            f.seek(rs * num_cols * dtype.itemsize, io.SEEK_CUR)
+            n = (re_ - rs + 1) * num_cols
+            data = np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype)
+            mat = data.reshape(re_ - rs + 1, num_cols)
+            if (cs, ce) != (0, num_cols - 1):
+                mat = mat[:, cs:ce + 1]
+            return np.ascontiguousarray(mat)
+        data = np.frombuffer(f.read(num_rows * num_cols * dtype.itemsize), dtype=dtype)
+        return data.reshape(num_rows, num_cols)
+    if token in ("FV", "DV"):
+        dtype = np.dtype("<f4") if token == "FV" else np.dtype("<f8")
+        dim = _read_basic_int(f)
+        return np.frombuffer(f.read(dim * dtype.itemsize), dtype=dtype)
+    if token.startswith("CM"):
+        row_range = None
+        if range_str is not None:
+            # decode whole matrix then slice (compressed formats are col-major)
+            rs, re_, cs, ce = _parse_range(range_str, 1 << 30, 1 << 30)
+            mat = _read_compressed(f, token)
+            return np.ascontiguousarray(mat[rs:re_ + 1, cs:ce + 1]
+                                        if ce < mat.shape[1] - 1 or cs > 0
+                                        else mat[rs:re_ + 1])
+        return _read_compressed(f, token, row_range)
+    raise ValueError(f"unknown Kaldi token {token!r}")
+
+
+def load_mat(rxspec):
+    """Load a matrix from an rxspecifier 'path:offset' with optional '[s:e]' range.
+
+    Equivalent of kaldiio.load_mat as used by the reference dataset
+    (vae_npvc/dataset/utt2mel_spk.py:65) and decoder (decoder/basic.py:61).
+    """
+    path, offset, range_str = _split_rxspec(rxspec)
+    with open(path, "rb") as f:
+        f.seek(offset)
+        return _read_matrix_at(f, range_str)
+
+
+def matrix_header(rxspec):
+    """Return (num_rows, num_cols) without reading the data."""
+    path, offset, _ = _split_rxspec(rxspec)
+    with open(path, "rb") as f:
+        f.seek(offset)
+        _expect_binary(f)
+        token = _read_token(f)
+        if token in ("FM", "DM"):
+            return _read_basic_int(f), _read_basic_int(f)
+        if token.startswith("CM"):
+            _, _, num_rows, num_cols = struct.unpack("<ffii", f.read(16))
+            return num_rows, num_cols
+        raise ValueError(f"not a matrix: {token!r}")
+
+
+# ---------------------------------------------------------------------------
+# streaming read (rspecifier) — equivalent of kaldiio.ReadHelper
+# ---------------------------------------------------------------------------
+
+def read_ark(rspecifier):
+    """Yield (utt, matrix) from 'ark:path', 'scp:path' or a bare ark path.
+
+    Mirrors the streaming loop of the reference BNF extractor
+    (vae_npvc/bin/extract_bnf.py:47).
+    """
+    kind, _, path = rspecifier.partition(":")
+    if not path:
+        kind, path = "ark", kind
+    kind = kind.split(",")[0]
+    if kind == "scp":
+        for utt, rx in read_scp(path).items():
+            yield utt, load_mat(rx)
+        return
+    if kind != "ark":
+        raise ValueError(f"unsupported rspecifier {rspecifier!r}")
+    if path == "-":
+        raise ValueError("stdin arks not supported")
+    with open(path, "rb") as f:
+        while True:
+            utt = b""
+            while True:
+                c = f.read(1)
+                if not c:
+                    return
+                if c == b" ":
+                    break
+                utt += c
+            yield utt.decode(), _read_matrix_at(f)
+
+
+# ---------------------------------------------------------------------------
+# writing
+# ---------------------------------------------------------------------------
+
+def _write_matrix(f, mat, compression_method=None):
+    """Write one binary matrix at current position; returns nothing."""
+    mat = np.asarray(mat)
+    if mat.ndim != 2:
+        raise ValueError("only 2-D matrices supported")
+    f.write(_BINARY_FLAG)
+    if compression_method in (None, 0):
+        mat32 = np.ascontiguousarray(mat, dtype="<f4")
+        f.write(b"FM ")
+        f.write(b"\x04" + struct.pack("<i", mat.shape[0]))
+        f.write(b"\x04" + struct.pack("<i", mat.shape[1]))
+        f.write(mat32.tobytes())
+        return
+    num_rows, num_cols = mat.shape
+    m = np.asarray(mat, dtype=np.float64)
+    min_value = float(m.min()) if m.size else 0.0
+    max_value = float(m.max()) if m.size else 1.0
+    range_value = max(max_value - min_value, 1e-10)
+    use_format1 = compression_method == 1 and num_rows > 8
+    header = struct.pack("<ffii", np.float32(min_value), np.float32(range_value),
+                         num_rows, num_cols)
+    if use_format1:
+        f.write(b"CM ")
+        f.write(header)
+        # per-column percentile headers quantized to the global uint16 grid
+        qs = np.percentile(m, [0, 25, 75, 100], axis=0)  # (4, cols)
+        q16 = _float_to_uint16(qs.T, min_value, range_value)  # (cols, 4)
+        # guarantee strictly non-decreasing headers so the decode map is valid
+        q16 = np.maximum.accumulate(q16, axis=1)
+        f.write(q16.astype("<u2").tobytes())
+        pf = _uint16_to_float(q16, min_value, range_value)
+        data = np.empty((num_cols, num_rows), dtype=np.uint8)
+        for c in range(num_cols):
+            data[c] = _float_to_char(m[:, c], *pf[c])
+        f.write(data.tobytes())
+    else:  # format 2: global uint16 quantization
+        f.write(b"CM2 ")
+        f.write(header)
+        f.write(_float_to_uint16(m, min_value, range_value).astype("<u2").tobytes())
+
+
+class ArkWriter:
+    """Write (utt, matrix) pairs into an ark file with an optional scp index.
+
+    Equivalent of kaldiio.WriteHelper('ark,scp:a.ark,a.scp', compression_method=1)
+    used by the reference conversion driver (vae_npvc/decoder/basic.py:55-57).
+    """
+
+    def __init__(self, ark_path, scp_path=None, compression_method=None):
+        self.ark_path = str(ark_path)
+        self._ark = open(ark_path, "wb")
+        self._scp = open(scp_path, "w") if scp_path else None
+        self.compression_method = compression_method
+
+    def write(self, utt, mat):
+        self._ark.write(utt.encode() + b" ")
+        offset = self._ark.tell()
+        _write_matrix(self._ark, mat, self.compression_method)
+        if self._scp:
+            self._scp.write(f"{utt} {os.path.abspath(self.ark_path)}:{offset}\n")
+
+    def __setitem__(self, utt, mat):
+        self.write(utt, mat)
+
+    def close(self):
+        self._ark.close()
+        if self._scp:
+            self._scp.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_helper(wspecifier, compression_method=None):
+    """Create an ArkWriter from a Kaldi wspecifier like 'ark,scp:a.ark,a.scp'."""
+    kinds, _, paths = wspecifier.partition(":")
+    kinds = kinds.split(",")
+    paths = paths.split(",")
+    ark_path, scp_path = None, None
+    for kind, path in zip(kinds, paths):
+        if kind == "ark":
+            ark_path = path
+        elif kind == "scp":
+            scp_path = path
+    if ark_path is None:
+        raise ValueError(f"wspecifier {wspecifier!r} has no ark target")
+    return ArkWriter(ark_path, scp_path, compression_method)
+
+
+# ---------------------------------------------------------------------------
+# Kaldi data-dir text files
+# ---------------------------------------------------------------------------
+
+def load_dict_data(path):
+    """{first_token: rest_of_line} — utt2spk, feats.scp, utt2num_frames, ..."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                k, v = line.split(None, 1)
+                out[k] = v
+    return out
+
+
+def load_list_data(path):
+    """[[tok, tok, ...], ...] — whitespace-split lines."""
+    with open(path) as f:
+        return [line.strip().split() for line in f if line.strip()]
+
+
+def save_dict_data(path, d):
+    with open(path, "w") as f:
+        for k, v in d.items():
+            f.write(f"{k} {v}\n")
+
+
+def read_wav_scp_entry(entry, dtype=np.float32):
+    """Read one wav.scp entry: a plain path or a trailing-pipe shell command.
+
+    Returns (sample_rate, samples float32 in [-1, 1]). Piped commands (sox/ffmpeg
+    resample pipelines, as in the reference's generate_vctk_list.py:54) are run
+    through the shell and must emit a RIFF wav on stdout.
+    """
+    from scipy.io import wavfile
+
+    entry = entry.strip()
+    if entry.endswith("|"):
+        proc = subprocess.run(entry[:-1], shell=True, stdout=subprocess.PIPE,
+                              check=True)
+        sr, data = wavfile.read(io.BytesIO(proc.stdout))
+    else:
+        sr, data = wavfile.read(entry)
+    if data.dtype == np.int16:
+        data = data.astype(dtype) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(dtype) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(dtype) - 128.0) / 128.0
+    else:
+        data = data.astype(dtype)
+    return sr, data
