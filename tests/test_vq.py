@@ -50,14 +50,20 @@ class TestPlainVQ:
         z_vq, qut, enc, detail = vq.vq_forward(jnp.array(emb), jnp.array(z),
                                                reduction="frame_mean")
         zf = z.reshape(-1, D)
-        idx = np_nearest(zf, emb)
+        d = (np.sum(zf**2, 1, keepdims=True) + np.sum(emb**2, 1)
+             - 2 * zf @ emb.T)
+        idx = np.argmin(d, axis=1)
         zq = emb[idx]
         exp_qut = np.sum((zq - zf) ** 2) / (B * T)
         np.testing.assert_allclose(qut, exp_qut, rtol=1e-4)
         np.testing.assert_allclose(enc, exp_qut, rtol=1e-4)  # same values, diff grads
-        # straight-through value equals the quantized vector
-        np.testing.assert_allclose(np.asarray(z_vq).reshape(-1, D), zq,
-                                   rtol=1e-4, atol=1e-6)
+        # straight-through value equals the quantized vector — compare only on
+        # rows whose nearest code is unambiguous (f32 argmin may legitimately
+        # differ from the f64 oracle on near-ties)
+        gaps = np.partition(d, 1, axis=1)
+        clear = (gaps[:, 1] - gaps[:, 0]) > 1e-3
+        np.testing.assert_allclose(np.asarray(z_vq).reshape(-1, D)[clear],
+                                   zq[clear], rtol=1e-4, atol=1e-6)
         assert 1.0 <= float(detail["entropy"]) <= K
 
     def test_forward_normalize_adds_norm_loss(self, rng):
