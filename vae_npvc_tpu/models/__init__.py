@@ -1,0 +1,67 @@
+"""Model registry.
+
+The reference dispatches models by dotted path strings in the experiment YAML
+(``model_type: vae_npvc.model.vqvae`` resolved via importlib, reference:
+vae_npvc/bin/train.py:33-34, trainer/basic.py:24-26). We keep those exact
+config strings working but resolve them through an explicit registry instead of
+dynamic import.
+"""
+
+from __future__ import annotations
+
+_REGISTRY = {}
+
+
+def register(*names):
+    def deco(cls):
+        for n in names:
+            _REGISTRY[n] = cls
+        return cls
+    return deco
+
+
+def get_model_cls(model_type: str):
+    """Resolve a model_type string (reference dotted path or short name)."""
+    key = model_type.split(":")[0]
+    if key in _REGISTRY:
+        return _REGISTRY[key]
+    short = key.rsplit(".", 1)[-1]
+    if short in _REGISTRY:
+        return _REGISTRY[short]
+    raise KeyError(
+        f"unknown model_type {model_type!r}; known: {sorted(_REGISTRY)}")
+
+
+def build_model(config, dtype=None):
+    """Build a flax model from a flat experiment config dict."""
+    import jax.numpy as jnp
+    cls = get_model_cls(config.get("model_type", "vae_npvc.model.vqvae"))
+    kw = {}
+    if dtype is not None:
+        kw["dtype"] = dtype
+    elif config.get("compute_dtype"):
+        kw["dtype"] = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                       "float32": jnp.float32, "fp32": jnp.float32}[
+                           config["compute_dtype"]]
+    return cls(arch=config, **kw)
+
+
+from . import vqvae as _vqvae  # noqa: E402
+
+register("vae_npvc.model.vqvae", "vqvae")(_vqvae.Model)
+
+try:  # hierarchical families registered as they land
+    from . import vqvae2 as _vqvae2  # noqa: E402
+    register("vae_npvc.model.vqvae2", "vqvae2")(_vqvae2.Model)
+except ImportError:
+    pass
+try:
+    from . import vqvae2a as _vqvae2a  # noqa: E402
+    register("vae_npvc.model.vqvae2a", "vqvae2a")(_vqvae2a.Model)
+except ImportError:
+    pass
+try:
+    from . import vqvae2b as _vqvae2b  # noqa: E402
+    register("vae_npvc.model.vqvae2b", "vqvae2b")(_vqvae2b.Model)
+except ImportError:
+    pass

@@ -1,0 +1,237 @@
+"""Reusable NN building blocks, channels-last (B, T, C), flax.linen.
+
+TPU-first re-design of the reference's conv blocks
+(reference: vae_npvc/model/layers.py — Conditions, Conv1d_Layernorm_LRelu_Residual,
+DeConv1d_Layernorm_GLU_ResSkip):
+
+- layout is ``(batch, time, channels)`` so the channel dim rides the 128-wide
+  lanes and convs lower onto the MXU as implicit matmuls.
+- every conv is weight-normalized (``w = g * v / ||v||`` over the non-output
+  dims), matching the reference's ``nn.utils.weight_norm`` on all convs
+  (reference: vae_npvc/model/vqvae.py:203-208). The reparameterization is done
+  in fp32 once per step and is fused by XLA into the conv's weight load.
+- the reference's stride-1 ``ConvTranspose1d`` blocks (its "DeConv" res-skip
+  stacks) are mathematically plain dilated convs with flipped kernels; since the
+  kernels are learned, we implement them as forward convs — same function class,
+  one fewer exotic lowering. Strided upsampling layers use a real transposed conv
+  (input dilation) with the reference's exact length arithmetic
+  (out_len = in_len * scale; kernel 2s, padding s//2+s%2, output_padding s%2).
+- GroupNorm matches torch semantics: statistics over (channels_in_group, time)
+  per sample (NOT per-timestep layer norm).
+
+Compute dtype is configurable (bf16 on TPU); normalization statistics and the
+weight-norm reparameterization stay fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def group_norm(x, scale, bias, num_groups, eps=1e-5):
+    """Torch-semantics GroupNorm for (B, T, C): stats over (T, C//G) per group."""
+    B, T, C = x.shape
+    G = num_groups
+    xf = x.astype(jnp.float32).reshape(B, T, G, C // G)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=(1, 3), keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn.reshape(B, T, C)
+    return (xn * scale + bias).astype(x.dtype)
+
+
+class GroupNorm(nn.Module):
+    """Affine GroupNorm with torch statistics semantics."""
+    num_groups: int
+    num_channels: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.num_channels,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.num_channels,),
+                          jnp.float32)
+        return group_norm(x, scale, bias, self.num_groups, self.eps)
+
+
+def _kaiming_v_init(key, shape, dtype=jnp.float32):
+    """Kaiming-normal (relu gain) over fan_in for conv kernels (K, I, O)."""
+    fan_in = shape[0] * shape[1]
+    std = math.sqrt(2.0 / fan_in)
+    return std * jax.random.normal(key, shape, dtype)
+
+
+class WNConv1d(nn.Module):
+    """Weight-normalized 1D conv, (B, T, C) -> (B, T', C').
+
+    Param layout: ``v`` (K, in, out) direction, ``g`` (out,) magnitude,
+    ``b`` (out,) bias. Effective weight ``w = g * v / ||v||_{K,in}``, computed
+    fp32 then cast to the compute dtype.
+    """
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    padding: Any = "SAME_TORCH"   # symmetric torch padding, or explicit (lo, hi)
+    use_weight_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        v = self.param("v", _kaiming_v_init, (k, in_ch, self.features))
+        b = self.param("b", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.use_weight_norm:
+            g = self.param("g", lambda _k: jnp.linalg.norm(
+                v.reshape(-1, v.shape[-1]), axis=0))
+            norm = jnp.linalg.norm(v.reshape(-1, v.shape[-1]), axis=0)
+            w = v * (g / norm)
+        else:
+            w = v
+        if self.padding == "SAME_TORCH":
+            p = (k - 1) // 2 * self.dilation
+            pad = [(p, p)]
+        else:
+            pad = [tuple(self.padding)]
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=(self.stride,), padding=pad,
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return (y + b).astype(self.dtype)
+
+
+class WNConvTranspose1d(nn.Module):
+    """Weight-normalized strided transposed conv for ×scale upsampling.
+
+    Implements the reference's resampling layer arithmetic exactly
+    (kernel 2s / stride s / padding s//2+s%2 / output_padding s%2 → out = T*s)
+    via input dilation (``lhs_dilation``), the XLA-native transposed conv.
+    """
+    features: int
+    scale: int
+    use_weight_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.scale
+        k = 2 * s
+        in_ch = x.shape[-1]
+        v = self.param("v", _kaiming_v_init, (k, in_ch, self.features))
+        b = self.param("b", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.use_weight_norm:
+            g = self.param("g", lambda _k: jnp.linalg.norm(
+                v.reshape(-1, v.shape[-1]), axis=0))
+            norm = jnp.linalg.norm(v.reshape(-1, v.shape[-1]), axis=0)
+            w = v * (g / norm)
+        else:
+            w = v
+        p_torch = s // 2 + s % 2
+        out_pad = s % 2
+        lo = k - 1 - p_torch
+        hi = k - 1 - p_torch + out_pad
+        # transposed conv = conv with input dilation and flipped kernel
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), jnp.flip(w, 0).astype(self.dtype),
+            window_strides=(1,), padding=[(lo, hi)],
+            lhs_dilation=(s,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return (y + b).astype(self.dtype)
+
+
+class ConvResStack(nn.Module):
+    """LReLU→dilated conv→GN (× layers) + 1×1 skip.
+
+    Reference behavior: Conv1d_Layernorm_LRelu_Residual
+    (vae_npvc/model/layers.py:129-178): first conv carries the dilation, later
+    convs are undilated; GroupNorm(1, C) after each conv; out = stack(x) + skip(x).
+    """
+    channels: int
+    kernel_size: int = 3
+    layers: int = 2
+    dilation: int = 1
+    use_weight_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = x
+        for i in range(self.layers):
+            h = nn.leaky_relu(h, 0.2)
+            h = WNConv1d(self.channels, self.kernel_size,
+                         dilation=self.dilation if i == 0 else 1,
+                         use_weight_norm=self.use_weight_norm,
+                         dtype=self.dtype, name=f"conv_{i}")(h)
+            h = GroupNorm(1, self.channels, name=f"norm_{i}")(h)
+        skip = WNConv1d(self.channels, 1, use_weight_norm=self.use_weight_norm,
+                        dtype=self.dtype, name="skip")(x)
+        return h + skip
+
+
+class GLUResSkip(nn.Module):
+    """Dilated conv → +1×1(cond) → GN(2) → tanh⊙sigmoid GLU → 1×1 res+skip.
+
+    Reference behavior: DeConv1d_Layernorm_GLU_ResSkip
+    (vae_npvc/model/layers.py:181-249). Returns ``(x + res, skip)``. The
+    reference's stride-1 ConvTranspose1d here is a flipped-kernel conv; we use a
+    forward conv (same function class, learned kernels). The condition ``c`` is
+    (B, 1, cond_ch) or (B, T, cond_ch) and is projected then broadcast over time.
+    """
+    channels: int
+    cond_channels: int
+    skip_channels: int
+    kernel_size: int = 3
+    dilation: int = 1
+    use_weight_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c):
+        C = self.channels
+        h = WNConv1d(2 * C, self.kernel_size, dilation=self.dilation,
+                     use_weight_norm=self.use_weight_norm, dtype=self.dtype,
+                     name="conv_in")(x)
+        if self.cond_channels and self.cond_channels > 0:
+            hc = WNConv1d(2 * C, 1, use_weight_norm=self.use_weight_norm,
+                          dtype=self.dtype, name="conv_cond")(c)
+            h = h + hc  # broadcasts (B, 1, 2C) over time
+        h = GroupNorm(2, 2 * C, name="norm")(h)
+        h = jnp.tanh(h[..., :C]) * jax.nn.sigmoid(h[..., C:])
+        rs = WNConv1d(C + self.skip_channels, 1,
+                      use_weight_norm=self.use_weight_norm, dtype=self.dtype,
+                      name="res_skip")(h)
+        return x + rs[..., :C], rs[..., C:]
+
+
+class Conditions(nn.Module):
+    """Speaker/condition embedding table (reference: layers.py:12-60).
+
+    ``normalize=True`` renormalizes rows to unit L2 norm at lookup time (the
+    functional analog of the reference's in-place ``embed_norm``).
+    """
+    num: int
+    dim: int
+    normalize: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, idx):
+        table = self.param("embedding", nn.initializers.normal(1.0),
+                           (self.num, self.dim), jnp.float32)
+        if self.normalize:
+            table = table / jnp.linalg.norm(table, axis=1, keepdims=True)
+        return jnp.take(table, idx, axis=0).astype(self.dtype)
