@@ -1,0 +1,167 @@
+"""Benchmark: flagship VQ-VAE training throughput in mel frames/sec/chip.
+
+Workload = the reference's VCC2020 flat EMA-VQ-VAE training step at its shipped
+batch shape (128 × 256 frames × 80 mels, egs/vcc20/vae1/conf/
+train_pytorch_vqvae.yaml:13-14) on whatever accelerator JAX exposes.
+
+Baseline: the reference publishes no numbers (BASELINE.md), so the comparison
+point is a self-measured run of an equivalent PyTorch training step on this
+host's CPU (the only hardware the reference can run on here), cached in
+.bench_baseline.json. ``vs_baseline`` = our frames/s / reference frames/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+CACHE = Path(__file__).parent / ".bench_baseline.json"
+B, T, D = 128, 256, 80
+
+
+def measure_ours(steps=20):
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_config
+    from vae_npvc_tpu.train.trainer import Trainer
+
+    config = _flagship_config()
+    trainer = Trainer(config)
+    rng = np.random.default_rng(0)
+    batch = (rng.normal(size=(B, T, D)).astype(np.float32),
+             rng.integers(0, 117, size=(B,)).astype(np.int32))
+    trainer.init_state(batch)
+
+    feats = jax.device_put(jnp.asarray(batch[0]), trainer.batch_sharding)
+    spks = jax.device_put(jnp.asarray(batch[1]), trainer.batch_sharding)
+
+    # warmup/compile
+    for _ in range(3):
+        detail = trainer.train_step((feats, spks))
+    jax.block_until_ready(detail["Total"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        detail = trainer.train_step((feats, spks))
+    jax.block_until_ready(detail["Total"])
+    dt = time.perf_counter() - t0
+    n_chips = len(jax.devices())
+    return steps * B * T / dt / n_chips
+
+
+def measure_reference_cpu(steps=2, b=16):
+    """Equivalent torch-CPU train step, built from the reference's YAML spec.
+
+    Independent implementation of the same architecture/optimizer workload (we
+    do not import reference code); used only as the runnable baseline.
+    """
+    import torch
+    import torch.nn as nn
+
+    width, stacks, z_dim, z_num = 512, 10, 128, 512
+
+    class Res(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.f = nn.Sequential(nn.LeakyReLU(0.2), nn.Conv1d(c, c, 3, padding=1),
+                                   nn.GroupNorm(1, c))
+            self.skip = nn.Conv1d(c, c, 1)
+
+        def forward(self, x):
+            return self.f(x) + self.skip(x)
+
+    class GluRes(nn.Module):
+        def __init__(self, c, cond, skip):
+            super().__init__()
+            self.conv = nn.Conv1d(c, 2 * c, 3, padding=1)
+            self.cond = nn.Conv1d(cond, 2 * c, 1)
+            self.norm = nn.GroupNorm(2, 2 * c)
+            self.rs = nn.Conv1d(c, c + skip, 1)
+            self.c = c
+
+        def forward(self, x, cvec):
+            h = self.norm(self.conv(x) + self.cond(cvec))
+            h = torch.tanh(h[:, :self.c]) * torch.sigmoid(h[:, self.c:])
+            rs = self.rs(h)
+            return x + rs[:, :self.c], rs[:, self.c:]
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.enc_in = nn.Conv1d(D, width, 3, padding=1)
+            self.enc = nn.ModuleList([Res(width) for _ in range(stacks)])
+            self.enc_out = nn.Conv1d(width, z_dim, 1)
+            self.embed = nn.Embedding(117, z_dim)
+            self.register_buffer("codebook", torch.randn(z_num, z_dim))
+            self.dec_in = nn.Conv1d(z_dim, width, 3, padding=1)
+            self.dec = nn.ModuleList(
+                [GluRes(width, z_dim, z_dim) for _ in range(stacks)])
+            self.head = nn.Sequential(nn.ReLU(), nn.Conv1d(z_dim, z_dim, 1),
+                                      nn.ReLU(), nn.Conv1d(z_dim, D, 1))
+
+        def forward(self, x, y):
+            z = self.enc_in(x)
+            for m in self.enc:
+                z = m(z)
+            z = self.enc_out(z)
+            zf = z.permute(0, 2, 1).reshape(-1, z_dim)
+            d = (zf * zf).sum(1, keepdim=True) \
+                + (self.codebook * self.codebook).sum(1) - 2 * zf @ self.codebook.T
+            idx = d.argmin(1)
+            zq = self.codebook[idx].reshape(x.shape[0], -1, z_dim)
+            zq = z + (zq.permute(0, 2, 1) - z).detach()
+            commit = ((zq.detach() - z) ** 2).mean()
+            cvec = self.embed(y).unsqueeze(-1).expand(-1, -1, x.shape[2])
+            h = self.dec_in(zq)
+            skip_sum = 0.0
+            for m in self.dec:
+                h, s = m(h, cvec)
+                skip_sum = skip_sum + s
+            xhat = self.head(skip_sum * (1.0 / (stacks + 1)) ** 0.5)
+            loss = 0.5 * ((x - xhat) ** 2).sum() / (x.shape[0] * x.shape[2])
+            return loss + 0.01 * commit
+
+    torch.manual_seed(0)
+    net = Net()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3, betas=(0.5, 0.999))
+    x = torch.randn(b, D, T)
+    y = torch.randint(0, 117, (b,))
+    # warmup
+    loss = net(x, y)
+    loss.backward()
+    opt.step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        opt.zero_grad()
+        loss = net(x, y)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(net.parameters(), 10.0)
+        opt.step()
+    dt = time.perf_counter() - t0
+    return steps * b * T / dt
+
+
+def main():
+    if CACHE.exists():
+        baseline = json.loads(CACHE.read_text())["frames_per_sec"]
+    else:
+        baseline = measure_reference_cpu()
+        CACHE.write_text(json.dumps({"frames_per_sec": baseline,
+                                     "hardware": "host CPU (torch)"}))
+    value = measure_ours()
+    print(json.dumps({
+        "metric": "train_throughput_mel_frames_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

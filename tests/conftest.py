@@ -1,23 +1,22 @@
 """Test configuration: virtual 8-device CPU mesh + full-precision matmuls.
 
-Multi-device sharding tests use XLA's host-platform device-count override — the
-TPU-native analog of a fake distributed backend (the reference has no distributed
-tests at all; see SURVEY.md §4).
+Multi-device sharding tests use a virtual CPU device mesh — the TPU-native
+analog of a fake distributed backend (the reference has no distributed tests at
+all; see SURVEY.md §4).
+
+NOTE: the axon site hook (PYTHONPATH=/root/.axon_site sitecustomize) imports
+jax at interpreter startup, so JAX_PLATFORMS / XLA_FLAGS env vars set here are
+already snapshotted and have NO effect. Everything must go through
+``jax.config.update`` (works until backends are instantiated).
 """
 
-import os
+import jax
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-
-import jax  # noqa: E402  (env vars above must be set first)
+jax.config.update("jax_platforms", "cpu")        # don't run unit tests on TPU
+jax.config.update("jax_num_cpu_devices", 8)      # virtual mesh for dist tests
 
 # This jax build's default matmul precision downcasts inputs to bf16 even on
 # CPU; tests compare against float64 numpy oracles, so force full precision.
-# (Set via config, not env var: the site hook pre-imports jax._src.config.)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Cache compiled executables across test runs (each small jit costs seconds on

@@ -1,0 +1,178 @@
+"""End-to-end toy slice: data dir → train CLI → decode CLI → converted arks.
+
+The reference has no tests at all (SURVEY.md §4); its de-facto smoke test is the
+full VCC2020 recipe (egs/vcc20/vae1/test.sh). This is the CPU-runnable analog:
+a synthetic Kaldi data dir, a few training iterations through the real CLI code
+path, then conversion over a trials file.
+"""
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from vae_npvc_tpu.data import kaldi_io
+
+TINY_CONFIG = {
+    "trainer_type": "vae_npvc.trainer.basic",
+    "dataset_type": "vae_npvc.dataset.utt2mel_spk",
+    "max_iter": 12,
+    "iters_per_checkpoint": 10,
+    "iters_per_log": 5,
+    "seed": 7,
+    "num_jobs": 2,
+    "prefetch_factor": 2,
+    "batch_size": 4,
+    "crop_length": 32,
+    "optim_type": "Adam",
+    "learning_rate": 1e-3,
+    "max_grad_norm": 10,
+    "lr_scheduler": "StepLR",
+    "lr_param": {"step_size": 10, "gamma": 0.5},
+    "model_type": "vae_npvc.model.vqvae",
+    "y_dim": 8, "y_num": 3, "z_dim": 8, "z_num": 16,
+    "use_ema": True, "beta": 0.01, "mu": 0.9, "jitter_p": 0.1,
+    "encoder": {"in_channels": [10], "out_channels": [12], "kernel_size": 3,
+                "downsample_scales": [1], "z_channels": 8, "dilation": False,
+                "stack_kernel_size": 3, "stack_layers": 1, "stacks": [1],
+                "use_weight_norm": True},
+    "decoder": {"in_channels": [8], "out_channels": [12], "cond_channels": 8,
+                "skip_channels": 8, "final_channels": 10, "kernel_size": 3,
+                "upsample_scales": [1], "dilation": False,
+                "stack_kernel_size": 3, "stacks": [1],
+                "use_weight_norm": True},
+}
+
+
+def make_data_dir(root: Path, name, n_utts, n_spk, dim=10, seed=0):
+    rng = np.random.default_rng(seed)
+    d = root / name
+    d.mkdir(parents=True)
+    with kaldi_io.ArkWriter(d / "feats_src.ark", d / "feats.scp") as w, \
+            open(d / "utt2num_frames", "w") as unf, \
+            open(d / "utt2spk_id", "w") as u2s, \
+            open(d / "utt2spk", "w") as u2sname:
+        for i in range(n_utts):
+            T = int(rng.integers(20, 60))
+            spk = i % n_spk
+            mat = rng.normal(size=(T, dim)).astype(np.float32) + spk
+            utt = f"utt{i:03d}"
+            w.write(utt, mat)
+            unf.write(f"{utt} {T}\n")
+            u2s.write(f"{utt} {spk}\n")
+            u2sname.write(f"{utt} spk{spk}\n")
+    return d
+
+
+@pytest.fixture(scope="module")
+def toy_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("toy")
+    train_dir = make_data_dir(root, "train", 16, 3)
+    valid_dir = make_data_dir(root, "valid", 4, 3, seed=1)
+    return root, train_dir, valid_dir
+
+
+def test_train_then_decode(toy_env):
+    import yaml
+
+    from vae_npvc_tpu.bin.train import train as train_cli
+    from vae_npvc_tpu.bin.decode import decode as decode_cli
+
+    root, train_dir, valid_dir = toy_env
+    conf = root / "conf.yaml"
+    conf.write_text(yaml.safe_dump(TINY_CONFIG))
+    out_dir = root / "exp"
+
+    train_cli(argparse.Namespace(
+        config=str(conf), output_dir=str(out_dir), checkpoint=None,
+        train_dir=str(train_dir), valid_dir=str(valid_dir), gpu=None))
+
+    ckpts = sorted(out_dir.glob("iter.*"))
+    assert ckpts, "no checkpoint written"
+    assert (out_dir / "model.loss.best").exists()
+    assert (out_dir / "train.log").exists()
+    log = (out_dir / "train.log").read_text()
+    assert "X like" in log and "Iter" in log
+
+    # --- decode over a trials file
+    decode_dir = root / "decode_in"
+    decode_dir.mkdir()
+    feats = kaldi_io.load_dict_data(valid_dir / "feats.scp")
+    utts = list(feats)[:3]
+    with open(decode_dir / "trials", "w") as f:
+        for u in utts:
+            f.write(f"{u} spkA\n")
+    (decode_dir / "feats.scp").write_text(
+        "".join(f"{u} {feats[u]}\n" for u in utts))
+    (decode_dir / "spk2spk_id").write_text("spkA 1\n")
+
+    dec_out = root / "decode_out"
+    decode_cli(argparse.Namespace(
+        config=str(conf), output_dir=str(dec_out),
+        checkpoint=str(out_dir / "model.loss.best"),
+        decode_dir=str(decode_dir), gpu=None))
+
+    out_scp = kaldi_io.load_dict_data(dec_out / "feats.scp")
+    assert set(out_scp) == set(utts)
+    for u in utts:
+        mat = kaldi_io.load_mat(out_scp[u])
+        src_rows = kaldi_io.matrix_header(feats[u])[0]
+        assert mat.shape == (src_rows, 10)
+        assert np.all(np.isfinite(mat))
+
+
+def test_resume_restores_iteration(toy_env):
+    import yaml
+
+    from vae_npvc_tpu.bin.train import train as train_cli
+
+    root, train_dir, valid_dir = toy_env
+    conf = root / "conf_resume.yaml"
+    cfg = dict(TINY_CONFIG, max_iter=15)
+    conf.write_text(yaml.safe_dump(cfg))
+    out_dir = root / "exp_resume"
+
+    train_cli(argparse.Namespace(
+        config=str(conf), output_dir=str(out_dir), checkpoint=None,
+        train_dir=str(train_dir), valid_dir=None, gpu=None))
+    assert (out_dir / "iter.10").exists()
+
+    # resume from iter.10 — reference loses the internal counter (SURVEY §3.1);
+    # we restore it, so training continues to max_iter and saves nothing < 10
+    cfg2 = dict(cfg, max_iter=20)
+    conf2 = root / "conf_resume2.yaml"
+    conf2.write_text(yaml.safe_dump(cfg2))
+    train_cli(argparse.Namespace(
+        config=str(conf2), output_dir=str(out_dir),
+        checkpoint=str(out_dir / "iter.10"),
+        train_dir=str(train_dir), valid_dir=None, gpu=None))
+    assert (out_dir / "iter.20").exists()
+
+
+def test_make_spk_id_and_subset(toy_env, tmp_path):
+    from vae_npvc_tpu.bin.make_spk_id import make_spk_id
+    from vae_npvc_tpu.bin.subset_data_into_tr_cv import subset
+
+    root, train_dir, valid_dir = toy_env
+    # spk2utt required by make_spk_id
+    spk2utt = {}
+    for utt, spk in kaldi_io.load_dict_data(train_dir / "utt2spk").items():
+        spk2utt.setdefault(spk, []).append(utt)
+    with open(train_dir / "spk2utt", "w") as f:
+        for spk, utts in spk2utt.items():
+            f.write(f"{spk} {' '.join(utts)}\n")
+    (train_dir / "spk2spk_id").unlink(missing_ok=True)
+    mapping = make_spk_id(train_dir)
+    assert len(mapping) == 3
+    ids = kaldi_io.load_dict_data(train_dir / "utt2spk_id")
+    assert len(ids) == 16
+    assert all(v.isdigit() for v in ids.values())
+
+    tr, cv = tmp_path / "tr", tmp_path / "cv"
+    subset(train_dir, tr, cv, 10, 4, seed=3)
+    assert len(kaldi_io.load_dict_data(tr / "feats.scp")) == 10
+    assert len(kaldi_io.load_dict_data(cv / "feats.scp")) == 4
+    overlap = (set(kaldi_io.load_dict_data(tr / "feats.scp"))
+               & set(kaldi_io.load_dict_data(cv / "feats.scp")))
+    assert not overlap

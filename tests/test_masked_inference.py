@@ -1,0 +1,84 @@
+"""Padded+masked batched inference must equal unpadded per-utterance inference.
+
+This is the correctness contract that lets the conversion sweep batch
+variable-length utterances on TPU (infer/convert.py) while matching the
+reference's unpadded serial decode (reference: vae_npvc/decoder/basic.py:58-75).
+GroupNorm statistics are global over (C, T), so this only holds because the
+model computes masked statistics (nn/blocks.py group_norm).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vae_npvc_tpu.models import build_model
+
+CFG = {
+    "model_type": "vae_npvc.model.vqvae",
+    "y_dim": 8, "y_num": 3, "z_dim": 8, "z_num": 16,
+    "use_ema": False, "embed_norm": True, "beta": 0.01,
+    "encoder": {"in_channels": [6], "out_channels": [12], "kernel_size": 3,
+                "downsample_scales": [1], "z_channels": 8, "dilation": True,
+                "stack_kernel_size": 3, "stack_layers": 2, "stacks": [2],
+                "use_weight_norm": True},
+    "decoder": {"in_channels": [8], "out_channels": [12], "cond_channels": 8,
+                "skip_channels": 8, "final_channels": 6, "kernel_size": 3,
+                "upsample_scales": [1], "dilation": True,
+                "stack_kernel_size": 3, "stacks": [2],
+                "use_weight_norm": True},
+}
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = build_model(CFG)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 6)), jnp.zeros((1,), jnp.int32), train=True)
+    return model, variables
+
+
+def test_padded_batch_equals_unpadded(model_and_vars):
+    model, variables = model_and_vars
+    rng = np.random.default_rng(0)
+    lengths = [11, 24, 17]
+    T_pad = 32
+    feats = [rng.normal(size=(L, 6)).astype(np.float32) for L in lengths]
+
+    # unpadded per-utterance reference runs
+    singles = []
+    for f in feats:
+        out = model.apply(variables, jnp.asarray(f[None]),
+                          jnp.asarray([1], jnp.int32), method="infer")
+        singles.append(np.asarray(out)[0])
+
+    # padded masked batch
+    batch = np.zeros((3, T_pad, 6), np.float32)
+    for b, f in enumerate(feats):
+        batch[b, :len(f)] = f
+    out = model.apply(variables, jnp.asarray(batch),
+                      jnp.asarray([1, 1, 1], jnp.int32),
+                      jnp.asarray(lengths, jnp.int32), method="infer")
+    out = np.asarray(out)
+
+    for b, L in enumerate(lengths):
+        np.testing.assert_allclose(out[b, :L], singles[b],
+                                   rtol=2e-4, atol=2e-5)
+        # beyond-length region is exactly zeroed
+        assert np.all(out[b, L:] == 0.0)
+
+
+def test_padded_encode_ids_match(model_and_vars):
+    model, variables = model_and_vars
+    rng = np.random.default_rng(1)
+    L, T_pad = 13, 32
+    f = rng.normal(size=(L, 6)).astype(np.float32)
+    ids_single = np.asarray(model.apply(variables, jnp.asarray(f[None]),
+                                        method="encode"))[0]
+    batch = np.zeros((1, T_pad, 6), np.float32)
+    batch[0, :L] = f
+    ids_padded = np.asarray(model.apply(
+        variables, jnp.asarray(batch), jnp.asarray([L], jnp.int32),
+        method="encode"))[0]
+    np.testing.assert_array_equal(ids_padded[:L], ids_single)

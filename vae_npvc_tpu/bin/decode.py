@@ -1,0 +1,60 @@
+"""Conversion CLI (reference: vae_npvc/bin/decode.py:23-101 — same flags).
+
+Usage:
+    python -m vae_npvc_tpu.bin.decode -c conf/train.yaml \
+        --checkpoint exp/vqvae/model.loss.best \
+        --decode-dir dump/eval --output-dir exp/vqvae/decode
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+import yaml
+
+
+def decode(args):
+    output_dir = Path(args.output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    logger = logging.getLogger("vae_npvc_tpu.convert")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s %(message)s", datefmt="%m-%d %H:%M:%S")
+    for h in (logging.StreamHandler(),
+              logging.FileHandler(str(output_dir / "decode.log"))):
+        h.setFormatter(fmt)
+        logger.addHandler(h)
+
+    config = yaml.safe_load(open(args.config))
+
+    from ..infer.convert import Converter
+
+    converter = Converter(config)
+    assert args.checkpoint is not None
+    it = converter.load_checkpoint(args.checkpoint)
+    logger.info(f"Decoding dataset: {args.decode_dir}")
+    logger.info(f"Decoding model: {args.checkpoint} (iteration {it})")
+    logger.info("Start decoding...")
+    n = converter.decode(args.decode_dir, output_dir)
+    logger.info(f"Finished ({n} utterances)")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True,
+                        help="YAML experiment config")
+    parser.add_argument("--output-dir", "--output_dir", dest="output_dir",
+                        type=str, required=True)
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--decode-dir", "--decode_dir", dest="decode_dir",
+                        type=str, required=True)
+    parser.add_argument("-g", "--gpu", type=str, default=None,
+                        help="ignored (device selection is automatic)")
+    decode(parser.parse_args())
+
+
+if __name__ == "__main__":
+    main()

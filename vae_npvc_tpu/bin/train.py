@@ -1,0 +1,178 @@
+"""Training CLI.
+
+Same flags, config keys, log format, checkpoint naming (``iter.N``) and
+best-model selection (``check_loss_kind`` → copy to ``model.loss.best``) as the
+reference entry point (reference: vae_npvc/bin/train.py:24-204), driving the
+TPU trainer (train/trainer.py) and the async host pipeline (data/dataset.py).
+
+Usage:
+    python -m vae_npvc_tpu.bin.train -c conf/train.yaml \
+        --train_dir dump/train --valid_dir dump/dev --output_dir exp/vqvae
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from pathlib import Path
+from shutil import copyfile
+
+import numpy as np
+import yaml
+
+
+def get_logger(output_dir):
+    logger = logging.getLogger("vae_npvc_tpu.train")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s %(message)s", datefmt="%m-%d %H:%M:%S")
+    for h in (logging.StreamHandler(),
+              logging.FileHandler(str(Path(output_dir) / "train.log"))):
+        h.setFormatter(fmt)
+        logger.addHandler(h)
+    return logger
+
+
+def train(args):
+    import jax
+
+    from ..data.dataset import (UttMelSpkDataset, batch_iterator,
+                                prefetch_to_device)
+    from ..train import build_trainer
+
+    config = yaml.safe_load(open(args.config))
+
+    max_iter = config.get("max_iter", 100000)
+    iters_per_checkpoint = config.get("iters_per_checkpoint", 10000)
+    iters_per_log = config.get("iters_per_log", 1000)
+    check_loss_kind = config.get("check_loss_kind", "X like")
+    num_jobs = config.get("num_jobs", 8)
+    prefetch_factor = config.get("prefetch_factor", 2)
+    seed = config.get("seed", 777)
+
+    output_dir = Path(args.output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    logger = get_logger(output_dir)
+
+    trainer = build_trainer(config)
+
+    train_batch = config.get("train_batch_size", config.get("batch_size", 32))
+    valid_batch = config.get("valid_batch_size", config.get("batch_size", 1))
+    train_set = UttMelSpkDataset(args.train_dir, config)
+    train_iter = prefetch_to_device(
+        batch_iterator(train_set, train_batch, shuffle=True, drop_last=True,
+                       seed=seed, num_workers=num_jobs),
+        size=prefetch_factor, put=trainer.shard_batch)
+
+    valid_set = None
+    if args.valid_dir:
+        try:
+            valid_set = UttMelSpkDataset(args.valid_dir, config, valid=True)
+        except FileNotFoundError:
+            valid_set = None
+
+    def valid_batches():
+        return batch_iterator(valid_set, valid_batch, shuffle=False,
+                              drop_last=False, num_workers=num_jobs, epochs=1)
+
+    # initialize / resume
+    example = (np.zeros((train_batch, train_set.crop_length,
+                         _feat_dim(train_set)), np.float32),
+               np.zeros((train_batch,), np.int32))
+    trainer.init_state(example)
+    iteration = 1
+    if args.checkpoint:
+        iteration = trainer.load_checkpoint(args.checkpoint) + 1
+        logger.info(f"Resumed from {args.checkpoint} at iteration {iteration}")
+
+    logger.info(trainer.get_model_info())
+    logger.info(f"Output directory: {output_dir}")
+    logger.info(f"Training utterances: {len(train_set)}")
+    logger.info(f"Validation utterances: "
+                f"{len(valid_set) if valid_set else 0}")
+    logger.info(f"Devices: {jax.devices()}")
+    logger.info("Start training...")
+
+    train_log: dict[str, list] = {}
+    best_loss = {check_loss_kind: np.inf}
+    best_iter = 0
+    t_log = time.time()
+    frames_per_batch = train_batch * train_set.crop_length
+
+    for batch in train_iter:
+        detail = trainer.train_step(batch)
+        iteration = trainer.iteration
+        for k, v in detail.items():
+            train_log.setdefault(k, []).append(v)
+
+        if iteration % iters_per_log == 0 and train_log:
+            host_log = {k: np.mean(jax.device_get(v))
+                        for k, v in train_log.items()}
+            dt = time.time() - t_log
+            fps = iters_per_log * frames_per_batch / dt
+            mseg = f"Iter {iteration}:"
+            for k, v in host_log.items():
+                mseg += f"  {k}: {v:.6f}"
+            mseg += f"  |  {fps:,.0f} frames/s"
+            logger.info(mseg)
+            train_log = {}
+            t_log = time.time()
+
+        if iteration % iters_per_checkpoint == 0:
+            ckpt = output_dir / f"iter.{iteration}"
+            trainer.save_checkpoint(ckpt)
+            logger.info(f"Saved checkpoint to {ckpt}")
+
+            if valid_set:
+                loss_detail = trainer.valid(valid_batches())
+                check = np.mean(loss_detail[check_loss_kind])
+                if np.mean(best_loss[check_loss_kind]) >= check:
+                    best_loss = loss_detail
+                    best_iter = iteration
+                mseg = f"Valid {iteration}:"
+                for k, v in loss_detail.items():
+                    mseg += f"  {k}: {np.mean(v):.6f}"
+                mseg += (f"  |  Best {best_iter}:  {check_loss_kind}: "
+                         f"{np.mean(best_loss[check_loss_kind]):.6f}")
+                logger.info(mseg)
+            t_log = time.time()
+
+        if iteration >= max_iter:
+            break
+
+    if best_iter > 0:
+        copyfile(str(output_dir / f"iter.{best_iter}"),
+                 str(output_dir / "model.loss.best"))
+        logger.info(f"Best model: iteration {best_iter} "
+                    f"({check_loss_kind}: "
+                    f"{np.mean(best_loss[check_loss_kind]):.6f})")
+    logger.info("Finished")
+
+
+def _feat_dim(dataset):
+    """Feature dim from the first scp entry's ark header (no full read)."""
+    from ..data import kaldi_io
+    first = next(iter(dataset.feats_scp.values()))
+    return kaldi_io.matrix_header(first)[1]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True,
+                        help="YAML experiment config")
+    parser.add_argument("--output_dir", type=str, required=True,
+                        help="Directory for checkpoint output")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="checkpoint path to keep training")
+    parser.add_argument("--train_dir", type=str, required=True,
+                        help="Training data dir")
+    parser.add_argument("--valid_dir", type=str, default=None,
+                        help="Validation data dir")
+    parser.add_argument("-g", "--gpu", type=str, default=None,
+                        help="ignored (device selection is automatic on TPU)")
+    train(parser.parse_args())
+
+
+if __name__ == "__main__":
+    main()

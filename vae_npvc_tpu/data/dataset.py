@@ -1,0 +1,149 @@
+"""Kaldi data-dir dataset + async host-side batch pipeline.
+
+File contract and crop semantics match the reference dataset
+(reference: vae_npvc/dataset/utt2mel_spk.py — Dataset): a data dir holds
+``feats.scp`` (utt → ark rxspecifier), ``utt2num_frames`` and ``utt2spk_id``;
+each item is a ``crop_length``-frame window of the utterance's mel matrix —
+random start for training, start-0 for validation, zero-padded when the
+utterance is shorter (utt2mel_spk.py:54-70). Range reads go straight to the ark
+file (seek-based, via data/kaldi_io.py), so only the cropped window ever leaves
+disk.
+
+TPU-first differences from the reference's torch DataLoader stack:
+
+- layout is channels-last ``(B, T, D)`` (the reference transposes to (D, T));
+- a thread pool (file I/O releases the GIL) assembles whole batches, and
+  :func:`prefetch_to_device` keeps ``prefetch_factor`` batches ahead of the
+  device so the H2D copy overlaps the train step — the analog of
+  ``DataLoader(num_workers=8, pin_memory=True, prefetch_factor=2)``
+  (reference: vae_npvc/bin/train.py:69-76);
+- batches are optionally sharded over a mesh's data axis by the caller
+  (``jax.device_put(batch, sharding)``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+from . import kaldi_io
+
+
+class UttMelSpkDataset:
+    """Map-style dataset over a Kaldi data dir: item = (mel[T, D], spk_id)."""
+
+    def __init__(self, data_dir, config, valid=False):
+        crop_length = config.get("crop_length", 256)
+        if valid:
+            self.crop_length = config.get("valid_crop_length", crop_length)
+        else:
+            self.crop_length = config.get("train_crop_length", crop_length)
+        self.valid = valid
+
+        data_dir = Path(data_dir)
+        self.feats_scp = kaldi_io.load_dict_data(data_dir / "feats.scp")
+        self.utt2num_frames = {
+            k: int(v) for k, v in
+            kaldi_io.load_dict_data(data_dir / "utt2num_frames").items()}
+        self.utt2spks = kaldi_io.load_list_data(data_dir / "utt2spk_id")
+        self.num_data = len(self.utt2spks)
+
+    def __len__(self):
+        return self.num_data
+
+    def get(self, index, rng: np.random.Generator):
+        """Read one cropped item. ``rng`` drives the random crop start."""
+        utt, spk = self.utt2spks[index][0], self.utt2spks[index][1]
+        feat_length = self.utt2num_frames[utt]
+        crop = self.crop_length
+
+        if feat_length <= crop:
+            start, end = 0, feat_length
+        else:
+            start = 0 if self.valid else int(rng.integers(0, feat_length - crop + 1))
+            end = start + crop
+
+        rx = f"{self.feats_scp[utt]}[{start}:{end - 1}]"
+        feat = kaldi_io.load_mat(rx).astype(np.float32)  # (t, D)
+        if feat.shape[0] < crop:
+            feat = np.pad(feat, ((0, crop - feat.shape[0]), (0, 0)))
+        return feat, np.int32(spk)
+
+
+def batch_iterator(dataset, batch_size, *, shuffle, drop_last, seed=0,
+                   num_workers=8, epochs=None):
+    """Yield ``(feats[B, T, D] float32, spks[B] int32)`` numpy batches.
+
+    Runs forever when ``epochs`` is None (training); one pass when given
+    (validation). Worker threads parallelize the per-item ark range reads.
+    """
+    order_rng = np.random.default_rng(seed)
+    pool = ThreadPoolExecutor(max_workers=num_workers) if num_workers > 0 else None
+    epoch = 0
+    try:
+        while epochs is None or epoch < epochs:
+            idx = np.arange(len(dataset))
+            if shuffle:
+                order_rng.shuffle(idx)
+            for lo in range(0, len(idx), batch_size):
+                chunk = idx[lo:lo + batch_size]
+                if drop_last and len(chunk) < batch_size:
+                    break
+                # independent crop rng per item, reproducible across workers
+                seeds = order_rng.integers(0, 2 ** 63, size=len(chunk))
+                if pool is not None:
+                    items = list(pool.map(
+                        lambda a: dataset.get(a[0], np.random.default_rng(a[1])),
+                        zip(chunk, seeds)))
+                else:
+                    items = [dataset.get(i, np.random.default_rng(s))
+                             for i, s in zip(chunk, seeds)]
+                feats = np.stack([it[0] for it in items])
+                spks = np.asarray([it[1] for it in items], np.int32)
+                yield feats, spks
+            epoch += 1
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+
+def prefetch_to_device(iterator, size=2, sharding=None, put=None):
+    """Asynchronously device_put ``size`` batches ahead of the consumer.
+
+    With a ``jax.sharding.Sharding`` the batch lands already sharded over the
+    mesh's data axis (H2D goes straight to each chip's HBM slice). ``put`` is
+    an alternative callable ``batch -> device batch`` (e.g.
+    ``Trainer.shard_batch``, which handles indivisible batch sizes).
+    """
+    import jax
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                if put is not None:
+                    batch = put(batch)
+                elif sharding is not None:
+                    batch = jax.device_put(batch, sharding)
+                else:
+                    batch = jax.device_put(batch)
+                q.put(batch)
+            q.put(_END)
+        except BaseException as e:  # surface loader errors in the consumer
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

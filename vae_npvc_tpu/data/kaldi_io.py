@@ -288,11 +288,17 @@ def _write_matrix(f, mat, compression_method=None):
         raise ValueError("only 2-D matrices supported")
     f.write(_BINARY_FLAG)
     if compression_method in (None, 0):
-        mat32 = np.ascontiguousarray(mat, dtype="<f4")
-        f.write(b"FM ")
+        # float64 input keeps double precision (DM) — Kaldi's cmvn stats are
+        # doubles; everything else is written as FM float32
+        if mat.dtype == np.float64:
+            f.write(b"DM ")
+            out = np.ascontiguousarray(mat, dtype="<f8")
+        else:
+            f.write(b"FM ")
+            out = np.ascontiguousarray(mat, dtype="<f4")
         f.write(b"\x04" + struct.pack("<i", mat.shape[0]))
         f.write(b"\x04" + struct.pack("<i", mat.shape[1]))
-        f.write(mat32.tobytes())
+        f.write(out.tobytes())
         return
     num_rows, num_cols = mat.shape
     m = np.asarray(mat, dtype=np.float64)

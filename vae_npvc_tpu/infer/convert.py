@@ -1,0 +1,136 @@
+"""Any-to-many conversion driver: trials → converted mel arks.
+
+Re-design of the reference inference driver (reference: vae_npvc/decoder/basic.py
+— Decoder), which runs utterances serially, unpadded, one H2D copy each. Here:
+
+- utterances are **bucketed by padded length and batched**: each bucket shape
+  compiles once and the batch rides the MXU together. Length masks inside the
+  model make the padded computation numerically identical to the reference's
+  unpadded per-utterance runs (see nn/blocks.py group_norm);
+- batches are padded to a fixed batch size so the number of compiled shapes is
+  ``O(#buckets)``, not ``O(#utterances)``;
+- outputs are written utterance-at-a-time to ``feats.ark``/``feats.scp`` with
+  Kaldi compression method 1, the reference's output contract
+  (decoder/basic.py:55-57).
+
+File contract (decoder/basic.py:39-53): ``decode_dir`` holds ``trials`` lines
+``utt target[ target...]`` and ``feats.scp``; optional ``spk2spk_id`` maps
+speaker names to integer ids.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from ..data import kaldi_io
+from ..models import build_model
+
+logger = logging.getLogger("vae_npvc_tpu.convert")
+
+
+def _bucket(T, bucket_size):
+    return -(-T // bucket_size) * bucket_size
+
+
+class Converter:
+    """Builds the model once; compiles one infer fn per bucket shape."""
+
+    def __init__(self, config):
+        import jax
+
+        self.config = config
+        self.model = build_model(config)
+        self.bucket_size = config.get("decode_bucket_size", 256)
+        self.batch_size = config.get("decode_batch_size", 8)
+        self.variables = None
+        self._infer_jit = jax.jit(
+            lambda v, x, y, lengths: self.model.apply(
+                v, x, y, lengths, method="infer"))
+
+    def load_checkpoint(self, path):
+        import jax
+        import jax.numpy as jnp
+        from flax import serialization
+
+        x = jnp.zeros((1, 32, self._feat_dim_guess()), jnp.float32)
+        y = jnp.zeros((1,), jnp.int32)
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)},
+            x, y, train=True)
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        variables = dict(variables)
+        params = serialization.from_state_dict(variables.pop("params"),
+                                               payload["model"])
+        ema = serialization.from_state_dict(variables, payload.get("ema", {}))
+        self.variables = {"params": params, **ema}
+        return payload.get("iteration", 0)
+
+    def _feat_dim_guess(self):
+        enc = self.config.get("encoder", {})
+        return enc.get("in_channels", [80])[0]
+
+    # ------------------------------------------------------------------ decode
+    def decode(self, decode_dir, output_dir, compress=True):
+        import jax.numpy as jnp
+
+        decode_dir = Path(decode_dir)
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        for f in ("trials", "feats.scp"):
+            if not (decode_dir / f).is_file():
+                raise FileNotFoundError(decode_dir / f)
+
+        trials = [line for line in kaldi_io.load_list_data(decode_dir / "trials")]
+        feats_scp = kaldi_io.load_dict_data(decode_dir / "feats.scp")
+        spk_map = None
+        if (decode_dir / "spk2spk_id").exists():
+            spk_map = {k: int(v) for k, v in
+                       kaldi_io.load_dict_data(decode_dir / "spk2spk_id").items()}
+
+        # resolve trials → (utt, rx, T, target_ids)
+        jobs = []
+        for parts in trials:
+            utt, targets = parts[0], parts[1:]
+            tgt = [spk_map[t] if spk_map else int(t) for t in targets]
+            T = kaldi_io.matrix_header(feats_scp[utt])[0]
+            jobs.append((utt, feats_scp[utt], T, tgt))
+
+        # bucket by padded length
+        buckets: dict[int, list] = {}
+        for job in jobs:
+            buckets.setdefault(_bucket(job[2], self.bucket_size), []).append(job)
+
+        wspec = f"ark,scp:{output_dir}/feats.ark,{output_dir}/feats.scp"
+        results = {}
+        n_done = 0
+        with kaldi_io.write_helper(
+                wspec, compression_method=1 if compress else None) as wf:
+            for T_pad in sorted(buckets):
+                batch_jobs = buckets[T_pad]
+                for lo in range(0, len(batch_jobs), self.batch_size):
+                    chunk = batch_jobs[lo:lo + self.batch_size]
+                    B = self.batch_size
+                    D = kaldi_io.matrix_header(chunk[0][1])[1]
+                    feats = np.zeros((B, T_pad, D), np.float32)
+                    lengths = np.zeros((B,), np.int32)
+                    tgts = np.zeros((B,), np.int32)
+                    for b, (utt, rx, T, tgt) in enumerate(chunk):
+                        feats[b, :T] = kaldi_io.load_mat(rx)
+                        lengths[b] = T
+                        tgts[b] = tgt[0]   # flat model uses first target
+                    lengths = np.maximum(lengths, 1)
+                    out = self._infer_jit(self.variables, jnp.asarray(feats),
+                                          jnp.asarray(tgts),
+                                          jnp.asarray(lengths))
+                    out = np.asarray(out)
+                    for b, (utt, rx, T, tgt) in enumerate(chunk):
+                        # strided encoder/decoder pairs may round the length
+                        wf[utt] = out[b, :min(T, out.shape[1])]
+                        n_done += 1
+                        logger.info(f"Decode {n_done}: {utt} to "
+                                    f"{' '.join(map(str, tgt))}")
+        return n_done

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..nn.blocks import (Conditions, ConvResStack, GLUResSkip, WNConv1d,
-                         WNConvTranspose1d)
+                         WNConvTranspose1d, length_mask)
 from ..ops import vq as vq_ops
 from ..ops.jitter import jitter as jitter_op
 from ..ops.losses import log_loss
@@ -43,8 +43,18 @@ class Encoder(nn.Module):
     arch: Mapping[str, Any]
     dtype: Any = jnp.float32
 
+    @staticmethod
+    def out_lengths(arch, lengths):
+        """Frame-count transform of the encoder (torch conv length formula)."""
+        for ds in arch.get("downsample_scales",
+                           [1] * len(arch.get("in_channels", [1]))):
+            if ds != 1:
+                p = ds // 2 + ds % 2
+                lengths = (lengths + 2 * p - 2 * ds) // ds + 1
+        return lengths
+
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, lengths=None):
         a = dict(self.arch)
         in_channels = a.get("in_channels", [513, 1024, 512, 256])
         out_channels = a.get("out_channels", [1024, 512, 256, 128])
@@ -58,6 +68,10 @@ class Encoder(nn.Module):
         use_wn = a.get("use_weight_norm", True)
 
         h = x
+        mask = None
+        if lengths is not None:
+            mask = length_mask(lengths, h.shape[1])
+            h = h * mask.astype(h.dtype)
         for i, (out_ch, ds, n_stack) in enumerate(
                 zip(out_channels, downsample_scales, stacks)):
             if ds == 1:
@@ -68,14 +82,22 @@ class Encoder(nn.Module):
                 h = WNConv1d(out_ch, 2 * ds, stride=ds, padding=(p, p),
                              use_weight_norm=use_wn, dtype=self.dtype,
                              name=f"conv_{i}")(h)
+                if lengths is not None:
+                    lengths = (lengths + 2 * p - 2 * ds) // ds + 1
+                    mask = length_mask(lengths, h.shape[1])
+            if mask is not None:
+                h = h * mask.astype(h.dtype)
             for j in range(n_stack):
                 h = ConvResStack(out_ch, stack_kernel_size, stack_layers,
                                  dilation=2 ** j if dilation else 1,
                                  use_weight_norm=use_wn, dtype=self.dtype,
-                                 name=f"stack_{i}_{j}")(h)
+                                 name=f"stack_{i}_{j}")(h, mask)
             h = nn.leaky_relu(h, 0.2)
-        return WNConv1d(z_channels, 1, use_weight_norm=use_wn,
-                        dtype=self.dtype, name="proj")(h)
+        h = WNConv1d(z_channels, 1, use_weight_norm=use_wn,
+                     dtype=self.dtype, name="proj")(h)
+        if mask is not None:
+            h = h * mask.astype(h.dtype)
+        return h
 
 
 class Decoder(nn.Module):
@@ -89,7 +111,7 @@ class Decoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, z, c):
+    def __call__(self, z, c, lengths=None):
         a = dict(self.arch)
         in_channels = a.get("in_channels", [128, 256, 512, 1024])
         out_channels = a.get("out_channels", [256, 512, 1024, 513])
@@ -105,6 +127,10 @@ class Decoder(nn.Module):
 
         total_layers = len(in_channels) + sum(stacks)
         h = z
+        mask = None
+        if lengths is not None:
+            mask = length_mask(lengths, h.shape[1])
+            h = h * mask.astype(h.dtype)
         skip_sum = 0.0
         for i, (out_ch, us, n_stack) in enumerate(
                 zip(out_channels, upsample_scales, stacks)):
@@ -114,20 +140,28 @@ class Decoder(nn.Module):
             else:
                 h = WNConvTranspose1d(out_ch, us, use_weight_norm=use_wn,
                                       dtype=self.dtype, name=f"up_{i}")(h)
+                if lengths is not None:
+                    lengths = lengths * us
+                    mask = length_mask(lengths, h.shape[1])
+            if mask is not None:
+                h = h * mask.astype(h.dtype)
             for j in range(n_stack):
                 h, skip = GLUResSkip(out_ch, cond_channels, skip_channels,
                                      stack_kernel_size,
                                      dilation=2 ** j if dilation else 1,
                                      use_weight_norm=use_wn, dtype=self.dtype,
-                                     name=f"stack_{i}_{j}")(h, c)
+                                     name=f"stack_{i}_{j}")(h, c, mask)
                 skip_sum = skip_sum + skip
         h = skip_sum * (1.0 / total_layers) ** 0.5
         h = nn.relu(h)
         h = WNConv1d(skip_channels, 1, use_weight_norm=use_wn,
                      dtype=self.dtype, name="final_0")(h)
         h = nn.relu(h)
-        return WNConv1d(final_channels, 1, use_weight_norm=use_wn,
-                        dtype=self.dtype, name="final_1")(h)
+        h = WNConv1d(final_channels, 1, use_weight_norm=use_wn,
+                     dtype=self.dtype, name="final_1")(h)
+        if mask is not None:
+            h = h * mask.astype(h.dtype)
+        return h
 
 
 class Model(nn.Module):
@@ -204,21 +238,31 @@ class Model(nn.Module):
         detail.update(vq_detail)
         return xhat, loss, detail
 
-    def encode(self, x):
-        z = self.encoder(x.astype(self.dtype)).astype(jnp.float32)
+    def encode(self, x, lengths=None):
+        """Mel (B, T, D) -> code ids (B, T'). With ``lengths``, zero-padded
+        batches give results identical to unpadded per-utterance runs (ids
+        beyond the transformed length are garbage; truncate with
+        ``Encoder.out_lengths``)."""
+        z = self.encoder(x.astype(self.dtype), lengths).astype(jnp.float32)
         if self.use_ema:
             return vq_ops.ema_vq_encode(self.ema_state.value, z)
         return vq_ops.vq_encode(self.vq_emb, z, normalize=self.embed_norm)
 
-    def decode(self, z_idx, y_idx):
-        y = self.embeds(y_idx.reshape(-1))[:, None, :]
+    def decode(self, z_idx, y_idx, lengths=None):
+        """Code ids (B, T') + speaker ids -> mel. ``y_idx`` may be (B,) or the
+        reference's multi-target (B, K) — the flat model uses the first target
+        (reference decoder keeps only c[:,:,:1], vqvae.py:306)."""
+        y_idx = y_idx.reshape(y_idx.shape[0], -1)[:, 0]
+        y = self.embeds(y_idx)[:, None, :]
         if self.use_ema:
             z_vq = vq_ops.ema_vq_decode(self.ema_state.value, z_idx)
         else:
             z_vq = vq_ops.vq_decode(self.vq_emb, z_idx,
                                     normalize=self.embed_norm)
-        out = self.decoder(z_vq.astype(self.dtype), y)
+        out = self.decoder(z_vq.astype(self.dtype), y, lengths)
         return out.astype(jnp.float32)
 
-    def infer(self, x, y_idx):
-        return self.decode(self.encode(x), y_idx)
+    def infer(self, x, y_idx, lengths=None):
+        z_lengths = (Encoder.out_lengths(dict(self.arch).get("encoder", {}),
+                     lengths) if lengths is not None else None)
+        return self.decode(self.encode(x, lengths), y_idx, z_lengths)

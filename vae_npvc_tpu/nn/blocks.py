@@ -35,31 +35,53 @@ from flax import linen as nn
 Dtype = Any
 
 
-def group_norm(x, scale, bias, num_groups, eps=1e-5):
-    """Torch-semantics GroupNorm for (B, T, C): stats over (T, C//G) per group."""
+def length_mask(lengths, T, dtype=jnp.float32):
+    """(B,) lengths -> (B, T, 1) {0,1} mask."""
+    t = jnp.arange(T)[None, :]
+    return (t < lengths[:, None]).astype(dtype)[:, :, None]
+
+
+def group_norm(x, scale, bias, num_groups, eps=1e-5, mask=None):
+    """Torch-semantics GroupNorm for (B, T, C): stats over (T, C//G) per group.
+
+    With ``mask`` (B, T, 1), statistics cover only valid frames — this makes a
+    zero-padded batched utterance numerically identical to the unpadded
+    per-utterance computation (the reference runs inference unpadded,
+    decoder/basic.py:61-63; we batch with masks instead).
+    """
     B, T, C = x.shape
     G = num_groups
     xf = x.astype(jnp.float32).reshape(B, T, G, C // G)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean((xf - mean) ** 2, axis=(1, 3), keepdims=True)
+    if mask is None:
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.mean((xf - mean) ** 2, axis=(1, 3), keepdims=True)
+    else:
+        m = mask.astype(jnp.float32)[:, :, :, None]       # (B, T, 1, 1)
+        count = jnp.sum(m, axis=1, keepdims=True) * (C // G)
+        mean = jnp.sum(xf * m, axis=(1, 3), keepdims=True) / count
+        var = jnp.sum(jnp.square(xf - mean) * m, axis=(1, 3),
+                      keepdims=True) / count
     xn = (xf - mean) * jax.lax.rsqrt(var + eps)
     xn = xn.reshape(B, T, C)
-    return (xn * scale + bias).astype(x.dtype)
+    out = (xn * scale + bias).astype(x.dtype)
+    if mask is not None:
+        out = out * mask.astype(out.dtype)
+    return out
 
 
 class GroupNorm(nn.Module):
-    """Affine GroupNorm with torch statistics semantics."""
+    """Affine GroupNorm with torch statistics semantics (optionally masked)."""
     num_groups: int
     num_channels: int
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         scale = self.param("scale", nn.initializers.ones, (self.num_channels,),
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.num_channels,),
                           jnp.float32)
-        return group_norm(x, scale, bias, self.num_groups, self.eps)
+        return group_norm(x, scale, bias, self.num_groups, self.eps, mask)
 
 
 def _kaiming_v_init(key, shape, dtype=jnp.float32):
@@ -168,7 +190,7 @@ class ConvResStack(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         h = x
         for i in range(self.layers):
             h = nn.leaky_relu(h, 0.2)
@@ -176,10 +198,13 @@ class ConvResStack(nn.Module):
                          dilation=self.dilation if i == 0 else 1,
                          use_weight_norm=self.use_weight_norm,
                          dtype=self.dtype, name=f"conv_{i}")(h)
-            h = GroupNorm(1, self.channels, name=f"norm_{i}")(h)
+            h = GroupNorm(1, self.channels, name=f"norm_{i}")(h, mask)
         skip = WNConv1d(self.channels, 1, use_weight_norm=self.use_weight_norm,
                         dtype=self.dtype, name="skip")(x)
-        return h + skip
+        out = h + skip
+        if mask is not None:
+            out = out * mask.astype(out.dtype)
+        return out
 
 
 class GLUResSkip(nn.Module):
@@ -200,7 +225,7 @@ class GLUResSkip(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, c):
+    def __call__(self, x, c, mask=None):
         C = self.channels
         h = WNConv1d(2 * C, self.kernel_size, dilation=self.dilation,
                      use_weight_norm=self.use_weight_norm, dtype=self.dtype,
@@ -209,11 +234,13 @@ class GLUResSkip(nn.Module):
             hc = WNConv1d(2 * C, 1, use_weight_norm=self.use_weight_norm,
                           dtype=self.dtype, name="conv_cond")(c)
             h = h + hc  # broadcasts (B, 1, 2C) over time
-        h = GroupNorm(2, 2 * C, name="norm")(h)
+        h = GroupNorm(2, 2 * C, name="norm")(h, mask)
         h = jnp.tanh(h[..., :C]) * jax.nn.sigmoid(h[..., C:])
         rs = WNConv1d(C + self.skip_channels, 1,
                       use_weight_norm=self.use_weight_norm, dtype=self.dtype,
                       name="res_skip")(h)
+        if mask is not None:
+            rs = rs * mask.astype(rs.dtype)
         return x + rs[..., :C], rs[..., C:]
 
 

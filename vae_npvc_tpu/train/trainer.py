@@ -1,0 +1,205 @@
+"""Functional trainer: jitted SPMD train step + checkpointing.
+
+Re-design of the reference single-GPU trainer (reference:
+vae_npvc/trainer/basic.py — Trainer) for the TPU execution model:
+
+- train state ``{step, params, ema, opt_state}`` is an explicit pytree; the
+  step is a pure donated-jit function (zero host sync per step — loss details
+  come back as device arrays and are host-transferred only at log time);
+- data parallelism is GSPMD over a ``jax.sharding.Mesh``: state replicated,
+  batch sharded on the ``data`` axis; the EMA codebook's cluster statistics are
+  global reductions so XLA inserts the cross-chip psum automatically
+  (SURVEY.md §7 "hard parts");
+- checkpoints are single msgpack files ``iter.N`` carrying
+  {model, ema, optimizer, iteration} — same roles as the reference's torch.save
+  dict (basic.py:109-121), and resume restores the iteration properly (the
+  reference loses its internal counter on resume, basic.py:117-121 — fixed
+  here, as mandated by SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization, struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import build_model
+from .optim import build_optimizer
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray          # () int32
+    params: Any
+    ema: Any                   # non-param variable collections ({} if none)
+    opt_state: Any
+
+
+class Trainer:
+    """Owns the model/optimizer and the compiled train/valid steps.
+
+    ``mesh=None`` uses all local devices in a 1-axis ``data`` mesh (a single
+    device degenerates to no sharding — same code path).
+    """
+
+    def __init__(self, config, mesh: Mesh | None = None, seed: int | None = None):
+        self.config = config
+        self.model = build_model(config)
+        self.tx = build_optimizer(config)
+        seed = config.get("seed", 777) if seed is None else seed
+        self.base_rng = jax.random.PRNGKey(seed)
+
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), ("data",))
+        self.mesh = mesh
+        self.repl = NamedSharding(mesh, P())
+        self.batch_sharding = NamedSharding(mesh, P("data"))
+
+        self.state: TrainState | None = None
+        self._compiled = {}
+        self._warned_shard = False
+
+    def shard_batch(self, batch):
+        """Shard (feats, spks) on the data axis; replicate if indivisible.
+
+        A batch whose leading dim isn't divisible by the mesh's data axis
+        cannot be partitioned (e.g. the last partial validation batch) — it
+        falls back to replication, which is correct but unscaled.
+        """
+        feats, spks = batch
+        n = self.mesh.shape["data"]
+        if feats.shape[0] % n == 0:
+            sharding = self.batch_sharding
+        else:
+            sharding = self.repl
+            if not self._warned_shard and n > 1:
+                import logging
+                logging.getLogger("vae_npvc_tpu.train").warning(
+                    f"batch size {feats.shape[0]} not divisible by data-axis "
+                    f"size {n}; replicating this batch")
+                self._warned_shard = True
+        return (jax.device_put(feats, sharding), jax.device_put(spks, sharding))
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, example_batch):
+        """Initialize params/ema/opt_state from an example (host) batch shape."""
+        feats, spks = example_batch
+        x = jnp.zeros((1,) + tuple(feats.shape[1:]), jnp.float32)
+        y = jnp.zeros((1,), jnp.int32)
+        k_param, k_vq = jax.random.split(self.base_rng)
+        variables = self.model.init({"params": k_param, "vq": k_vq}, x, y,
+                                    train=True)
+        variables = dict(variables)
+        params = variables.pop("params")
+        ema = variables  # remaining collections (possibly {})
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           ema=ema, opt_state=self.tx.init(params))
+        self.state = jax.device_put(state, self.repl)
+        return self.state
+
+    # ------------------------------------------------------------------ steps
+    def _train_step(self, state: TrainState, feats, spks, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        mutable = list(state.ema.keys())
+
+        def loss_fn(params):
+            variables = {"params": params, **state.ema}
+            if mutable:
+                (xhat, loss, detail), mut = self.model.apply(
+                    variables, feats, spks, train=True, mutable=mutable,
+                    rngs={"vq": step_rng})
+            else:
+                xhat, loss, detail = self.model.apply(
+                    variables, feats, spks, train=True, rngs={"vq": step_rng})
+                mut = {}
+            return loss, (mut, detail)
+
+        grads, (mut, detail) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               ema={**state.ema, **mut}, opt_state=opt_state)
+        detail["grad_norm"] = jnp.sqrt(sum(
+            jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grads)))
+        return new_state, detail
+
+    def _valid_step(self, state: TrainState, feats, spks):
+        variables = {"params": state.params, **state.ema}
+        xhat, loss, detail = self.model.apply(variables, feats, spks,
+                                              train=False)
+        return detail
+
+    def _get_compiled(self, name, fn, donate=()):
+        key = name
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(fn, donate_argnums=donate)
+        return self._compiled[key]
+
+    def train_step(self, batch):
+        """One SPMD step. ``batch`` = (feats[B,T,D], spks[B]) numpy or device.
+
+        Returns the loss-detail dict as device scalars (no host sync).
+        """
+        feats, spks = batch
+        if not isinstance(feats, jax.Array):
+            feats, spks = self.shard_batch(batch)
+        step = self._get_compiled("train", self._train_step, donate=(0,))
+        self.state, detail = step(self.state, feats, spks, self.base_rng)
+        return detail
+
+    def valid(self, batches):
+        """Mean loss-detail over an iterable of batches (reference .valid)."""
+        step = self._get_compiled("valid", self._valid_step)
+        acc: dict[str, list] = {}
+        for batch in batches:
+            feats, spks = self.shard_batch(batch)
+            detail = step(self.state, feats, spks)
+            for k, v in detail.items():
+                acc.setdefault(k, []).append(v)
+        return {k: [float(x) for x in jax.device_get(v)] for k, v in acc.items()}
+
+    @property
+    def iteration(self):
+        return int(self.state.step) if self.state is not None else 0
+
+    # ------------------------------------------------------------- checkpoint
+    def save_checkpoint(self, path):
+        state = jax.device_get(self.state)
+        payload = {
+            "model": serialization.to_state_dict(state.params),
+            "ema": serialization.to_state_dict(state.ema),
+            "optimizer": serialization.to_state_dict(state.opt_state),
+            "iteration": int(state.step),
+        }
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(payload))
+
+    def load_checkpoint(self, path, example_batch=None):
+        """Restore a checkpoint. Returns the stored iteration."""
+        if self.state is None:
+            if example_batch is None:
+                raise ValueError("call init_state first or pass example_batch")
+            self.init_state(example_batch)
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        state = jax.device_get(self.state)
+        params = serialization.from_state_dict(state.params, payload["model"])
+        ema = serialization.from_state_dict(state.ema, payload["ema"])
+        opt_state = serialization.from_state_dict(state.opt_state,
+                                                  payload["optimizer"])
+        iteration = int(payload["iteration"])
+        self.state = jax.device_put(
+            TrainState(step=jnp.asarray(iteration, jnp.int32), params=params,
+                       ema=ema, opt_state=opt_state), self.repl)
+        return iteration
+
+    def get_model_info(self):
+        n = sum(x.size for x in jax.tree_util.tree_leaves(self.state.params)) \
+            if self.state is not None else 0
+        return (f"{type(self.model).__module__}.{type(self.model).__name__} "
+                f"({n / 1e6:.2f}M params, mesh={tuple(self.mesh.shape.items())})")
