@@ -42,6 +42,9 @@ class Encoder(nn.Module):
     """
     arch: Mapping[str, Any]
     dtype: Any = jnp.float32
+    return_hidden: bool = False   # also return the pre-projection features
+                                  # (vqvae2 feeds them to the next level,
+                                  # reference vqvae2.py:238-246)
 
     @staticmethod
     def out_lengths(arch, lengths):
@@ -93,10 +96,13 @@ class Encoder(nn.Module):
                                  use_weight_norm=use_wn, dtype=self.dtype,
                                  name=f"stack_{i}_{j}")(h, mask)
             h = nn.leaky_relu(h, 0.2)
+        hidden = h
         h = WNConv1d(z_channels, 1, use_weight_norm=use_wn,
                      dtype=self.dtype, name="proj")(h)
         if mask is not None:
             h = h * mask.astype(h.dtype)
+        if self.return_hidden:
+            return h, hidden
         return h
 
 

@@ -1,0 +1,235 @@
+"""Hierarchical VQ-VAE (v2): stacked encoders, top-down quantize/decode.
+
+TPU-native re-design of the reference hierarchical model (reference:
+vae_npvc/model/vqvae2.py — Model). Same ``levels``/``use_gst``/``use_ema`` and
+dotted arch keys (``encoder.i``/``quantizer.i``/``decoder.i``) as the shipped
+YAML (egs/vcc20/vae2/conf/train_pytorch_vqvae2.yaml). Structure (vqvae2.py
+:73-127):
+
+- encoders run bottom-up; each level's input is the previous level's
+  pre-projection hidden features (vqvae2.py:238-246);
+- decode runs top-down: the top level is quantized (GST over the time-mean when
+  ``use_gst``, else VQ), each intermediate decoder refines the next-finer
+  encoder output conditioned on the concat of all coarser quantized latents
+  nearest-upsampled to its time scale, and **each intermediate decoder's output
+  is what the next quantizer sees**;
+- the final decoder consumes the concat of all quantized levels (channel order
+  coarse→fine) conditioned on the speaker embedding upsampled over time;
+- loss = X_like + Σ z_qut + beta·Σ z_enc, detail keys suffixed ``.i`` per
+  level plus ``quanti_err`` (vqvae2.py:116-126).
+
+The reference's ``encode``/``decode`` methods are broken (they reference
+nonexistent singular attributes, vqvae2.py:49-64 — SURVEY.md §7 known bugs).
+Here they work: ``encode`` returns (per-VQ-level ids, style embedding or None)
+by running the deterministic top-down chain; ``decode`` rebuilds the concat of
+quantized levels and runs only the final decoder (the intermediate decoders
+only matter for computing ids).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.blocks import Conditions
+from ..nn.gst import StyleTokenLayer
+from ..ops import vq as vq_ops
+from ..ops.jitter import jitter as jitter_op
+from ..ops.losses import log_loss
+from ..ops.upsample import nearest_upsample
+from .vqvae import Decoder, Encoder
+
+
+class Model(nn.Module):
+    arch: Mapping[str, Any]
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        a = dict(self.arch)
+        self.levels = a.get("levels", 3)
+        self.use_gst = a.get("use_gst", True)
+        self.use_ema = a.get("use_ema", True)
+        self.beta = a.get("beta", 0.01)
+        self.jitter_p = a.get("jitter_p", 0.0)
+
+        self.encoders = [Encoder(a[f"encoder.{i}"], dtype=self.dtype,
+                                 return_hidden=True, name=f"encoder_{i}")
+                         for i in range(self.levels)]
+        self.decoders = [Decoder(a[f"decoder.{i}"], dtype=self.dtype,
+                                 name=f"decoder_{i}")
+                         for i in range(self.levels)]
+
+        self.embeds = Conditions(a.get("y_num", 10), a.get("y_dim", 128),
+                                 normalize=False, dtype=self.dtype)
+
+        # per-level quantizers; top level may be a GST instead
+        self.q_args = [dict(a.get(f"quantizer.{i}", {}))
+                       for i in range(self.levels)]
+        gst_layer = None
+        vq_embs = {}
+        ema_states = {}
+        for i in range(self.levels):
+            q = self.q_args[i]
+            if self.use_gst and i == self.levels - 1:
+                gst_layer = StyleTokenLayer(
+                    ref_embed_dim=q.get("ref_embed_dim", 128),
+                    gst_tokens=q.get("gst_tokens", 10),
+                    gst_token_dim=q.get("gst_token_dim", 256),
+                    gst_heads=q.get("gst_heads", 4),
+                    dtype=self.dtype, name="gst")
+            elif self.use_ema:
+                ema_states[i] = self.variable(
+                    "ema", f"quantizer_{i}",
+                    lambda q=q: vq_ops.ema_vq_init(q.get("z_num", 512),
+                                                   q.get("z_dim", 128)))
+            else:
+                vq_embs[i] = self.param(
+                    f"quantizer_embedding_{i}", nn.initializers.normal(1.0),
+                    (q.get("z_num", 512), q.get("z_dim", 128)), jnp.float32)
+        self.gst_layer = gst_layer
+        self.vq_embs = vq_embs
+        self.ema_states = ema_states
+
+    # ---------------------------------------------------------------- helpers
+    def _is_gst_level(self, i):
+        return self.use_gst and i == self.levels - 1
+
+    def _quantize(self, i, z, train):
+        """VQ level i (never the GST level). Returns (z_vq, qut, enc, detail)."""
+        z = z.astype(jnp.float32)
+        q = self.q_args[i]
+        if self.use_ema:
+            rng = (self.make_rng("vq") if train else jax.random.PRNGKey(0))
+            z_vq, qut, enc, new_state, detail = vq_ops.ema_vq_forward(
+                self.ema_states[i].value, z, rng, mu=q.get("mu", 0.9),
+                threshold=q.get("threshold", 1.0), reduction="frame_mean",
+                training=train, update=train)
+            if train and not self.is_initializing():
+                self.ema_states[i].value = new_state
+            return z_vq, qut, enc, detail
+        return vq_ops.vq_forward(self.vq_embs[i], z,
+                                 normalize=q.get("normalize", False),
+                                 reduction="frame_mean")
+
+    def _vq_encode(self, i, z):
+        if self.use_ema:
+            return vq_ops.ema_vq_encode(self.ema_states[i].value,
+                                        z.astype(jnp.float32))
+        return vq_ops.vq_encode(self.vq_embs[i], z.astype(jnp.float32),
+                                normalize=self.q_args[i].get("normalize",
+                                                             False))
+
+    def _vq_decode(self, i, idx):
+        if self.use_ema:
+            return vq_ops.ema_vq_decode(self.ema_states[i].value, idx)
+        return vq_ops.vq_decode(self.vq_embs[i], idx,
+                                normalize=self.q_args[i].get("normalize",
+                                                             False))
+
+    def _encode_levels(self, x):
+        """Bottom-up encoder sweep → (z per level, time per level incl. T_x)."""
+        z_levels, time_levels = [], [x.shape[1]]
+        h = x.astype(self.dtype)
+        for i in range(self.levels):
+            z, h = self.encoders[i](h)
+            z_levels.append(z)
+            time_levels.append(z.shape[1])
+        return z_levels, time_levels
+
+    # ---------------------------------------------------------------- forward
+    def __call__(self, x, y_idx, train: bool = True):
+        y = self.embeds(y_idx.reshape(y_idx.shape[0], -1)[:, 0])[:, None, :]
+        z_levels, time_levels = self._encode_levels(x)
+
+        z_vq_levels = []   # one list per level (coarse first), upsampled
+        z_qut_losses, z_enc_losses, vq_details = [], [], []
+        z_ = z_levels.pop()
+        for i in reversed(range(self.levels)):
+            if self._is_gst_level(i):
+                style = self.gst_layer(jnp.mean(z_.astype(jnp.float32),
+                                                axis=1))
+                z_vq = style[:, None, :]                     # (B, 1, D)
+            else:
+                z_vq, qut, enc, detail = self._quantize(i, z_, train)
+                z_qut_losses.append(qut)
+                z_enc_losses.append(enc)
+                detail = dict(detail)
+                detail["quanti_err"] = enc
+                vq_details.append((i, detail))
+                if train and self.jitter_p > 0.0:
+                    z_vq = jitter_op(self.make_rng("vq"), z_vq, self.jitter_p)
+            z_vq_levels.append([nearest_upsample(z_vq, t)
+                                for t in time_levels[:i + 1]])
+            if i > 0:
+                z_ = z_levels.pop()
+                cond = jnp.concatenate(
+                    [lv[i] for lv in z_vq_levels], axis=-1).astype(self.dtype)
+                z_ = self.decoders[i](z_.astype(self.dtype), cond)
+
+        z_vq = jnp.concatenate([lv[0] for lv in z_vq_levels],
+                               axis=-1).astype(self.dtype)
+        xhat = self.decoders[0](z_vq, nearest_upsample(y, time_levels[0]))
+        xhat = xhat.astype(jnp.float32)
+
+        x_loss = log_loss(xhat, x.astype(jnp.float32))
+        z_qut_loss = sum(z_qut_losses) if z_qut_losses else 0.0
+        z_enc_loss = sum(z_enc_losses) if z_enc_losses else 0.0
+        loss = x_loss + z_qut_loss + self.beta * z_enc_loss
+        detail = {"Total": loss, "VQ loss": z_enc_loss, "X like": x_loss}
+        for idx, (lvl, d) in enumerate(vq_details):
+            detail.update({f"{k}.{idx}": v for k, v in d.items()})
+        return xhat, loss, detail
+
+    # ------------------------------------------------------------ inference
+    def encode(self, x):
+        """→ (ids tuple coarse→fine for VQ levels, style (B, D) or None).
+
+        Runs the deterministic top-down chain (intermediate quantizer inputs
+        depend on coarser decodes). Fixes the reference's broken encode
+        (vqvae2.py:49-55).
+        """
+        z_levels, time_levels = self._encode_levels(x)
+        ids, style = [], None
+        z_vq_levels = []
+        z_ = z_levels.pop()
+        for i in reversed(range(self.levels)):
+            if self._is_gst_level(i):
+                style = self.gst_layer(jnp.mean(z_.astype(jnp.float32),
+                                                axis=1))
+                z_vq = style[:, None, :]
+            else:
+                idx = self._vq_encode(i, z_)
+                ids.append(idx)
+                z_vq = self._vq_decode(i, idx)
+            z_vq_levels.append([nearest_upsample(z_vq, t)
+                                for t in time_levels[:i + 1]])
+            if i > 0:
+                z_ = z_levels.pop()
+                cond = jnp.concatenate(
+                    [lv[i] for lv in z_vq_levels], axis=-1).astype(self.dtype)
+                z_ = self.decoders[i](z_.astype(self.dtype), cond)
+        return tuple(ids), style
+
+    def decode(self, ids, y_idx, style=None, target_len=None):
+        """ids (coarse→fine) + speaker → mel via the final decoder only."""
+        levels = []
+        vq_level_indices = [i for i in reversed(range(self.levels))
+                            if not self._is_gst_level(i)]
+        if self.use_gst:
+            assert style is not None, "GST hierarchy needs the style embedding"
+            levels.append(style[:, None, :])
+        for lvl_i, idx in zip(vq_level_indices, ids):
+            levels.append(self._vq_decode(lvl_i, idx))
+        T = target_len if target_len is not None else levels[-1].shape[1]
+        z_vq = jnp.concatenate([nearest_upsample(lv, T) for lv in levels],
+                               axis=-1).astype(self.dtype)
+        y = self.embeds(y_idx.reshape(y_idx.shape[0], -1)[:, 0])[:, None, :]
+        out = self.decoders[0](z_vq, nearest_upsample(y, T))
+        return out.astype(jnp.float32)
+
+    def infer(self, x, y_idx):
+        ids, style = self.encode(x)
+        return self.decode(ids, y_idx, style=style, target_len=x.shape[1])

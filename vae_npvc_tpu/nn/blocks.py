@@ -91,6 +91,16 @@ def _kaiming_v_init(key, shape, dtype=jnp.float32):
     return std * jax.random.normal(key, shape, dtype)
 
 
+def _torch_bias_init(fan_in):
+    """Torch conv bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)). Non-zero
+    biases keep ReLU chains from emitting exactly-zero frames at init (which
+    the normalized VQ would divide by)."""
+    bound = 1.0 / math.sqrt(fan_in)
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
 class WNConv1d(nn.Module):
     """Weight-normalized 1D conv, (B, T, C) -> (B, T', C').
 
@@ -111,7 +121,8 @@ class WNConv1d(nn.Module):
         in_ch = x.shape[-1]
         k = self.kernel_size
         v = self.param("v", _kaiming_v_init, (k, in_ch, self.features))
-        b = self.param("b", nn.initializers.zeros, (self.features,), jnp.float32)
+        b = self.param("b", _torch_bias_init(k * in_ch), (self.features,),
+                       jnp.float32)
         if self.use_weight_norm:
             g = self.param("g", lambda _k: jnp.linalg.norm(
                 v.reshape(-1, v.shape[-1]), axis=0))
@@ -152,7 +163,8 @@ class WNConvTranspose1d(nn.Module):
         k = 2 * s
         in_ch = x.shape[-1]
         v = self.param("v", _kaiming_v_init, (k, in_ch, self.features))
-        b = self.param("b", nn.initializers.zeros, (self.features,), jnp.float32)
+        b = self.param("b", _torch_bias_init(k * in_ch), (self.features,),
+                       jnp.float32)
         if self.use_weight_norm:
             g = self.param("g", lambda _k: jnp.linalg.norm(
                 v.reshape(-1, v.shape[-1]), axis=0))

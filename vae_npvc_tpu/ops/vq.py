@@ -34,8 +34,13 @@ import jax.numpy as jnp
 # shared helpers
 # ---------------------------------------------------------------------------
 
-def l2_normalize(x, axis=-1, target_norm=1.0, eps=0.0):
-    """Scale rows to ``target_norm`` (reference uses exact norm, no eps)."""
+def l2_normalize(x, axis=-1, target_norm=1.0, eps=1e-12):
+    """Scale rows to ``target_norm``.
+
+    The reference divides by the exact norm (layers_vq.py:26-33), which NaNs on
+    an exactly-zero row (reachable at init when a ReLU chain zeroes a frame);
+    the eps floor only changes that degenerate case.
+    """
     n = jnp.linalg.norm(x, axis=axis, keepdims=True)
     if eps:
         n = jnp.maximum(n, eps)
