@@ -1,0 +1,207 @@
+"""Hierarchical VQ-VAE v2b: independent per-level decoders + fusion decoder.
+
+TPU-native re-design of the reference variant (reference:
+vae_npvc/model/vqvae2b.py — Model). Structure (vqvae2b.py:100-141):
+
+- every level quantizes its encoder output directly (pooled to one frame at
+  the top when ``pooling_last``, GST optional at the top);
+- each level is decoded **independently** to time-aligned features by its own
+  decoder conditioned on its own speaker embedding table — per-level speaker
+  control (decode uses ``ys[:, i]`` per level, vqvae2b.py:78);
+- a dedicated ``final_decoder`` fuses the channel-concat of all level decodes,
+  unconditioned (cond=None, vqvae2b.py:90,135).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.blocks import Conditions
+from ..nn.gst import StyleTokenLayer
+from ..ops import vq as vq_ops
+from ..ops.jitter import jitter as jitter_op
+from ..ops.losses import log_loss
+from ..ops.upsample import nearest_upsample
+from .vqvae import Decoder, Encoder
+
+
+class Model(nn.Module):
+    arch: Mapping[str, Any]
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        a = dict(self.arch)
+        self.levels = a.get("levels", 3)
+        self.use_gst = a.get("use_gst", True) if self.levels > 1 else False
+        self.use_ema = a.get("use_ema", True)
+        self.beta = a.get("beta", 0.01)
+        self.jitter_p = a.get("jitter_p", 0.0)
+        self.pooling_last = a.get("pooling_last", True)
+        self.upsample_last = a.get("upsample_last", False)
+
+        self.encoders = [Encoder(a[f"encoder.{i}"], dtype=self.dtype,
+                                 return_hidden=True, name=f"encoder_{i}")
+                         for i in range(self.levels)]
+        self.decoders = [Decoder(a[f"decoder.{i}"], dtype=self.dtype,
+                                 name=f"decoder_{i}")
+                         for i in range(self.levels)]
+        self.final_decoder = Decoder(a["final_decoder"], dtype=self.dtype,
+                                     name="final_decoder")
+
+        y_num, y_dim = a.get("y_num", 10), a.get("y_dim", 128)
+        self.embeds = [Conditions(y_num, y_dim, normalize=False,
+                                  dtype=self.dtype, name=f"embeds_{i}")
+                       for i in range(self.levels)]
+
+        self.q_args = [dict(a.get(f"quantizer.{i}", {}))
+                       for i in range(self.levels)]
+        gst_layer = None
+        vq_embs = {}
+        ema_states = {}
+        for i in range(self.levels):
+            q = self.q_args[i]
+            if self.use_gst and i == self.levels - 1:
+                gst_layer = StyleTokenLayer(
+                    ref_embed_dim=q.get("ref_embed_dim", 128),
+                    gst_tokens=q.get("gst_tokens", 10),
+                    gst_token_dim=q.get("gst_token_dim", 256),
+                    gst_heads=q.get("gst_heads", 4),
+                    dtype=self.dtype, name="gst")
+            elif self.use_ema:
+                ema_states[i] = self.variable(
+                    "ema", f"quantizer_{i}",
+                    lambda q=q: vq_ops.ema_vq_init(q.get("z_num", 512),
+                                                   q.get("z_dim", 128)))
+            else:
+                vq_embs[i] = self.param(
+                    f"quantizer_embedding_{i}", nn.initializers.normal(1.0),
+                    (q.get("z_num", 512), q.get("z_dim", 128)), jnp.float32)
+        self.gst_layer = gst_layer
+        self.vq_embs = vq_embs
+        self.ema_states = ema_states
+
+    # ---------------------------------------------------------------- helpers
+    def _is_gst_level(self, i):
+        return self.use_gst and i == self.levels - 1
+
+    def _quantize(self, i, z, train):
+        z = z.astype(jnp.float32)
+        q = self.q_args[i]
+        if self.use_ema:
+            rng = (self.make_rng("vq") if train else jax.random.PRNGKey(0))
+            z_vq, qut, enc, new_state, detail = vq_ops.ema_vq_forward(
+                self.ema_states[i].value, z, rng, mu=q.get("mu", 0.9),
+                threshold=q.get("threshold", 1.0), reduction="frame_mean",
+                training=train, update=train)
+            if train and not self.is_initializing():
+                self.ema_states[i].value = new_state
+            return z_vq, qut, enc, detail
+        return vq_ops.vq_forward(self.vq_embs[i], z,
+                                 normalize=q.get("normalize", False),
+                                 reduction="frame_mean")
+
+    def _vq_encode(self, i, z):
+        if self.use_ema:
+            return vq_ops.ema_vq_encode(self.ema_states[i].value,
+                                        z.astype(jnp.float32))
+        return vq_ops.vq_encode(self.vq_embs[i], z.astype(jnp.float32),
+                                normalize=self.q_args[i].get("normalize",
+                                                             False))
+
+    def _vq_decode(self, i, idx):
+        if self.use_ema:
+            return vq_ops.ema_vq_decode(self.ema_states[i].value, idx)
+        return vq_ops.vq_decode(self.vq_embs[i], idx,
+                                normalize=self.q_args[i].get("normalize",
+                                                             False))
+
+    def _level_decode(self, i, z_vq, y, time):
+        """Decode one level to ``time``-aligned features (vqvae2b.py:126-131)."""
+        if self.upsample_last:
+            out = self.decoders[i](z_vq.astype(self.dtype),
+                                   nearest_upsample(y, z_vq.shape[1]))
+            return nearest_upsample(out, time)
+        return self.decoders[i](
+            nearest_upsample(z_vq, time).astype(self.dtype),
+            nearest_upsample(y, time))
+
+    # ---------------------------------------------------------------- forward
+    def __call__(self, x, y_idx, train: bool = True):
+        y_first = y_idx.reshape(y_idx.shape[0], -1)[:, 0]
+        time = x.shape[1]
+        z_qut_losses, z_enc_losses, vq_details = [], [], []
+        level_feats = []
+        h = x.astype(self.dtype)
+        for i in range(self.levels):
+            z, h = self.encoders[i](h)
+            if self.pooling_last and i == self.levels - 1:
+                z = jnp.mean(z.astype(jnp.float32), axis=1, keepdims=True)
+            if self._is_gst_level(i):
+                z_vq = self.gst_layer(
+                    jnp.asarray(z, jnp.float32)[:, 0, :])[:, None, :]
+            else:
+                z_vq, qut, enc, detail = self._quantize(i, z, train)
+                z_qut_losses.append(qut)
+                z_enc_losses.append(enc)
+                detail = dict(detail)
+                detail["quanti_err"] = enc
+                vq_details.append(detail)
+                if train and self.jitter_p > 0.0:
+                    z_vq = jitter_op(self.make_rng("vq"), z_vq, self.jitter_p)
+            y = self.embeds[i](y_first)[:, None, :]
+            level_feats.append(self._level_decode(i, z_vq, y, time))
+
+        fused = jnp.concatenate(level_feats, axis=-1).astype(self.dtype)
+        xhat = self.final_decoder(fused, None).astype(jnp.float32)
+
+        x_loss = log_loss(xhat, x.astype(jnp.float32))
+        z_qut_loss = sum(z_qut_losses) if z_qut_losses else 0.0
+        z_enc_loss = sum(z_enc_losses) if z_enc_losses else 0.0
+        loss = x_loss + z_qut_loss + self.beta * z_enc_loss
+        detail = {"Total": loss, "VQ loss": z_enc_loss, "X like": x_loss}
+        for i, d in enumerate(vq_details):
+            detail.update({f"{k}.{i}": v for k, v in d.items()})
+        return xhat, loss, detail
+
+    # ------------------------------------------------------------ inference
+    def encode(self, x):
+        """→ tuple over levels: ids (B, T_i) / style (B, D) for a GST top
+        (vqvae2b.py:52-70)."""
+        out = []
+        h = x.astype(self.dtype)
+        for i in range(self.levels):
+            z, h = self.encoders[i](h)
+            if self.pooling_last and i == self.levels - 1:
+                z = jnp.mean(z.astype(jnp.float32), axis=1, keepdims=True)
+            if self._is_gst_level(i):
+                out.append(self.gst_layer(
+                    jnp.asarray(z, jnp.float32)[:, 0, :]))
+            else:
+                out.append(self._vq_encode(i, z))
+        return tuple(out)
+
+    def decode(self, zs, ys, target_len=None):
+        """``ys`` (B,) or (B, levels): per-level speaker ids
+        (vqvae2b.py:73-90)."""
+        ys = ys.reshape(ys.shape[0], -1)
+        if target_len is None:
+            # finest VQ level's length (the GST entry is (B, D), not temporal)
+            target_len = max(zs[i].shape[-1] for i in range(self.levels)
+                             if not self._is_gst_level(i))
+        level_feats = []
+        for i in range(self.levels):
+            y = self.embeds[i](ys[:, min(i, ys.shape[1] - 1)])[:, None, :]
+            if self._is_gst_level(i):
+                z_vq = zs[i][:, None, :]
+            else:
+                z_vq = self._vq_decode(i, zs[i])
+            level_feats.append(self._level_decode(i, z_vq, y, target_len))
+        fused = jnp.concatenate(level_feats, axis=-1).astype(self.dtype)
+        return self.final_decoder(fused, None).astype(jnp.float32)
+
+    def infer(self, x, y_idx):
+        return self.decode(self.encode(x), y_idx, target_len=x.shape[1])
