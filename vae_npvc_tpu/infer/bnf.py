@@ -1,0 +1,146 @@
+"""BNF / VQ-token extraction: mel features → code-id transcripts.
+
+Re-design of the reference extractor (reference: vae_npvc/bin/extract_bnf.py
+:25-74): stream an rspecifier, run the model's encoder+quantizer, emit one of
+
+- ``id``:    the full per-frame code-id sequence
+- ``csid``:  consecutive duplicates collapsed (the VQ-token "transcripts" the
+             AISHELL-3 TTS recipe trains on, run_vae.sh:158-171)
+- ``token``: the id matrix (for ark output)
+
+as ``<i><j>...`` text lines or a Kaldi ark. The reference's ark branch is
+broken (undefined variable, extract_bnf.py:44); it works here.
+
+TPU-first: utterances are bucketed/padded and encoded in batches under one
+compiled fn per bucket (length masks make padding exact; flat-model path).
+Hierarchical models fall back to per-utterance encode (ids of the FINEST level
+are emitted, matching the flat model's role as BNF extractor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..data import kaldi_io
+from ..models import build_model
+
+
+def collapse_consecutive(ids):
+    """Run-length collapse (torch.unique_consecutive equivalent)."""
+    ids = np.asarray(ids).reshape(-1)
+    if ids.size == 0:
+        return ids
+    keep = np.ones(ids.shape, bool)
+    keep[1:] = ids[1:] != ids[:-1]
+    return ids[keep]
+
+
+class BnfExtractor:
+    def __init__(self, config):
+        import jax
+
+        self.config = config
+        self.model = build_model(config)
+        self.bucket_size = config.get("decode_bucket_size", 256)
+        self.batch_size = config.get("decode_batch_size", 8)
+        self.variables = None
+        self._encode_jit = jax.jit(
+            lambda v, x, lengths: self.model.apply(v, x, lengths,
+                                                   method="encode"))
+        self._is_flat = type(self.model).__module__.endswith(".vqvae")
+
+    def load_checkpoint(self, path):
+        import jax
+        import jax.numpy as jnp
+        from flax import serialization
+
+        enc = self.config.get("encoder",
+                              self.config.get("encoder.0", {}))
+        D = enc.get("in_channels", [80])[0]
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 32, D), jnp.float32), jnp.zeros((1,), jnp.int32),
+            train=True)
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        variables = dict(variables)
+        params = serialization.from_state_dict(variables.pop("params"),
+                                               payload["model"])
+        ema = serialization.from_state_dict(variables, payload.get("ema", {}))
+        self.variables = {"params": params, **ema}
+        return payload.get("iteration", 0)
+
+    def _encode_batch(self, feats, lengths):
+        """(B, T, D), (B,) → list of per-utterance id arrays (true length)."""
+        import jax.numpy as jnp
+
+        from ..models.vqvae import Encoder
+
+        if self._is_flat:
+            ids = np.asarray(self._encode_jit(
+                self.variables, jnp.asarray(feats),
+                jnp.asarray(lengths, jnp.int32)))
+            out_lens = Encoder.out_lengths(
+                self.config.get("encoder", {}),
+                np.asarray(lengths, np.int64))
+            return [ids[b, :out_lens[b]] for b in range(ids.shape[0])]
+        # hierarchical: per-utterance, finest VQ level
+        outs = []
+        for b in range(feats.shape[0]):
+            enc = self.model.apply(
+                self.variables, jnp.asarray(feats[b:b + 1, :lengths[b]]),
+                method="encode")
+            ids = enc[0] if isinstance(enc, tuple) else enc
+            if isinstance(ids, (list, tuple)):
+                ids = ids[-1]
+            outs.append(np.asarray(ids)[0])
+        return outs
+
+    def extract(self, rspecifier, wspecifier, bnf_kind="csid",
+                output_txt=True):
+        items = list(kaldi_io.read_ark(rspecifier))
+        output_txt = output_txt and bnf_kind in ("id", "csid")
+
+        # bucket + batch
+        buckets: dict[int, list] = {}
+        for utt, feat in items:
+            T = feat.shape[0]
+            T_pad = -(-T // self.bucket_size) * self.bucket_size
+            buckets.setdefault(T_pad, []).append((utt, feat))
+
+        results = {}
+        for T_pad in sorted(buckets):
+            group = buckets[T_pad]
+            for lo in range(0, len(group), self.batch_size):
+                chunk = group[lo:lo + self.batch_size]
+                D = chunk[0][1].shape[1]
+                feats = np.zeros((self.batch_size, T_pad, D), np.float32)
+                lengths = np.ones((self.batch_size,), np.int32)
+                for b, (utt, feat) in enumerate(chunk):
+                    feats[b, :feat.shape[0]] = feat
+                    lengths[b] = feat.shape[0]
+                id_list = self._encode_batch(feats, lengths)
+                for (utt, _), ids in zip(chunk, id_list):
+                    results[utt] = ids
+
+        n = 0
+        if output_txt:
+            with open(wspecifier, "w") as wf:
+                for utt, _ in items:
+                    ids = results[utt]
+                    if bnf_kind == "csid":
+                        ids = collapse_consecutive(ids)
+                    wf.write(f"{utt} "
+                             + "".join(f"<{i}>" for i in ids.reshape(-1))
+                             + "\n")
+                    n += 1
+        else:
+            with kaldi_io.write_helper(wspecifier,
+                                       compression_method=1) as wf:
+                for utt, _ in items:
+                    ids = results[utt]
+                    if bnf_kind == "csid":
+                        ids = collapse_consecutive(ids)
+                    wf.write(utt, ids.reshape(-1, 1).astype(np.float32))
+                    n += 1
+        return n

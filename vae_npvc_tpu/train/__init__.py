@@ -10,6 +10,11 @@ _REGISTRY = {
 }
 
 
+def _lazy_gan():
+    from .gan import GanTrainer
+    return GanTrainer
+
+
 def register(name, cls):
     _REGISTRY[name] = cls
     return cls
@@ -17,6 +22,8 @@ def register(name, cls):
 
 def get_trainer_cls(trainer_type: str):
     key = trainer_type.split(":")[0]
+    if key in ("vae_npvc.trainer.wgan_gp", "wgan_gp"):
+        return _lazy_gan()
     if key in _REGISTRY:
         return _REGISTRY[key]
     short = key.rsplit(".", 1)[-1]
