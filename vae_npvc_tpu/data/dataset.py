@@ -52,6 +52,27 @@ class UttMelSpkDataset:
         self.utt2spks = kaldi_io.load_list_data(data_dir / "utt2spk_id")
         self.num_data = len(self.utt2spks)
 
+        # native C++ batch loader fast path (uncompressed FM arks); indices in
+        # the shared library follow feats.scp line order
+        self.native = None
+        self._native_row = None
+        if config.get("use_native_loader", True):
+            from .native_loader import NativeArkLoader
+            self.native = NativeArkLoader.open(data_dir / "feats.scp")
+            if self.native is not None:
+                scp_row = {u: i for i, u in enumerate(self.feats_scp)}
+                self._native_row = np.asarray(
+                    [scp_row[u] for u, _ in self.utt2spks], np.int64)
+        self.spk_ids = np.asarray([int(s) for _, s in self.utt2spks],
+                                  np.int32)
+
+    def crop_start(self, index, rng):
+        """Crop start for one item (reference utt2mel_spk.py:54-60)."""
+        feat_length = self.utt2num_frames[self.utt2spks[index][0]]
+        if feat_length <= self.crop_length or self.valid:
+            return 0
+        return int(rng.integers(0, feat_length - self.crop_length + 1))
+
     def __len__(self):
         return self.num_data
 
@@ -95,6 +116,16 @@ def batch_iterator(dataset, batch_size, *, shuffle, drop_last, seed=0,
                     break
                 # independent crop rng per item, reproducible across workers
                 seeds = order_rng.integers(0, 2 ** 63, size=len(chunk))
+                if dataset.native is not None:
+                    starts = np.asarray(
+                        [dataset.crop_start(i, np.random.default_rng(sd))
+                         for i, sd in zip(chunk, seeds)], np.int64)
+                    feats = dataset.native.load_batch(
+                        dataset._native_row[chunk], starts,
+                        dataset.crop_length,
+                        nthreads=max(num_workers, 1))
+                    yield feats, dataset.spk_ids[chunk]
+                    continue
                 if pool is not None:
                     items = list(pool.map(
                         lambda a: dataset.get(a[0], np.random.default_rng(a[1])),

@@ -203,6 +203,12 @@ class Model(nn.Module):
         self.embed_norm = a.get("embed_norm", True)
         self.beta = a.get("beta", 0.01)
         self.jitter_p = a.get("jitter_p", 0.0)
+        # fused Pallas VQ kernel (TPU only; "auto" enables iff backend is tpu)
+        up = a.get("use_pallas_vq", "auto")
+        if up == "auto":
+            from ..ops import vq_pallas
+            up = vq_pallas.available()
+        self.use_pallas_vq = bool(up)
         if self.use_ema:
             self.ema_state = self.variable(
                 "ema", "quantizer",
@@ -222,7 +228,8 @@ class Model(nn.Module):
             z_vq, qut, enc, new_state, detail = vq_ops.ema_vq_forward(
                 self.ema_state.value, z, rng, mu=self.mu,
                 reduction="frame_mean", training=train, update=train,
-                legacy_no_ste=self.legacy_no_ste)
+                legacy_no_ste=self.legacy_no_ste,
+                use_pallas=self.use_pallas_vq)
             if train and not self.is_initializing():
                 self.ema_state.value = new_state
             return z_vq, qut, enc, detail

@@ -187,7 +187,7 @@ def ema_vq_decode(state, idx):
 
 def ema_vq_forward(state, z, rng, *, mu=0.9, threshold=1.0,
                    reduction="frame_mean", training=True, update=True,
-                   legacy_no_ste=False):
+                   legacy_no_ste=False, use_pallas=False):
     """EMA quantizer forward + codebook update.
 
     Returns ``(z_vq, z_qut_loss, z_enc_loss, new_state, detail)``.
@@ -216,18 +216,27 @@ def ema_vq_forward(state, z, rng, *, mu=0.9, threshold=1.0,
     if training:
         state = jax.lax.cond(state.initted, lambda s: s, do_init, state)
 
-    idx = nearest_code(z_sg, state.emb)
-    z_q = jax.lax.stop_gradient(jnp.take(state.emb, idx, axis=0))
+    if training and update and use_pallas:
+        # fused Pallas path: distances+argmin+gather+stats in one VMEM pass
+        from .vq_pallas import vq_fused
+        idx, z_q, batch_sum, batch_elem = vq_fused(z_sg, state.emb)
+        z_q = jax.lax.stop_gradient(z_q)
+        batch_sum = batch_sum.astype(z.dtype)
+        batch_elem = batch_elem.astype(z.dtype)
+    else:
+        idx = nearest_code(z_sg, state.emb)
+        z_q = jax.lax.stop_gradient(jnp.take(state.emb, idx, axis=0))
 
     if training and update:
-        one_hot = jax.nn.one_hot(idx, K, dtype=z.dtype)          # (N, K)
-        # Cluster sums are statistics, not activations: keep them exact
-        # (HIGHEST avoids the default bf16-input matmul path).
-        batch_sum = jax.lax.dot_general(                          # (K, D) on MXU
-            one_hot, z_sg, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST).astype(z.dtype)
-        batch_elem = jnp.sum(one_hot, axis=0)                     # (K,)
+        if not use_pallas:
+            one_hot = jax.nn.one_hot(idx, K, dtype=z.dtype)      # (N, K)
+            # Cluster sums are statistics, not activations: keep them exact
+            # (HIGHEST avoids the default bf16-input matmul path).
+            batch_sum = jax.lax.dot_general(                      # (K, D) on MXU
+                one_hot, z_sg, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).astype(z.dtype)
+            batch_elem = jnp.sum(one_hot, axis=0)                 # (K,)
         cand = _tiled_candidates(restart_rng, z_sg, K)
 
         old_emb = state.emb
