@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""VCC2020 evaluation corpus → Kaldi test list (source speakers' eval wavs).
+
+Reference behavior: egs/vcc20/vae1/local/generate_vcc2020_eval_list.py.
+"""
+
+import argparse
+from pathlib import Path
+
+import sys
+
+sys.path.insert(0, str(Path(__file__).parent))
+from generate_vctk_list import write_lists  # noqa: E402
+
+SOURCE_SPEAKERS = ["SEF1", "SEF2", "SEM1", "SEM2"]
+
+
+def main(data_root, list_dir, fs):
+    data_root = Path(data_root)
+    rows = []
+    for spk in SOURCE_SPEAKERS:
+        spk_dir = data_root / spk
+        if not spk_dir.is_dir():
+            print(f"warning: missing speaker dir {spk_dir}")
+            continue
+        for wav in sorted(spk_dir.glob("*.wav")):
+            utt = f"{spk}_{wav.stem}" if not wav.stem.startswith(spk) \
+                else wav.stem
+            cmd = (str(wav.absolute()) if fs is None else
+                   f"sox {wav.absolute()} -c 1 -r {fs} -b 16 -t wav - |")
+            rows.append((utt, spk, cmd))
+    write_lists(list_dir, "vcc2020_test", rows)
+    print(f"vcc2020_test: {len(rows)} utterances")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("-d", "--data_root", type=str, required=True)
+    p.add_argument("-l", "--list_dir", type=str, default="data")
+    p.add_argument("-f", "--fs", type=int, default=24000)
+    p.add_argument("--no-pipe", action="store_true",
+                   help="emit plain wav paths (in-framework resampling) "
+                        "instead of sox pipes")
+    a = p.parse_args()
+    main(a.data_root, a.list_dir, None if a.no_pipe else a.fs)

@@ -14,3 +14,18 @@ as an idiomatic JAX stack:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("VAE_NPVC_JAX_PLATFORM"):
+    # Escape hatch for environments where a site hook pre-imports jax and
+    # freezes JAX_PLATFORMS before user env vars can take effect: importing
+    # this package applies the requested platform through jax.config (valid
+    # until backends are instantiated).
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms",
+                           _os.environ["VAE_NPVC_JAX_PLATFORM"])
+    except RuntimeError:
+        pass

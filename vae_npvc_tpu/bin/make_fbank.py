@@ -45,11 +45,16 @@ def make_fbank(data_dir, out_dir, *, fs, n_fft, n_shift, n_mels=80,
     items = []
     for utt, entry in wav_scp.items():
         sr, x = kaldi_io.read_wav_scp_entry(entry)
-        if sr != fs:
-            raise ValueError(f"{utt}: sample rate {sr} != --fs {fs} "
-                             "(resample in the wav.scp pipe, e.g. sox)")
         if x.ndim > 1:
             x = x.mean(axis=1)
+        if sr != fs:
+            # in-framework polyphase resample (the reference shells out to
+            # sox pipes in wav.scp, generate_vctk_list.py:54; no sox needed)
+            from math import gcd
+
+            from scipy.signal import resample_poly
+            g = gcd(fs, sr)
+            x = resample_poly(x, fs // g, sr // g).astype(np.float32)
         items.append((utt, x))
 
     n_written = 0
