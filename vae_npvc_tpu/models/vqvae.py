@@ -209,6 +209,8 @@ class Model(nn.Module):
             from ..ops import vq_pallas
             up = vq_pallas.available()
         self.use_pallas_vq = bool(up)
+        # explicit shard_map DP: psum the EMA statistics over this axis
+        self.dp_axis = a.get("dp_axis", None)
         if self.use_ema:
             self.ema_state = self.variable(
                 "ema", "quantizer",
@@ -229,7 +231,7 @@ class Model(nn.Module):
                 self.ema_state.value, z, rng, mu=self.mu,
                 reduction="frame_mean", training=train, update=train,
                 legacy_no_ste=self.legacy_no_ste,
-                use_pallas=self.use_pallas_vq)
+                use_pallas=self.use_pallas_vq, axis_name=self.dp_axis)
             if train and not self.is_initializing():
                 self.ema_state.value = new_state
             return z_vq, qut, enc, detail

@@ -187,7 +187,7 @@ def ema_vq_decode(state, idx):
 
 def ema_vq_forward(state, z, rng, *, mu=0.9, threshold=1.0,
                    reduction="frame_mean", training=True, update=True,
-                   legacy_no_ste=False, use_pallas=False):
+                   legacy_no_ste=False, use_pallas=False, axis_name=None):
     """EMA quantizer forward + codebook update.
 
     Returns ``(z_vq, z_qut_loss, z_enc_loss, new_state, detail)``.
@@ -210,6 +210,12 @@ def ema_vq_forward(state, z, rng, *, mu=0.9, threshold=1.0,
     # Lazy data-dependent init on the first training batch (layers_vq.py:192-201).
     def do_init(s):
         emb0 = _tiled_candidates(init_rng, z_sg, K)
+        if axis_name is not None:
+            # keep the data-dependent init identical across shards
+            pool = jax.lax.all_gather(emb0, axis_name).reshape(-1, D)
+            pick = jax.random.permutation(
+                jax.random.fold_in(init_rng, 1), pool.shape[0])[:K]
+            emb0 = jnp.take(pool, pick, axis=0)
         return EmaVqState(jnp.ones((), jnp.bool_), emb0, emb0,
                           jnp.ones((K,), z.dtype))
 
@@ -238,6 +244,20 @@ def ema_vq_forward(state, z, rng, *, mu=0.9, threshold=1.0,
                 precision=jax.lax.Precision.HIGHEST).astype(z.dtype)
             batch_elem = jnp.sum(one_hot, axis=0)                 # (K,)
         cand = _tiled_candidates(restart_rng, z_sg, K)
+
+        if axis_name is not None:
+            # explicit shard_map path: the cluster statistics are per-shard;
+            # psum them over the data axis, and make the restart candidates
+            # identical on every shard by all-gathering each shard's K picks
+            # and re-sampling K rows from the pooled (n_shards*K, D) set with
+            # the shared rng (the GSPMD path gets all this from XLA's
+            # auto-inserted collectives instead).
+            batch_sum = jax.lax.psum(batch_sum, axis_name)
+            batch_elem = jax.lax.psum(batch_elem, axis_name)
+            pool = jax.lax.all_gather(cand, axis_name).reshape(-1, D)
+            pick = jax.random.permutation(
+                jax.random.fold_in(restart_rng, 1), pool.shape[0])[:K]
+            cand = jnp.take(pool, pick, axis=0)
 
         old_emb = state.emb
         emb_sum = mu * state.emb_sum + (1.0 - mu) * batch_sum
