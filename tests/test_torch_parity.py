@@ -1,0 +1,116 @@
+"""Golden parity: converted reference checkpoints reproduce reference outputs.
+
+Random-initializes the ACTUAL reference PyTorch model (imported from the
+read-only checkout), converts its checkpoint with utils/torch_convert, and
+asserts our forward/infer match the torch outputs frame by frame. This pins
+down conv/transposed-conv semantics, weight-norm collapse, GroupNorm
+statistics, quantizer math, and the loss contract in one shot.
+
+Skipped when the reference checkout or torch is unavailable.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not available")
+torch = pytest.importorskip("torch")
+
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+CFG = {
+    "model_type": "vae_npvc.model.vqvae",
+    "y_dim": 12, "y_num": 5, "z_dim": 12, "z_num": 24,
+    "beta": 0.01, "mu": 0.9, "jitter_p": 0.0,
+    "encoder": {"in_channels": [10], "out_channels": [14], "kernel_size": 3,
+                "downsample_scales": [1], "z_channels": 12, "dilation": True,
+                "stack_kernel_size": 3, "stack_layers": 2, "stacks": [2],
+                "use_weight_norm": True},
+    "decoder": {"in_channels": [12], "out_channels": [14],
+                "cond_channels": 12, "skip_channels": 10,
+                "final_channels": 10, "kernel_size": 3,
+                "upsample_scales": [1], "dilation": True,
+                "stack_kernel_size": 3, "stacks": [2],
+                "use_weight_norm": True},
+}
+
+
+def _setup(tmp_path, use_ema):
+    import jax
+    from flax import serialization
+
+    from vae_npvc.model import vqvae as ref_vqvae  # reference, read-only
+
+    from vae_npvc_tpu.models import build_model
+    from vae_npvc_tpu.utils.torch_convert import convert_checkpoint_file
+
+    cfg = dict(CFG, use_ema=use_ema, embed_norm=True)
+    torch.manual_seed(0)
+    ref = ref_vqvae.Model(cfg)
+    ref.eval()
+    if use_ema:
+        with torch.no_grad():
+            ref.quantizer.emb_init.fill_(True)
+            ref.quantizer.embeddings.normal_()
+            ref.quantizer.emb_sum.copy_(ref.quantizer.embeddings)
+            ref.quantizer.emb_elem.fill_(1.0)
+
+    ckpt = tmp_path / "ref.pt"
+    torch.save({"model": ref.state_dict(), "iteration": 5}, ckpt)
+    out = tmp_path / "ours.msgpack"
+    assert convert_checkpoint_file(ckpt, cfg, out) == 5
+
+    model = build_model(cfg)
+    import jax.numpy as jnp
+    variables = dict(model.init(
+        {"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 10)), jnp.zeros((1,), jnp.int32), train=True))
+    with open(out, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(variables.pop("params"),
+                                           payload["model"])
+    ema = serialization.from_state_dict(variables, payload["ema"])
+    return ref, model, {"params": params, **ema}, cfg
+
+
+@pytest.mark.parametrize("use_ema", [False, True])
+def test_converted_checkpoint_matches_reference(tmp_path, use_ema):
+    import jax.numpy as jnp
+
+    ref, model, variables, cfg = _setup(tmp_path, use_ema)
+
+    rng = np.random.default_rng(0)
+    B, T, D = 2, 24, 10
+    x = rng.normal(size=(B, T, D)).astype(np.float32)
+    y = np.array([1, 3], np.int64)
+
+    with torch.no_grad():
+        xt = torch.from_numpy(np.transpose(x, (0, 2, 1)))  # (B, D, T)
+        yt = torch.from_numpy(y).view(-1, 1)
+        ref_xhat, ref_loss, ref_detail = ref((xt, yt))
+        ref_infer = ref.infer((xt, yt))
+        ref_ids = ref.encode(xt)
+
+    xhat, loss, detail = model.apply(variables, jnp.asarray(x),
+                                     jnp.asarray(y, jnp.int32), train=False)
+    ids = model.apply(variables, jnp.asarray(x), method="encode")
+    out = model.apply(variables, jnp.asarray(x),
+                      jnp.asarray(y, jnp.int32), method="infer")
+
+    np.testing.assert_array_equal(np.asarray(ids),
+                                  ref_ids.squeeze(-1).numpy()
+                                  if ref_ids.ndim == 3 else ref_ids.numpy())
+    np.testing.assert_allclose(
+        np.asarray(xhat), np.transpose(ref_xhat.numpy(), (0, 2, 1)),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out), np.transpose(ref_infer.numpy(), (0, 2, 1)),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(detail["X like"]),
+                               float(ref_detail["X like"]), rtol=1e-4)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)

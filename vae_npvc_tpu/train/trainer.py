@@ -190,8 +190,12 @@ class Trainer:
         state = jax.device_get(self.state)
         params = serialization.from_state_dict(state.params, payload["model"])
         ema = serialization.from_state_dict(state.ema, payload["ema"])
-        opt_state = serialization.from_state_dict(state.opt_state,
-                                                  payload["optimizer"])
+        if payload.get("optimizer"):
+            opt_state = serialization.from_state_dict(state.opt_state,
+                                                      payload["optimizer"])
+        else:
+            # converted reference checkpoints carry no optimizer state
+            opt_state = self.tx.init(params)
         iteration = int(payload["iteration"])
         self.state = jax.device_put(
             TrainState(step=jnp.asarray(iteration, jnp.int32), params=params,

@@ -1,0 +1,166 @@
+"""Convert reference PyTorch checkpoints to this framework's format.
+
+Lets users of the reference (Sinica-SLAM/vae_npvc) carry trained models over:
+``torch.save({'model': state_dict, ...})`` checkpoints of the flat VQ-VAE
+(reference: vae_npvc/model/vqvae.py, trainer/basic.py:109-115) are mapped onto
+our flax param tree + EMA collection, preserving the effective weights exactly:
+
+- torch ``weight_norm`` layers are collapsed to their effective weight
+  ``w = g · v / ||v||`` (torch normalizes ConvTranspose over dim 0 — the
+  *input*-channel axis — while our blocks normalize per output channel; using
+  the effective weight sidesteps the parameterization mismatch, and our
+  ``g``/``v`` are re-derived so the forward function is identical);
+- torch Conv1d weights (out, in, k) → our (k, in, out);
+- the reference's stride-1 ConvTranspose1d "deconv" layers are forward convs
+  with flipped kernels here (nn/blocks.py), so their weights map with a kernel
+  flip + in/out transpose; strided ConvTranspose maps without the flip;
+- GroupNorm weight/bias → scale/bias; embeddings and (EMA) codebook buffers
+  map directly.
+
+Numerical parity of the converted model is asserted against the actual
+reference implementation in tests/test_torch_parity.py (skipped when the
+reference checkout or torch is unavailable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _wn_effective(sd, prefix):
+    """Effective weight of a (possibly weight-normed) torch conv + bias."""
+    if f"{prefix}.weight_v" in sd:
+        v = np.asarray(sd[f"{prefix}.weight_v"], np.float64)
+        g = np.asarray(sd[f"{prefix}.weight_g"], np.float64)
+        axes = tuple(range(1, v.ndim))  # torch weight_norm dim=0
+        norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
+        w = (g * v / norm).astype(np.float32)
+    else:
+        w = np.asarray(sd[f"{prefix}.weight"], np.float32)
+    b = np.asarray(sd[f"{prefix}.bias"], np.float32)
+    return w, b
+
+
+def _conv_params(sd, prefix):
+    """torch Conv1d (out, in, k) → our WNConv1d {v (k,in,out), g, b}."""
+    w, b = _wn_effective(sd, prefix)
+    v = np.transpose(w, (2, 1, 0)).astype(np.float32)
+    g = np.linalg.norm(v.reshape(-1, v.shape[-1]), axis=0).astype(np.float32)
+    return {"v": v, "g": g, "b": b}
+
+
+def _deconv1_params(sd, prefix):
+    """Stride-1 torch ConvTranspose1d (in, out, k) → our forward WNConv1d.
+
+    ConvT(x; W) ≡ conv(x; W') with W'[k-1-j, i, o] = W[i, o, j]."""
+    w, b = _wn_effective(sd, prefix)
+    v = np.transpose(w, (2, 0, 1))[::-1].copy().astype(np.float32)
+    g = np.linalg.norm(v.reshape(-1, v.shape[-1]), axis=0).astype(np.float32)
+    return {"v": v, "g": g, "b": b}
+
+
+def _deconvs_params(sd, prefix):
+    """Strided torch ConvTranspose1d → our WNConvTranspose1d (v[j,i,o]=W[i,o,j],
+    the flip happens inside our layer)."""
+    w, b = _wn_effective(sd, prefix)
+    v = np.transpose(w, (2, 0, 1)).copy().astype(np.float32)
+    g = np.linalg.norm(v.reshape(-1, v.shape[-1]), axis=0).astype(np.float32)
+    return {"v": v, "g": g, "b": b}
+
+
+def _norm_params(sd, prefix):
+    return {"scale": np.asarray(sd[f"{prefix}.weight"], np.float32),
+            "bias": np.asarray(sd[f"{prefix}.bias"], np.float32)}
+
+
+def convert_flat_vqvae(state_dict, config):
+    """Reference flat-VQVAE state_dict + experiment config → (params, ema).
+
+    Walks the reference encoder's ``nn.Sequential`` index layout
+    (vqvae.py:146-176: per stage [Conv1d, stacks…, LeakyReLU], final 1×1) and
+    the decoder's ``ModuleList`` (vqvae.py:243-283).
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    enc_a = config.get("encoder", {})
+    dec_a = config.get("decoder", {})
+
+    params = {"encoder": {}, "decoder": {}, "embeds": {}}
+
+    # ---------------- encoder (Sequential indices) ----------------
+    stacks = enc_a.get("stacks", [3])
+    stack_layers = enc_a.get("stack_layers", 2)
+    seq = 0
+    for i, n_stack in enumerate(stacks):
+        params["encoder"][f"conv_{i}"] = _conv_params(
+            sd, f"encoder.encode.{seq}")
+        seq += 1
+        for j in range(n_stack):
+            blk = {}
+            base = f"encoder.encode.{seq}"
+            for l in range(stack_layers):
+                # stack indices: [LReLU, Conv1d, GroupNorm] per layer
+                blk[f"conv_{l}"] = _conv_params(sd, f"{base}.stack.{3*l+1}")
+                blk[f"norm_{l}"] = _norm_params(sd, f"{base}.stack.{3*l+2}")
+            blk["skip"] = _conv_params(sd, f"{base}.skip_layer")
+            params["encoder"][f"stack_{i}_{j}"] = blk
+            seq += 1
+        seq += 1  # LeakyReLU
+    params["encoder"]["proj"] = _conv_params(sd, f"encoder.encode.{seq}")
+
+    # ---------------- decoder (ModuleList indices) ----------------
+    d_stacks = dec_a.get("stacks", [3])
+    upsample = dec_a.get("upsample_scales", [1] * len(d_stacks))
+    li = 0
+    for i, (n_stack, us) in enumerate(zip(d_stacks, upsample)):
+        base = f"decoder.layers.{li}"
+        params["decoder"][f"up_{i}"] = (
+            _deconv1_params(sd, base) if us == 1 else _deconvs_params(sd, base))
+        li += 1
+        for j in range(n_stack):
+            base = f"decoder.layers.{li}"
+            blk = {"conv_in": _deconv1_params(sd, f"{base}.conv_in"),
+                   "norm": _norm_params(sd, f"{base}.norm_layer"),
+                   "res_skip": _conv_params(sd, f"{base}.res_skip_layers")}
+            if f"{base}.conv_cond.weight" in sd or \
+                    f"{base}.conv_cond.weight_v" in sd:
+                blk["conv_cond"] = _conv_params(sd, f"{base}.conv_cond")
+            params["decoder"][f"stack_{i}_{j}"] = blk
+            li += 1
+    params["decoder"]["final_0"] = _conv_params(sd, "decoder.final_layer.1")
+    params["decoder"]["final_1"] = _conv_params(sd, "decoder.final_layer.3")
+
+    # ---------------- embeddings + quantizer ----------------
+    params["embeds"]["embedding"] = np.asarray(sd["embeds._embedding.weight"],
+                                               np.float32)
+    ema = {}
+    if config.get("use_ema", False):
+        from ..ops.vq import EmaVqState
+        ema = {"ema": {"quantizer": EmaVqState(
+            initted=np.asarray(sd["quantizer.emb_init"], bool).reshape(()),
+            emb=np.asarray(sd["quantizer.embeddings"], np.float32),
+            emb_sum=np.asarray(sd["quantizer.emb_sum"], np.float32),
+            emb_elem=np.asarray(sd["quantizer.emb_elem"], np.float32))}}
+    else:
+        params["quantizer_embedding"] = np.asarray(
+            sd["quantizer.embeddings"], np.float32)
+    return params, ema
+
+
+def convert_checkpoint_file(torch_ckpt_path, config, out_path):
+    """Full pipeline: torch .pt/.ckpt → our msgpack checkpoint file."""
+    import torch
+    from flax import serialization
+
+    data = torch.load(torch_ckpt_path, map_location="cpu",
+                      weights_only=False)
+    sd = {k: v.numpy() for k, v in data["model"].items()}
+    params, ema = convert_flat_vqvae(sd, config)
+    payload = {
+        "model": serialization.to_state_dict(params),
+        "ema": serialization.to_state_dict(ema),
+        "optimizer": {},
+        "iteration": int(data.get("iteration", 0)),
+    }
+    with open(out_path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    return payload["iteration"]
