@@ -1,0 +1,66 @@
+"""Converter drives hierarchical models via exact-length batching."""
+
+import numpy as np
+import jax
+import pytest
+
+from vae_npvc_tpu.data import kaldi_io
+from vae_npvc_tpu.infer.convert import Converter
+from vae_npvc_tpu.train.trainer import Trainer
+
+
+def hier_cfg():
+    def enc(in_ch, ds):
+        return {"in_channels": [in_ch], "out_channels": [16],
+                "kernel_size": 3, "downsample_scales": [ds], "z_channels": 8,
+                "dilation": False, "stack_kernel_size": 3, "stack_layers": 1,
+                "stacks": [1], "use_weight_norm": True}
+
+    def dec(in_ch, cond, final):
+        return {"in_channels": [in_ch], "out_channels": [16],
+                "cond_channels": cond, "skip_channels": 8,
+                "final_channels": final, "kernel_size": 3,
+                "upsample_scales": [1], "dilation": False,
+                "stack_kernel_size": 3, "stacks": [1],
+                "use_weight_norm": True}
+
+    return {
+        "model_type": "vae_npvc.model.vqvae2", "trainer_type": "basic",
+        "levels": 2, "y_dim": 8, "y_num": 4, "beta": 0.01,
+        "use_gst": False, "use_ema": False, "jitter_p": 0.0, "seed": 3,
+        "optim_type": "Adam", "learning_rate": 1e-3, "max_grad_norm": 10,
+        "decode_batch_size": 4,
+        "encoder.0": enc(10, 1), "encoder.1": enc(16, 2),
+        "decoder.0": dec(16, 8, 10), "decoder.1": dec(8, 8, 8),
+        "quantizer.0": {"z_dim": 8, "z_num": 16, "normalize": True},
+        "quantizer.1": {"z_dim": 8, "z_num": 16, "normalize": True},
+    }
+
+
+def test_decode_hierarchical(tmp_path):
+    cfg = hier_cfg()
+    tr = Trainer(cfg)
+    rng = np.random.default_rng(0)
+    batch = (rng.normal(size=(2, 16, 10)).astype(np.float32),
+             np.zeros((2,), np.int32))
+    tr.init_state(batch)
+    tr.train_step(batch)
+    ck = tmp_path / "m.ckpt"
+    tr.save_checkpoint(ck)
+
+    dec_dir = tmp_path / "dec"
+    dec_dir.mkdir()
+    with kaldi_io.ArkWriter(dec_dir / "f.ark", dec_dir / "feats.scp") as w:
+        for i, T in enumerate((16, 16, 24)):   # two equal-length + one other
+            w.write(f"u{i}", rng.normal(size=(T, 10)).astype(np.float32))
+    (dec_dir / "trials").write_text("u0 1\nu1 2\nu2 1\n")
+
+    cv = Converter(cfg)
+    assert not cv.supports_lengths
+    cv.load_checkpoint(ck)
+    out_dir = tmp_path / "out"
+    assert cv.decode(dec_dir, out_dir) == 3
+    mats = dict(kaldi_io.read_ark(f"scp:{out_dir}/feats.scp"))
+    assert mats["u0"].shape == (16, 10)
+    assert mats["u2"].shape == (24, 10)
+    assert all(np.all(np.isfinite(m)) for m in mats.values())

@@ -32,6 +32,12 @@ def decode(args):
 
     from ..infer.convert import Converter
 
+    # reference-compatible decoder driver dispatch (decode.py:34); the basic
+    # any-to-many driver is the only one shipped (as in the reference)
+    decoder_type = config.get("decoder_type", "vae_npvc.decoder.basic")
+    if decoder_type.split(":")[0] not in (
+            "vae_npvc.decoder.basic", "basic", "converter"):
+        raise KeyError(f"unknown decoder_type {decoder_type!r}")
     converter = Converter(config)
     assert args.checkpoint is not None
     it = converter.load_checkpoint(args.checkpoint)

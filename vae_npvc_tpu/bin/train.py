@@ -100,9 +100,22 @@ def train(args):
     t_log = time.time()
     frames_per_batch = train_batch * train_set.crop_length
 
+    profile_dir = getattr(args, "profile_dir", None)
+    profiling = False
+
     for batch in train_iter:
+        if profile_dir and not profiling and trainer.iteration >= 2:
+            # skip the compile steps, then trace one log interval
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         detail = trainer.train_step(batch)
         iteration = trainer.iteration
+        if profiling and iteration >= 2 + iters_per_log:
+            jax.block_until_ready(detail["Total"])
+            jax.profiler.stop_trace()
+            logger.info(f"Saved profiler trace to {profile_dir}")
+            profiling = False
+            profile_dir = None
         for k, v in detail.items():
             train_log.setdefault(k, []).append(v)
 
@@ -171,6 +184,9 @@ def main():
                         help="Validation data dir")
     parser.add_argument("-g", "--gpu", type=str, default=None,
                         help="ignored (device selection is automatic on TPU)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of the first "
+                             "logged interval into this directory")
     train(parser.parse_args())
 
 

@@ -31,6 +31,24 @@ from ..models import build_model
 logger = logging.getLogger("vae_npvc_tpu.convert")
 
 
+def _migrate_codebook(template, stored):
+    """Graceful codebook-shape migration on load: if the stored (plain-VQ)
+    codebook size differs from the config's, adopt the stored shape
+    (reference behavior: vae_npvc/model/vqvae.py:106-119)."""
+    import numpy as np
+
+    key = "quantizer_embedding"
+    if key in template and key in stored:
+        tpl, st = np.asarray(template[key]), np.asarray(stored[key])
+        if tpl.shape != st.shape:
+            logger.warning(
+                f"codebook size mismatch: checkpoint {st.shape} vs config "
+                f"{tpl.shape}; adopting the checkpoint's shape")
+            template = dict(template)
+            template[key] = np.zeros(st.shape, np.float32)
+    return template
+
+
 def _bucket(T, bucket_size):
     return -(-T // bucket_size) * bucket_size
 
@@ -46,9 +64,17 @@ class Converter:
         self.bucket_size = config.get("decode_bucket_size", 256)
         self.batch_size = config.get("decode_batch_size", 8)
         self.variables = None
-        self._infer_jit = jax.jit(
-            lambda v, x, y, lengths: self.model.apply(
-                v, x, y, lengths, method="infer"))
+        # only the flat model threads length masks; hierarchical models are
+        # batched by EXACT length instead (same outputs, more compiles)
+        self.supports_lengths = type(self.model).__module__.endswith(".vqvae")
+        if self.supports_lengths:
+            self._infer_jit = jax.jit(
+                lambda v, x, y, lengths: self.model.apply(
+                    v, x, y, lengths, method="infer"))
+        else:
+            self._infer_jit = jax.jit(
+                lambda v, x, y, lengths: self.model.apply(
+                    v, x, y, method="infer"))
 
     def load_checkpoint(self, path):
         import jax
@@ -63,14 +89,16 @@ class Converter:
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
         variables = dict(variables)
-        params = serialization.from_state_dict(variables.pop("params"),
-                                               payload["model"])
+        template = variables.pop("params")
+        template = _migrate_codebook(template, payload["model"])
+        params = serialization.from_state_dict(template, payload["model"])
         ema = serialization.from_state_dict(variables, payload.get("ema", {}))
         self.variables = {"params": params, **ema}
         return payload.get("iteration", 0)
 
     def _feat_dim_guess(self):
-        enc = self.config.get("encoder", {})
+        enc = self.config.get("encoder",
+                              self.config.get("encoder.0", {}))
         return enc.get("in_channels", [80])[0]
 
     # ------------------------------------------------------------------ decode
@@ -99,10 +127,12 @@ class Converter:
             T = kaldi_io.matrix_header(feats_scp[utt])[0]
             jobs.append((utt, feats_scp[utt], T, tgt))
 
-        # bucket by padded length
+        # bucket by padded length (flat model) or exact length (hierarchical)
         buckets: dict[int, list] = {}
         for job in jobs:
-            buckets.setdefault(_bucket(job[2], self.bucket_size), []).append(job)
+            key = (_bucket(job[2], self.bucket_size) if self.supports_lengths
+                   else job[2])
+            buckets.setdefault(key, []).append(job)
 
         wspec = f"ark,scp:{output_dir}/feats.ark,{output_dir}/feats.scp"
         results = {}
@@ -113,7 +143,7 @@ class Converter:
                 batch_jobs = buckets[T_pad]
                 for lo in range(0, len(batch_jobs), self.batch_size):
                     chunk = batch_jobs[lo:lo + self.batch_size]
-                    B = self.batch_size
+                    B = self.batch_size if self.supports_lengths else len(chunk)
                     D = kaldi_io.matrix_header(chunk[0][1])[1]
                     feats = np.zeros((B, T_pad, D), np.float32)
                     lengths = np.zeros((B,), np.int32)
