@@ -44,8 +44,13 @@ def decode(args):
     logger.info(f"Decoding dataset: {args.decode_dir}")
     logger.info(f"Decoding model: {args.checkpoint} (iteration {it})")
     logger.info("Start decoding...")
-    n = converter.decode(args.decode_dir, output_dir)
-    logger.info(f"Finished ({n} utterances)")
+    if getattr(args, "all_targets", None):
+        targets = args.all_targets.split(",")
+        n = converter.sweep(args.decode_dir, output_dir, targets)
+        logger.info(f"Finished sweep ({n} conversions)")
+    else:
+        n = converter.decode(args.decode_dir, output_dir)
+        logger.info(f"Finished ({n} utterances)")
 
 
 def main():
@@ -59,6 +64,11 @@ def main():
                         type=str, required=True)
     parser.add_argument("-g", "--gpu", type=str, default=None,
                         help="ignored (device selection is automatic)")
+    parser.add_argument("--all-targets", "--all_targets", dest="all_targets",
+                        type=str, default=None,
+                        help="comma-separated target speakers: convert EVERY "
+                             "utterance in feats.scp to every listed target "
+                             "(no trials file needed)")
     decode(parser.parse_args())
 
 

@@ -101,6 +101,72 @@ class Converter:
                               self.config.get("encoder.0", {}))
         return enc.get("in_channels", [80])[0]
 
+    # --------------------------------------------------------------- sweep
+    def sweep(self, decode_dir, output_dir, targets, compress=True):
+        """Any-to-ALL conversion: every source utterance decoded to every
+        target speaker, batched along the speaker axis (BASELINE.json config
+        "conversion inference sweep"). Each source is encoded ONCE; its code
+        sequence is tiled across the K targets and decoded in one jitted call
+        per bucket. Outputs are keyed ``<utt>__<target>``.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if not self.supports_lengths:
+            raise NotImplementedError(
+                "the all-targets sweep currently supports the flat vqvae "
+                "model (encode-once + speaker-axis decode)")
+        decode_dir = Path(decode_dir)
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        feats_scp = kaldi_io.load_dict_data(decode_dir / "feats.scp")
+        spk_map = None
+        if (decode_dir / "spk2spk_id").exists():
+            spk_map = {k: int(v) for k, v in kaldi_io.load_dict_data(
+                decode_dir / "spk2spk_id").items()}
+        tgt_ids = [spk_map[t] if spk_map else int(t) for t in targets]
+        tgt_names = [str(t) for t in targets]
+        K = len(tgt_ids)
+
+        from ..models.vqvae import Encoder as FlatEncoder
+
+        encode_jit = jax.jit(lambda v, x, l: self.model.apply(
+            v, x, l, method="encode"))
+        decode_jit = jax.jit(lambda v, ids, y, l: self.model.apply(
+            v, ids, y, l, method="decode"))
+
+        jobs = [(u, rx, kaldi_io.matrix_header(rx)[0])
+                for u, rx in feats_scp.items()]
+        buckets: dict[int, list] = {}
+        for job in jobs:
+            buckets.setdefault(_bucket(job[2], self.bucket_size),
+                               []).append(job)
+
+        wspec = f"ark,scp:{output_dir}/feats.ark,{output_dir}/feats.scp"
+        n_done = 0
+        enc_arch = self.config.get("encoder", {})
+        with kaldi_io.write_helper(
+                wspec, compression_method=1 if compress else None) as wf:
+            for T_pad in sorted(buckets):
+                for utt, rx, T in buckets[T_pad]:
+                    x = np.zeros((1, T_pad, kaldi_io.matrix_header(rx)[1]),
+                                 np.float32)
+                    x[0, :T] = kaldi_io.load_mat(rx)
+                    lengths = jnp.asarray([T], jnp.int32)
+                    ids = encode_jit(self.variables, jnp.asarray(x), lengths)
+                    z_len = int(FlatEncoder.out_lengths(
+                        enc_arch, np.asarray([T]))[0])
+                    ids_k = jnp.tile(ids, (K, 1))
+                    z_lens = jnp.full((K,), z_len, jnp.int32)
+                    out = np.asarray(decode_jit(
+                        self.variables, ids_k,
+                        jnp.asarray(tgt_ids, jnp.int32), z_lens))
+                    for k, name in enumerate(tgt_names):
+                        wf[f"{utt}__{name}"] = out[k, :min(T, out.shape[1])]
+                        n_done += 1
+                    logger.info(f"Sweep: {utt} -> {K} targets")
+        return n_done
+
     # ------------------------------------------------------------------ decode
     def decode(self, decode_dir, output_dir, compress=True):
         import jax.numpy as jnp

@@ -50,6 +50,10 @@ from . import vqvae as _vqvae  # noqa: E402
 
 register("vae_npvc.model.vqvae", "vqvae")(_vqvae.Model)
 
+from . import vae as _vae  # noqa: E402
+
+register("vae_npvc.model.vae", "vae")(_vae.Model)
+
 try:  # hierarchical families registered as they land
     from . import vqvae2 as _vqvae2  # noqa: E402
     register("vae_npvc.model.vqvae2", "vqvae2")(_vqvae2.Model)
