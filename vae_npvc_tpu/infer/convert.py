@@ -101,6 +101,30 @@ class Converter:
                               self.config.get("encoder.0", {}))
         return enc.get("in_channels", [80])[0]
 
+    def _infer_with_fallback(self, feats, tgts, lengths):
+        """Run the jitted infer; on accelerator failure (e.g. OOM on a long
+        bucket) retry the batch on the host CPU — the analog of the
+        reference's per-utterance GPU→CPU fallback (decoder/basic.py:27-36).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        try:
+            return np.asarray(self._infer_jit(
+                self.variables, jnp.asarray(feats), jnp.asarray(tgts),
+                jnp.asarray(lengths)))
+        except Exception as e:  # noqa: BLE001 — any device failure
+            cpu = jax.devices("cpu")[0]
+            logger.warning(f"device inference failed ({type(e).__name__}: "
+                           f"{e}); retrying batch on CPU")
+            with jax.default_device(cpu):
+                cpu_vars = jax.device_put(self.variables, cpu)
+                out = self.model.apply(
+                    cpu_vars, jnp.asarray(feats), jnp.asarray(tgts),
+                    *((jnp.asarray(lengths),) if self.supports_lengths
+                      else ()), method="infer")
+                return np.asarray(out)
+
     # --------------------------------------------------------------- sweep
     def sweep(self, decode_dir, output_dir, targets, compress=True):
         """Any-to-ALL conversion: every source utterance decoded to every
@@ -219,10 +243,7 @@ class Converter:
                         lengths[b] = T
                         tgts[b] = tgt[0]   # flat model uses first target
                     lengths = np.maximum(lengths, 1)
-                    out = self._infer_jit(self.variables, jnp.asarray(feats),
-                                          jnp.asarray(tgts),
-                                          jnp.asarray(lengths))
-                    out = np.asarray(out)
+                    out = self._infer_with_fallback(feats, tgts, lengths)
                     for b, (utt, rx, T, tgt) in enumerate(chunk):
                         # strided encoder/decoder pairs may round the length
                         wf[utt] = out[b, :min(T, out.shape[1])]

@@ -135,12 +135,16 @@ class WNConv1d(nn.Module):
             pad = [(p, p)]
         else:
             pad = [tuple(self.padding)]
+        # preferred_element_type=f32 breaks the conv VJP for bf16 inputs
+        # (f32 cotangent vs bf16 primal); bf16 convs already accumulate f32
+        # inside the MXU, so only request it on the f32 path
+        pet = jnp.float32 if self.dtype == jnp.float32 else None
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), w.astype(self.dtype),
             window_strides=(self.stride,), padding=pad,
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=pet,
         )
         return (y + b).astype(self.dtype)
 
@@ -177,12 +181,13 @@ class WNConvTranspose1d(nn.Module):
         lo = k - 1 - p_torch
         hi = k - 1 - p_torch + out_pad
         # transposed conv = conv with input dilation and flipped kernel
+        pet = jnp.float32 if self.dtype == jnp.float32 else None
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), jnp.flip(w, 0).astype(self.dtype),
             window_strides=(1,), padding=[(lo, hi)],
             lhs_dilation=(s,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=pet,
         )
         return (y + b).astype(self.dtype)
 
