@@ -41,15 +41,19 @@ def measure_ours(steps=20):
     feats = jax.device_put(jnp.asarray(batch[0]), trainer.batch_sharding)
     spks = jax.device_put(jnp.asarray(batch[1]), trainer.batch_sharding)
 
-    # warmup/compile
+    # warmup/compile; sync via host transfer — on the tunneled axon backend
+    # block_until_ready can return before execution completes, so only a
+    # device→host read is a trustworthy fence
     for _ in range(3):
         detail = trainer.train_step((feats, spks))
-    jax.block_until_ready(detail["Total"])
+    float(detail["Total"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         detail = trainer.train_step((feats, spks))
-    jax.block_until_ready(detail["Total"])
+    # the state is donated and chained, so forcing the last step's loss forces
+    # the whole sequence
+    float(detail["Total"])
     dt = time.perf_counter() - t0
     n_chips = len(jax.devices())
     return steps * B * T / dt / n_chips
