@@ -114,3 +114,85 @@ def test_converted_checkpoint_matches_reference(tmp_path, use_ema):
     np.testing.assert_allclose(float(detail["X like"]),
                                float(ref_detail["X like"]), rtol=1e-4)
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# hierarchical family (vqvae2, GST top, plain VQ)
+# --------------------------------------------------------------------------
+
+def _enc2(in_ch, ds):
+    return {"in_channels": [in_ch], "out_channels": [14], "kernel_size": 3,
+            "downsample_scales": [ds], "z_channels": 8, "dilation": True,
+            "stack_kernel_size": 3, "stack_layers": 2, "stacks": [2],
+            "use_weight_norm": True, "use_causal_conv": False}
+
+
+def _dec2(in_ch, cond, final):
+    return {"in_channels": [in_ch], "out_channels": [14],
+            "cond_channels": cond, "skip_channels": 8, "final_channels": final,
+            "kernel_size": 3, "upsample_scales": [1], "dilation": True,
+            "stack_kernel_size": 3, "stacks": [2], "use_weight_norm": True,
+            "use_causal_conv": False}
+
+
+CFG2 = {
+    "model_type": "vae_npvc.model.vqvae2",
+    "levels": 3, "y_dim": 8, "y_num": 5, "beta": 0.01,
+    "use_gst": True, "use_ema": False, "jitter_p": 0.0,
+    "encoder.0": _enc2(10, 1),
+    "encoder.1": _enc2(14, 2),
+    "encoder.2": _enc2(14, 2),
+    "decoder.0": _dec2(24, 8, 10),
+    "decoder.1": _dec2(8, 16, 8),
+    "decoder.2": _dec2(8, 8, 8),
+    "quantizer.0": {"z_dim": 8, "z_num": 24, "normalize": True},
+    "quantizer.1": {"z_dim": 8, "z_num": 24, "normalize": True},
+    "quantizer.2": {"ref_embed_dim": 8, "gst_tokens": 4,
+                    "gst_token_dim": 8, "gst_heads": 2},
+}
+
+
+def test_converted_vqvae2_matches_reference(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from vae_npvc.model import vqvae2 as ref_vqvae2  # reference, read-only
+
+    from vae_npvc_tpu.models import build_model
+    from vae_npvc_tpu.utils.torch_convert import convert_checkpoint_file
+
+    torch.manual_seed(0)
+    ref = ref_vqvae2.Model(CFG2)
+    ref.eval()
+    ckpt = tmp_path / "ref2.pt"
+    torch.save({"model": ref.state_dict(), "iteration": 1}, ckpt)
+    out = tmp_path / "ours2.msgpack"
+    convert_checkpoint_file(ckpt, CFG2, out)
+
+    model = build_model(CFG2)
+    variables = dict(model.init(
+        {"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 10)), jnp.zeros((1,), jnp.int32), train=True))
+    with open(out, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(variables.pop("params"),
+                                           payload["model"])
+    v = {"params": params}
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 16, 10)).astype(np.float32)
+    y = np.array([2, 4], np.int64)
+    with torch.no_grad():
+        xt = torch.from_numpy(np.transpose(x, (0, 2, 1)))
+        yt = torch.from_numpy(y).view(-1, 1)
+        ref_xhat, ref_loss, ref_detail = ref((xt, yt))
+
+    xhat, loss, detail = model.apply(v, jnp.asarray(x),
+                                     jnp.asarray(y, jnp.int32), train=False)
+    np.testing.assert_allclose(
+        np.asarray(xhat), np.transpose(ref_xhat.numpy(), (0, 2, 1)),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(detail["X like"]),
+                               float(ref_detail["X like"]), rtol=1e-4)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)

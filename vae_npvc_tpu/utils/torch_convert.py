@@ -73,6 +73,134 @@ def _norm_params(sd, prefix):
             "bias": np.asarray(sd[f"{prefix}.bias"], np.float32)}
 
 
+def _encoder_tree(sd, prefix, enc_arch, z_proj_name=None):
+    """Reference Encoder (Sequential + optional separate z_proj) → our tree."""
+    out = {}
+    stacks = enc_arch.get("stacks", [3])
+    stack_layers = enc_arch.get("stack_layers", 2)
+    seq = 0
+    for i, n_stack in enumerate(stacks):
+        out[f"conv_{i}"] = _conv_params(sd, f"{prefix}.encode.{seq}")
+        seq += 1
+        for j in range(n_stack):
+            blk = {}
+            base = f"{prefix}.encode.{seq}"
+            for l in range(stack_layers):
+                blk[f"conv_{l}"] = _conv_params(sd, f"{base}.stack.{3*l+1}")
+                blk[f"norm_{l}"] = _norm_params(sd, f"{base}.stack.{3*l+2}")
+            blk["skip"] = _conv_params(sd, f"{base}.skip_layer")
+            out[f"stack_{i}_{j}"] = blk
+            seq += 1
+        seq += 1  # LeakyReLU
+    if z_proj_name:  # vqvae2-family encoders keep z_proj outside the Sequential
+        out["proj"] = _conv_params(sd, f"{prefix}.{z_proj_name}")
+    else:
+        out["proj"] = _conv_params(sd, f"{prefix}.encode.{seq}")
+    return out
+
+
+def _decoder_tree(sd, prefix, dec_arch):
+    """Reference Decoder (ModuleList + final_layer) → our tree."""
+    out = {}
+    d_stacks = dec_arch.get("stacks", [3])
+    upsample = dec_arch.get("upsample_scales", [1] * len(d_stacks))
+    li = 0
+    for i, (n_stack, us) in enumerate(zip(d_stacks, upsample)):
+        base = f"{prefix}.layers.{li}"
+        out[f"up_{i}"] = (_deconv1_params(sd, base) if us == 1
+                          else _deconvs_params(sd, base))
+        li += 1
+        for j in range(n_stack):
+            base = f"{prefix}.layers.{li}"
+            blk = {"conv_in": _deconv1_params(sd, f"{base}.conv_in"),
+                   "norm": _norm_params(sd, f"{base}.norm_layer"),
+                   "res_skip": _conv_params(sd, f"{base}.res_skip_layers")}
+            if f"{base}.conv_cond.weight" in sd or                     f"{base}.conv_cond.weight_v" in sd:
+                blk["conv_cond"] = _conv_params(sd, f"{base}.conv_cond")
+            out[f"stack_{i}_{j}"] = blk
+            li += 1
+    out["final_0"] = _conv_params(sd, f"{prefix}.final_layer.1")
+    out["final_1"] = _conv_params(sd, f"{prefix}.final_layer.3")
+    return out
+
+
+def _dense_params(sd, prefix):
+    """torch Linear (out, in) → flax Dense {kernel (in, out), bias}."""
+    return {"kernel": np.asarray(sd[f"{prefix}.weight"], np.float32).T.copy(),
+            "bias": np.asarray(sd[f"{prefix}.bias"], np.float32)}
+
+
+def _gst_tree(sd, prefix):
+    return {"gst_embs": np.asarray(sd[f"{prefix}.gst_embs"], np.float32),
+            "mha": {n: _dense_params(sd, f"{prefix}.mha.{n}")
+                    for n in ("linear_q", "linear_k", "linear_v",
+                              "linear_out")}}
+
+
+def convert_vqvae2_family(state_dict, config):
+    """Reference vqvae2 / vqvae2a / vqvae2b state_dict → (params, ema)."""
+    from ..ops.vq import EmaVqState
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    model_type = config.get("model_type", "vae_npvc.model.vqvae2")
+    short = model_type.split(":")[0].rsplit(".", 1)[-1]
+    levels = config.get("levels", 3)
+    use_gst = config.get("use_gst", True) if (levels > 1 or short == "vqvae2")         else False
+    use_ema = config.get("use_ema", True)
+    use_quantizers = config.get("use_quantizers", True)         if short == "vqvae2a" else True
+    use_embeds = config.get("use_embeds", True) if short == "vqvae2a" else True
+
+    params, ema_col = {}, {}
+    for i in range(levels):
+        params[f"encoder_{i}"] = _encoder_tree(
+            sd, f"encoders.{i}", config[f"encoder.{i}"], z_proj_name="z_proj")
+        params[f"decoder_{i}"] = _decoder_tree(
+            sd, f"decoders.{i}", config[f"decoder.{i}"])
+
+    if short == "vqvae2b":
+        params["final_decoder"] = _decoder_tree(sd, "final_decoder",
+                                                config["final_decoder"])
+
+    # speaker embeddings
+    if short == "vqvae2":
+        params["embeds"] = {"embedding": np.asarray(
+            sd["embeds._embedding.weight"], np.float32)}
+    elif short == "vqvae2b" or (short == "vqvae2a" and use_embeds):
+        for i in range(levels):
+            params[f"embeds_{i}"] = {"embedding": np.asarray(
+                sd[f"embeds.{i}._embedding.weight"], np.float32)}
+    else:
+        params["embed"] = {"embedding": np.asarray(
+            sd["embed._embedding.weight"], np.float32)}
+
+    # quantizers
+    def _ema_state(prefix):
+        return EmaVqState(
+            initted=np.asarray(sd[f"{prefix}.emb_init"], bool).reshape(()),
+            emb=np.asarray(sd[f"{prefix}.embeddings"], np.float32),
+            emb_sum=np.asarray(sd[f"{prefix}.emb_sum"], np.float32),
+            emb_elem=np.asarray(sd[f"{prefix}.emb_elem"], np.float32))
+
+    if not use_quantizers:  # shared quantizer (vqvae2a)
+        if use_ema:
+            ema_col["quantizer"] = _ema_state("quantizer")
+        else:
+            params["quantizer_embedding"] = np.asarray(
+                sd["quantizer.embeddings"], np.float32)
+    else:
+        for i in range(levels):
+            if use_gst and i == levels - 1:
+                params["gst"] = _gst_tree(sd, f"quantizers.{i}")
+            elif use_ema:
+                ema_col[f"quantizer_{i}"] = _ema_state(f"quantizers.{i}")
+            else:
+                params[f"quantizer_embedding_{i}"] = np.asarray(
+                    sd[f"quantizers.{i}.embeddings"], np.float32)
+
+    ema = {"ema": ema_col} if ema_col else {}
+    return params, ema
+
+
 def convert_flat_vqvae(state_dict, config):
     """Reference flat-VQVAE state_dict + experiment config → (params, ema).
 
@@ -154,7 +282,11 @@ def convert_checkpoint_file(torch_ckpt_path, config, out_path):
     data = torch.load(torch_ckpt_path, map_location="cpu",
                       weights_only=False)
     sd = {k: v.numpy() for k, v in data["model"].items()}
-    params, ema = convert_flat_vqvae(sd, config)
+    short = config.get("model_type", "vae_npvc.model.vqvae").split(":")[0]         .rsplit(".", 1)[-1]
+    if short in ("vqvae2", "vqvae2a", "vqvae2b"):
+        params, ema = convert_vqvae2_family(sd, config)
+    else:
+        params, ema = convert_flat_vqvae(sd, config)
     payload = {
         "model": serialization.to_state_dict(params),
         "ema": serialization.to_state_dict(ema),
