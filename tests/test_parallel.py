@@ -137,3 +137,53 @@ class TestHalo:
                         check_rep=False)(x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestSequenceParallelInfer:
+    def test_matches_single_device(self):
+        import jax.numpy as jnp
+
+        from vae_npvc_tpu.models import build_model
+        from vae_npvc_tpu.parallel.seq_infer import sequence_parallel_infer
+
+        cfg = dict(TINY)
+        cfg["encoder"] = dict(TINY["encoder"], dilation=True, stacks=[2])
+        cfg["decoder"] = dict(TINY["decoder"], dilation=True, stacks=[2])
+        model = build_model(cfg)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(1, 128, 10)).astype(np.float32))
+        y = jnp.zeros((1,), jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "vq": jax.random.PRNGKey(1)}, x, y,
+                               train=True)
+        ref = model.apply(variables, x, y, method="infer")
+
+        mesh = data_mesh()
+        out = sequence_parallel_infer(cfg, variables, x, y, mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_ids_match_too(self):
+        import jax.numpy as jnp
+        from jax.experimental.shard_map import shard_map
+
+        from vae_npvc_tpu.models import build_model
+
+        cfg = dict(TINY)
+        model = build_model(cfg)
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(size=(1, 64, 10)).astype(np.float32))
+        y = jnp.zeros((1,), jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "vq": jax.random.PRNGKey(1)}, x, y,
+                               train=True)
+        ids_ref = model.apply(variables, x, method="encode")
+
+        seq_model = build_model({**cfg, "seq_axis": "data"})
+        mesh = data_mesh()
+        fn = shard_map(
+            lambda xs: seq_model.apply(variables, xs, method="encode"),
+            mesh=mesh, in_specs=P(None, "data"),
+            out_specs=P(None, "data"), check_rep=False)
+        ids = fn(x)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))

@@ -45,6 +45,7 @@ class Encoder(nn.Module):
     return_hidden: bool = False   # also return the pre-projection features
                                   # (vqvae2 feeds them to the next level,
                                   # reference vqvae2.py:238-246)
+    seq_axis: Any = None          # time-sharded (sequence-parallel) mode
 
     @staticmethod
     def out_lengths(arch, lengths):
@@ -79,8 +80,10 @@ class Encoder(nn.Module):
                 zip(out_channels, downsample_scales, stacks)):
             if ds == 1:
                 h = WNConv1d(out_ch, kernel_size, use_weight_norm=use_wn,
-                             dtype=self.dtype, name=f"conv_{i}")(h)
+                             dtype=self.dtype, seq_axis=self.seq_axis,
+                             name=f"conv_{i}")(h)
             else:
+                assert self.seq_axis is None,                     "time sharding supports stride-1 encoders only"
                 p = ds // 2 + ds % 2
                 h = WNConv1d(out_ch, 2 * ds, stride=ds, padding=(p, p),
                              use_weight_norm=use_wn, dtype=self.dtype,
@@ -94,6 +97,7 @@ class Encoder(nn.Module):
                 h = ConvResStack(out_ch, stack_kernel_size, stack_layers,
                                  dilation=2 ** j if dilation else 1,
                                  use_weight_norm=use_wn, dtype=self.dtype,
+                                 seq_axis=self.seq_axis,
                                  name=f"stack_{i}_{j}")(h, mask)
             h = nn.leaky_relu(h, 0.2)
         hidden = h
@@ -115,6 +119,7 @@ class Decoder(nn.Module):
     """
     arch: Mapping[str, Any]
     dtype: Any = jnp.float32
+    seq_axis: Any = None
 
     @nn.compact
     def __call__(self, z, c, lengths=None):
@@ -142,8 +147,10 @@ class Decoder(nn.Module):
                 zip(out_channels, upsample_scales, stacks)):
             if us == 1:
                 h = WNConv1d(out_ch, kernel_size, use_weight_norm=use_wn,
-                             dtype=self.dtype, name=f"up_{i}")(h)
+                             dtype=self.dtype, seq_axis=self.seq_axis,
+                             name=f"up_{i}")(h)
             else:
+                assert self.seq_axis is None,                     "time sharding supports stride-1 decoders only"
                 h = WNConvTranspose1d(out_ch, us, use_weight_norm=use_wn,
                                       dtype=self.dtype, name=f"up_{i}")(h)
                 if lengths is not None:
@@ -156,6 +163,7 @@ class Decoder(nn.Module):
                                      stack_kernel_size,
                                      dilation=2 ** j if dilation else 1,
                                      use_weight_norm=use_wn, dtype=self.dtype,
+                                     seq_axis=self.seq_axis,
                                      name=f"stack_{i}_{j}")(h, c, mask)
                 skip_sum = skip_sum + skip
         h = skip_sum * (1.0 / total_layers) ** 0.5
@@ -192,8 +200,11 @@ class Model(nn.Module):
 
     def setup(self):
         a = dict(self.arch)
-        self.encoder = Encoder(a.get("encoder", {}), dtype=self.dtype)
-        self.decoder = Decoder(a.get("decoder", {}), dtype=self.dtype)
+        seq_axis = a.get("seq_axis", None)
+        self.encoder = Encoder(a.get("encoder", {}), dtype=self.dtype,
+                               seq_axis=seq_axis)
+        self.decoder = Decoder(a.get("decoder", {}), dtype=self.dtype,
+                               seq_axis=seq_axis)
         self.embeds = Conditions(a.get("y_num", 10), a.get("y_dim", 128),
                                  normalize=False, dtype=self.dtype)
         self.use_ema = a.get("use_ema", False)

@@ -41,26 +41,36 @@ def length_mask(lengths, T, dtype=jnp.float32):
     return (t < lengths[:, None]).astype(dtype)[:, :, None]
 
 
-def group_norm(x, scale, bias, num_groups, eps=1e-5, mask=None):
+def group_norm(x, scale, bias, num_groups, eps=1e-5, mask=None,
+               seq_axis=None):
     """Torch-semantics GroupNorm for (B, T, C): stats over (T, C//G) per group.
 
     With ``mask`` (B, T, 1), statistics cover only valid frames — this makes a
     zero-padded batched utterance numerically identical to the unpadded
     per-utterance computation (the reference runs inference unpadded,
     decoder/basic.py:61-63; we batch with masks instead).
+
+    With ``seq_axis`` (a mesh axis name, inside shard_map), the time axis is
+    sharded across chips and the statistics are psum-ed so the result matches
+    the unsharded computation (sequence-parallel inference).
     """
     B, T, C = x.shape
     G = num_groups
     xf = x.astype(jnp.float32).reshape(B, T, G, C // G)
     if mask is None:
-        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-        var = jnp.mean((xf - mean) ** 2, axis=(1, 3), keepdims=True)
+        m = jnp.ones((B, T, 1, 1), jnp.float32)
     else:
         m = mask.astype(jnp.float32)[:, :, :, None]       # (B, T, 1, 1)
-        count = jnp.sum(m, axis=1, keepdims=True) * (C // G)
-        mean = jnp.sum(xf * m, axis=(1, 3), keepdims=True) / count
-        var = jnp.sum(jnp.square(xf - mean) * m, axis=(1, 3),
-                      keepdims=True) / count
+    count = jnp.sum(m, axis=1, keepdims=True) * (C // G)
+    total = jnp.sum(xf * m, axis=(1, 3), keepdims=True)
+    if seq_axis is not None:
+        count = jax.lax.psum(count, seq_axis)
+        total = jax.lax.psum(total, seq_axis)
+    mean = total / count
+    sq = jnp.sum(jnp.square(xf - mean) * m, axis=(1, 3), keepdims=True)
+    if seq_axis is not None:
+        sq = jax.lax.psum(sq, seq_axis)
+    var = sq / count
     xn = (xf - mean) * jax.lax.rsqrt(var + eps)
     xn = xn.reshape(B, T, C)
     out = (xn * scale + bias).astype(x.dtype)
@@ -70,10 +80,12 @@ def group_norm(x, scale, bias, num_groups, eps=1e-5, mask=None):
 
 
 class GroupNorm(nn.Module):
-    """Affine GroupNorm with torch statistics semantics (optionally masked)."""
+    """Affine GroupNorm with torch statistics semantics (optionally masked /
+    sequence-sharded)."""
     num_groups: int
     num_channels: int
     eps: float = 1e-5
+    seq_axis: Any = None
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -81,7 +93,8 @@ class GroupNorm(nn.Module):
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.num_channels,),
                           jnp.float32)
-        return group_norm(x, scale, bias, self.num_groups, self.eps, mask)
+        return group_norm(x, scale, bias, self.num_groups, self.eps, mask,
+                          self.seq_axis)
 
 
 def _kaiming_v_init(key, shape, dtype=jnp.float32):
@@ -115,11 +128,38 @@ class WNConv1d(nn.Module):
     padding: Any = "SAME_TORCH"   # symmetric torch padding, or explicit (lo, hi)
     use_weight_norm: bool = True
     dtype: Dtype = jnp.float32
+    seq_axis: Any = None          # mesh axis: time-sharded conv (halo exchange)
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
         k = self.kernel_size
+        if self.seq_axis is not None and k > 1:
+            # sequence-parallel: pull the receptive-field halo from the
+            # neighbor shards, then convolve VALID (edges see zeros, matching
+            # SAME torch padding at the true sequence boundary)
+            assert self.stride == 1, "time sharding needs stride-1 convs"
+            from ..parallel.halo import halo_exchange
+            rf = (k - 1) // 2 * self.dilation
+            xh = halo_exchange(x, rf, self.seq_axis)
+            v = self.param("v", _kaiming_v_init, (k, in_ch, self.features))
+            b = self.param("b", _torch_bias_init(k * in_ch),
+                           (self.features,), jnp.float32)
+            if self.use_weight_norm:
+                g = self.param("g", lambda _k: jnp.linalg.norm(
+                    v.reshape(-1, v.shape[-1]), axis=0))
+                w = v * (g / jnp.linalg.norm(
+                    v.reshape(-1, v.shape[-1]), axis=0))
+            else:
+                w = v
+            pet = jnp.float32 if self.dtype == jnp.float32 else None
+            y = jax.lax.conv_general_dilated(
+                xh.astype(self.dtype), w.astype(self.dtype),
+                window_strides=(1,), padding=[(0, 0)],
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=pet)
+            return (y + b).astype(self.dtype)
         v = self.param("v", _kaiming_v_init, (k, in_ch, self.features))
         b = self.param("b", _torch_bias_init(k * in_ch), (self.features,),
                        jnp.float32)
@@ -205,6 +245,7 @@ class ConvResStack(nn.Module):
     dilation: int = 1
     use_weight_norm: bool = True
     dtype: Dtype = jnp.float32
+    seq_axis: Any = None
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -214,8 +255,10 @@ class ConvResStack(nn.Module):
             h = WNConv1d(self.channels, self.kernel_size,
                          dilation=self.dilation if i == 0 else 1,
                          use_weight_norm=self.use_weight_norm,
-                         dtype=self.dtype, name=f"conv_{i}")(h)
-            h = GroupNorm(1, self.channels, name=f"norm_{i}")(h, mask)
+                         dtype=self.dtype, seq_axis=self.seq_axis,
+                         name=f"conv_{i}")(h)
+            h = GroupNorm(1, self.channels, seq_axis=self.seq_axis,
+                          name=f"norm_{i}")(h, mask)
         skip = WNConv1d(self.channels, 1, use_weight_norm=self.use_weight_norm,
                         dtype=self.dtype, name="skip")(x)
         out = h + skip
@@ -240,18 +283,19 @@ class GLUResSkip(nn.Module):
     dilation: int = 1
     use_weight_norm: bool = True
     dtype: Dtype = jnp.float32
+    seq_axis: Any = None
 
     @nn.compact
     def __call__(self, x, c, mask=None):
         C = self.channels
         h = WNConv1d(2 * C, self.kernel_size, dilation=self.dilation,
                      use_weight_norm=self.use_weight_norm, dtype=self.dtype,
-                     name="conv_in")(x)
+                     seq_axis=self.seq_axis, name="conv_in")(x)
         if self.cond_channels and self.cond_channels > 0:
             hc = WNConv1d(2 * C, 1, use_weight_norm=self.use_weight_norm,
                           dtype=self.dtype, name="conv_cond")(c)
             h = h + hc  # broadcasts (B, 1, 2C) over time
-        h = GroupNorm(2, 2 * C, name="norm")(h, mask)
+        h = GroupNorm(2, 2 * C, seq_axis=self.seq_axis, name="norm")(h, mask)
         h = jnp.tanh(h[..., :C]) * jax.nn.sigmoid(h[..., C:])
         rs = WNConv1d(C + self.skip_channels, 1,
                       use_weight_norm=self.use_weight_norm, dtype=self.dtype,
