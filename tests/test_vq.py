@@ -249,3 +249,31 @@ class TestJitter:
         out = np.asarray(jitter(jax.random.PRNGKey(3), x, 0.12))[0, :, 0]
         rate = np.mean(out != np.arange(4096))
         assert 0.08 < rate < 0.16
+
+
+class TestInventoryParity:
+    def test_quantize_bypass(self):
+        import jax.numpy as jnp
+        z = jnp.ones((2, 4, 8))
+        emb = jnp.ones((16, 8))
+        z_vq, qut, enc, detail = vq.vq_forward(emb, z, quantize=False)
+        np.testing.assert_array_equal(np.asarray(z_vq), np.asarray(z))
+        assert float(qut) == 0.0 and float(enc) == 0.0
+
+    def test_sparsity_loss_prefers_orthogonal(self):
+        import jax.numpy as jnp
+        eye = jnp.eye(8) * 4.0
+        tied = jnp.ones((8, 8))
+        assert float(vq.sparsity_loss(eye)) < float(vq.sparsity_loss(tied))
+
+    def test_unused_layer_variants_run(self):
+        import jax
+        import jax.numpy as jnp
+        from vae_npvc_tpu.nn.blocks import ConvLReLU, DeConvGLU
+        x = jnp.zeros((1, 8, 6))
+        m1 = ConvLReLU(4, 3)
+        v1 = m1.init(jax.random.PRNGKey(0), x)
+        assert m1.apply(v1, x).shape == (1, 8, 4)
+        m2 = DeConvGLU(4, 3)
+        v2 = m2.init(jax.random.PRNGKey(0), x)
+        assert m2.apply(v2, x).shape == (1, 8, 4)

@@ -305,6 +305,43 @@ class GLUResSkip(nn.Module):
         return x + rs[..., :C], rs[..., C:]
 
 
+class ConvLReLU(nn.Module):
+    """Conv1d → GroupNorm(1) → LeakyReLU(0.02) (reference:
+    vae_npvc/model/layers.py:63-95 Conv1d_Layernorm_LRelu — shipped configs
+    don't use it, provided for inventory parity)."""
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        h = WNConv1d(self.features, self.kernel_size, stride=self.stride,
+                     dilation=self.dilation, use_weight_norm=False,
+                     dtype=self.dtype, name="conv")(x)
+        h = GroupNorm(1, self.features, name="norm")(h, mask)
+        return nn.leaky_relu(h, 0.02)
+
+
+class DeConvGLU(nn.Module):
+    """Conv → GroupNorm(2) → tanh⊙sigmoid GLU (reference: layers.py:98-126
+    DeConv1d_Layernorm_GLU — the non-res-skip variant, unused by shipped
+    configs, provided for inventory parity)."""
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        h = WNConv1d(2 * self.features, self.kernel_size,
+                     dilation=self.dilation, use_weight_norm=False,
+                     dtype=self.dtype, name="deconv")(x)
+        h = GroupNorm(2, 2 * self.features, name="norm")(h, mask)
+        return jnp.tanh(h[..., :self.features])             * jax.nn.sigmoid(h[..., self.features:])
+
+
 class Conditions(nn.Module):
     """Speaker/condition embedding table (reference: layers.py:12-60).
 
@@ -323,3 +360,9 @@ class Conditions(nn.Module):
         if self.normalize:
             table = table / jnp.linalg.norm(table, axis=1, keepdims=True)
         return jnp.take(table, idx, axis=0).astype(self.dtype)
+
+    @staticmethod
+    def sparsity(table):
+        """Diagonal-CE embedding sparsity regularizer (layers.py:56-60)."""
+        from ..ops.vq import sparsity_loss
+        return sparsity_loss(table)

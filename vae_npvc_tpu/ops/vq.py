@@ -107,7 +107,17 @@ def vq_decode(emb, idx, *, normalize=False):
     return jnp.take(emb, idx, axis=0)
 
 
-def vq_forward(emb, z, *, normalize=False, reduction="frame_mean"):
+def sparsity_loss(emb):
+    """Diagonal cross-entropy codebook-sparsity regularizer: the Gram matrix
+    E·Eᵀ as logits, targets = identity (reference layers_vq.py:153-157; the
+    same regularizer exists on the condition embedding, layers.py:56-60)."""
+    logits = emb @ emb.T
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.diagonal(logp))
+
+
+def vq_forward(emb, z, *, normalize=False, reduction="frame_mean",
+               quantize=True):
     """Training-time quantization with straight-through gradients.
 
     Returns ``(z_vq, z_qut_loss, z_enc_loss, detail)`` matching the reference
@@ -119,6 +129,10 @@ def vq_forward(emb, z, *, normalize=False, reduction="frame_mean"):
       - ``detail['entropy']``: codebook perplexity
     """
     B, T, D = z.shape
+    if not quantize:
+        # bypass flag (reference layers_vq.py:79-81): identity pass-through
+        zero = jnp.zeros((), jnp.float32)
+        return z, zero, zero, {"entropy": zero}
     z_flat = z.reshape(B * T, D)
     if normalize:
         z_norm = l2_normalize(z_flat)
