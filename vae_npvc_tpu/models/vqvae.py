@@ -201,10 +201,16 @@ class Model(nn.Module):
     def setup(self):
         a = dict(self.arch)
         seq_axis = a.get("seq_axis", None)
-        self.encoder = Encoder(a.get("encoder", {}), dtype=self.dtype,
-                               seq_axis=seq_axis)
-        self.decoder = Decoder(a.get("decoder", {}), dtype=self.dtype,
-                               seq_axis=seq_axis)
+        # rematerialization: recompute encoder/decoder activations in the
+        # backward pass, trading FLOPs for HBM (config key: remat)
+        Enc, Dec = Encoder, Decoder
+        if a.get("remat", False):
+            Enc = nn.remat(Encoder, static_argnums=())
+            Dec = nn.remat(Decoder, static_argnums=())
+        self.encoder = Enc(a.get("encoder", {}), dtype=self.dtype,
+                           seq_axis=seq_axis)
+        self.decoder = Dec(a.get("decoder", {}), dtype=self.dtype,
+                           seq_axis=seq_axis)
         self.embeds = Conditions(a.get("y_num", 10), a.get("y_dim", 128),
                                  normalize=False, dtype=self.dtype)
         self.use_ema = a.get("use_ema", False)
