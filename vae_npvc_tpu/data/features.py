@@ -16,7 +16,6 @@ on-device as part of the input pipeline instead of a 64-job Kaldi array.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import numpy as np

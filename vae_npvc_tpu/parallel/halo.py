@@ -14,8 +14,6 @@ result is numerically identical to the unsharded computation as long as
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

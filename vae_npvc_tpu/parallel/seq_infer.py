@@ -17,7 +17,6 @@ the mesh's data-axis size.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 AXIS = "data"

@@ -18,10 +18,7 @@ batch (see tests/test_parallel.py).
 
 from __future__ import annotations
 
-import functools
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..train.trainer import TrainState

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import serialization, struct
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.discriminator import Discriminator
 from .optim import build_optimizer

@@ -19,7 +19,6 @@ vae_npvc/trainer/basic.py — Trainer) for the TPU execution model:
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
