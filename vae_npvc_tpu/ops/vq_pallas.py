@@ -35,21 +35,30 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _vq_kernel(z_ref, emb_ref, idx_ref, zq_ref, sum_ref, cnt_ref,
+def _vq_kernel(z_ref, emb_ref, embt_ref, idx_ref, zq_ref, sum_ref, cnt_ref,
                acc_sum, acc_cnt, *, n_valid, tile_n):
-    """One grid step: process tile of z rows against the full codebook."""
+    """One grid step: process tile of z rows against the full codebook.
+
+    All matmuls are kept in plain NN form ((M,C) @ (C,N), contracting the
+    lhs's last dim with the rhs's first) — Mosaic lowers transposed
+    contractions as (M, K, D) broadcast-multiply-reduce on the stack, which
+    blows the scoped-VMEM limit at these sizes. That's why the transposed
+    codebook arrives as a second input and the scatter one-hot is built
+    directly in (K, TILE_N) orientation.
+    """
     import jax.experimental.pallas as pl
 
     step = pl.program_id(0)
     z = z_ref[:]                     # (TILE_N, D)
     emb = emb_ref[:]                 # (K, D)
+    embt = embt_ref[:]               # (D, K)
     K = emb.shape[0]
 
     # ||e||^2 - 2 z.e  (row-constant ||z||^2 omitted; argmin-invariant)
     dots = jax.lax.dot_general(
-        z, emb, dimension_numbers=(((1,), (1,)), ((), ())),
+        z, embt, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # (TILE_N, K)
-    e2 = jnp.sum(emb.astype(jnp.float32) * emb.astype(jnp.float32), axis=1)
+    e2 = jnp.sum(embt.astype(jnp.float32) ** 2, axis=0)  # (K,)
     dist = e2[None, :] - 2.0 * dots
     idx = jnp.argmin(dist, axis=1).astype(jnp.int32)     # (TILE_N,)
 
@@ -63,17 +72,19 @@ def _vq_kernel(z_ref, emb_ref, idx_ref, zq_ref, sum_ref, cnt_ref,
     idx_ref[:] = idx[:, None]
     zq_ref[:] = zq.astype(zq_ref.dtype)
 
-    # mask padded rows out of the statistics
+    # mask padded rows out of the statistics; build the scatter one-hot
+    # directly transposed (K, TILE_N) to keep the stats matmul in NN form
     row = step * tile_n + jax.lax.broadcasted_iota(
-        jnp.int32, (z.shape[0], 1), 0)[:, 0]
-    valid = (row < n_valid).astype(jnp.float32)          # (TILE_N,)
-    oh_masked = one_hot * valid[:, None]
+        jnp.int32, (1, z.shape[0]), 1)                   # (1, TILE_N)
+    valid = (row < n_valid).astype(jnp.float32)          # (1, TILE_N)
+    oh_t = (jax.lax.broadcasted_iota(jnp.int32, (K, z.shape[0]), 0)
+            == idx[None, :]).astype(jnp.float32) * valid  # (K, TILE_N)
 
     tile_sum = jax.lax.dot_general(                      # (K, D)
-        oh_masked, z.astype(jnp.float32),
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        oh_t, z.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    tile_cnt = jnp.sum(oh_masked, axis=0)                # (K,)
+    tile_cnt = jnp.sum(oh_t, axis=1)                     # (K,)
 
     # accumulate in scratch; init on first step, flush on last
     @pl.when(step == 0)
@@ -117,6 +128,7 @@ def vq_fused(z_flat, emb, *, tile_n=512, interpret=False):
             pl.BlockSpec((tile_n, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
@@ -137,7 +149,7 @@ def vq_fused(z_flat, emb, *, tile_n=512, interpret=False):
             pltpu.VMEM((K, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(z_flat, emb)
+    )(z_flat, emb, emb.T)
     return idx[:N, 0], zq[:N], bsum, bcnt[:, 0]
 
 
