@@ -133,5 +133,11 @@ try:
 except ValueError as e:
     print(f"MCD skipped: {e}")
 EOF
+    ${PY} vae_npvc_tpu.bin.eval_similarity -c ${train_config} \
+        --train_dir ${dumpdir}/${train_set} \
+        --converted_scp ${outdir}/${srcspk}_${trgspk}/feats.scp \
+        --trials ${dumpdir}/${eval_set}/trials \
+        --enroll_dir ${dumpdir}/${train_set} --steps 1000 || \
+        echo "similarity eval skipped"
 fi
 echo "Finished."

@@ -102,6 +102,10 @@ def batch_iterator(dataset, batch_size, *, shuffle, drop_last, seed=0,
     Runs forever when ``epochs`` is None (training); one pass when given
     (validation). Worker threads parallelize the per-item ark range reads.
     """
+    if drop_last and batch_size > len(dataset):
+        raise ValueError(
+            f"batch_size {batch_size} > dataset size {len(dataset)} with "
+            f"drop_last=True would yield no batches ever")
     order_rng = np.random.default_rng(seed)
     pool = ThreadPoolExecutor(max_workers=num_workers) if num_workers > 0 else None
     epoch = 0

@@ -1,0 +1,129 @@
+"""Speaker-similarity evaluation with an in-framework x-vector-style embedder.
+
+The reference's similarity stage downloads a pretrained Kaldi SITW x-vector
+model and scores converted audio with PLDA/cosine (reference:
+egs/vcc20/vae1/local/ob_eval/evaluate_similarity.sh:54-142) — external
+binaries and network downloads. This module is the self-contained equivalent:
+a small conv + statistics-pooling speaker embedder trained on the experiment's
+own training mels, then cosine scoring between converted utterances and
+target-speaker enrollment embeddings.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# model
+# ---------------------------------------------------------------------------
+
+def _embedder(num_speakers, emb_dim=64, width=128):
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    class SpeakerEmbedder(nn.Module):
+        """Mel (B, T, D) → (embedding (B, E), logits (B, S))."""
+
+        @nn.compact
+        def __call__(self, x, lengths=None):
+            h = x
+            for i, dil in enumerate((1, 2, 3)):
+                h = nn.Conv(width, (5,), kernel_dilation=dil,
+                            name=f"conv_{i}")(h)
+                h = nn.relu(h)
+            if lengths is not None:
+                t = jnp.arange(h.shape[1])[None, :, None]
+                m = (t < lengths[:, None, None]).astype(h.dtype)
+                cnt = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+                mean = jnp.sum(h * m, axis=1) / cnt
+                var = jnp.sum(jnp.square(h - mean[:, None, :]) * m,
+                              axis=1) / cnt
+            else:
+                mean = jnp.mean(h, axis=1)
+                var = jnp.var(h, axis=1)
+            stats = jnp.concatenate([mean, jnp.sqrt(var + 1e-6)], axis=-1)
+            emb = nn.Dense(emb_dim, name="embed")(stats)
+            logits = nn.Dense(num_speakers, name="classify")(nn.relu(emb))
+            return emb, logits
+
+    return SpeakerEmbedder()
+
+
+def train_embedder(data_dir, config, *, steps=2000, batch_size=64,
+                   emb_dim=64, lr=1e-3, seed=0, log_every=500):
+    """Train the speaker classifier on a dump dir; returns (model, params)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..data.dataset import UttMelSpkDataset, batch_iterator
+
+    ds = UttMelSpkDataset(data_dir, config)
+    num_speakers = int(ds.spk_ids.max()) + 1
+    model = _embedder(num_speakers, emb_dim)
+
+    batch_size = min(batch_size, len(ds))
+    it = batch_iterator(ds, batch_size, shuffle=True, drop_last=True,
+                        seed=seed, num_workers=4)
+    feats0, _ = next(it)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros_like(feats0))["params"]
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, feats, spks):
+        def loss_fn(p):
+            emb, logits = model.apply({"params": p}, feats)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, spks).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i, (feats, spks) in enumerate(it):
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(feats), jnp.asarray(spks))
+        if log_every and i % log_every == 0:
+            print(f"spk-embedder step {i}: loss {float(loss):.4f}")
+        if i + 1 >= steps:
+            break
+    return model, params
+
+
+def embed_scp(model, params, scp_path, max_frames=800):
+    """Embed every utterance in a feats.scp → {utt: unit-norm embedding}."""
+    import jax.numpy as jnp
+
+    from ..data import kaldi_io
+
+    out = {}
+    for utt, rx in kaldi_io.read_scp(scp_path).items():
+        mat = kaldi_io.load_mat(rx)[:max_frames]
+        emb, _ = model.apply({"params": params}, jnp.asarray(mat[None]))
+        e = np.asarray(emb)[0]
+        out[utt] = e / max(np.linalg.norm(e), 1e-9)
+    return out
+
+
+def cosine_similarity_report(conv_embs, enroll_embs, utt2target,
+                             enroll_utt2spk):
+    """Mean cosine of each converted utt vs its target speaker's enrollment
+    centroid. Returns (mean_score, per_utt dict)."""
+    spk_centroid: dict = {}
+    for utt, spk in enroll_utt2spk.items():
+        if utt in enroll_embs:
+            spk_centroid.setdefault(spk, []).append(enroll_embs[utt])
+    spk_centroid = {s: np.mean(v, axis=0) for s, v in spk_centroid.items()}
+    per_utt = {}
+    for utt, tgt in utt2target.items():
+        if utt in conv_embs and tgt in spk_centroid:
+            c = spk_centroid[tgt]
+            per_utt[utt] = float(np.dot(conv_embs[utt],
+                                        c / max(np.linalg.norm(c), 1e-9)))
+    if not per_utt:
+        raise ValueError("no scorable (converted utt, target) pairs")
+    return float(np.mean(list(per_utt.values()))), per_utt
