@@ -82,9 +82,15 @@ def train(args):
                np.zeros((train_batch,), np.int32))
     trainer.init_state(example)
     iteration = 1
-    if args.checkpoint:
-        iteration = trainer.load_checkpoint(args.checkpoint) + 1
-        logger.info(f"Resumed from {args.checkpoint} at iteration {iteration}")
+    ckpt = args.checkpoint
+    if ckpt == "auto":
+        # preemption recovery: resume from the newest iter.N in output_dir
+        cands = sorted(output_dir.glob("iter.*"),
+                       key=lambda p: int(p.name.split(".")[1]))
+        ckpt = str(cands[-1]) if cands else None
+    if ckpt:
+        iteration = trainer.load_checkpoint(ckpt) + 1
+        logger.info(f"Resumed from {ckpt} at iteration {iteration}")
 
     logger.info(trainer.get_model_info())
     logger.info(f"Output directory: {output_dir}")
@@ -177,7 +183,8 @@ def main():
     parser.add_argument("--output_dir", type=str, required=True,
                         help="Directory for checkpoint output")
     parser.add_argument("--checkpoint", type=str, default=None,
-                        help="checkpoint path to keep training")
+                        help="checkpoint path to keep training, or 'auto' to "
+                             "resume from the newest iter.N in output_dir")
     parser.add_argument("--train_dir", type=str, required=True,
                         help="Training data dir")
     parser.add_argument("--valid_dir", type=str, default=None,

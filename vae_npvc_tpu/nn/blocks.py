@@ -61,16 +61,16 @@ def group_norm(x, scale, bias, num_groups, eps=1e-5, mask=None,
         m = jnp.ones((B, T, 1, 1), jnp.float32)
     else:
         m = mask.astype(jnp.float32)[:, :, :, None]       # (B, T, 1, 1)
+    # one-pass moments (E[x], E[x^2]) — halves the HBM reads vs mean-then-var
     count = jnp.sum(m, axis=1, keepdims=True) * (C // G)
     total = jnp.sum(xf * m, axis=(1, 3), keepdims=True)
+    total_sq = jnp.sum(jnp.square(xf) * m, axis=(1, 3), keepdims=True)
     if seq_axis is not None:
         count = jax.lax.psum(count, seq_axis)
         total = jax.lax.psum(total, seq_axis)
+        total_sq = jax.lax.psum(total_sq, seq_axis)
     mean = total / count
-    sq = jnp.sum(jnp.square(xf - mean) * m, axis=(1, 3), keepdims=True)
-    if seq_axis is not None:
-        sq = jax.lax.psum(sq, seq_axis)
-    var = sq / count
+    var = jnp.maximum(total_sq / count - jnp.square(mean), 0.0)
     xn = (xf - mean) * jax.lax.rsqrt(var + eps)
     xn = xn.reshape(B, T, C)
     out = (xn * scale + bias).astype(x.dtype)
