@@ -89,6 +89,7 @@ if [ "${stage}" -le 4 ] && [ "${stop_stage}" -ge 4 ]; then
     echo "stage 4: VQ-token (csid) extraction for the TTS stage"
     ${PY} vae_npvc_tpu.bin.extract_bnf -c ${train_config} \
         -m ${expdir}/model.loss.best -k csid \
+        --durations ${expdir}/vq_durations.txt \
         scp:${dumpdir}/${all_set}/feats.scp ${expdir}/vq_tokens.txt
     echo "VQ token transcripts: ${expdir}/vq_tokens.txt"
 fi

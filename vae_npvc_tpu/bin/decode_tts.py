@@ -1,0 +1,83 @@
+"""Token-to-mel synthesis CLI: token transcripts + speaker → mel arks.
+
+Completes the in-framework second-stage pipeline (reference run_tts.sh decodes
+with external ESPnet tts_decode, egs/aishell3/vc2/run_tts.sh:223-256).
+
+Usage:
+    python -m vae_npvc_tpu.bin.decode_tts -c conf/train_token_tts.yaml \
+        --checkpoint exp/token_tts/model.loss.best \
+        --tokens data/tts/text --spk 3 --output-dir exp/token_tts/decode
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True)
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--tokens", type=str, required=True,
+                        help="token transcript file: utt <i><j>... lines")
+    parser.add_argument("--spk", type=str, required=True,
+                        help="target speaker id (int), or utt2spk_id file "
+                             "for per-utterance speakers")
+    parser.add_argument("--output-dir", "--output_dir", dest="output_dir",
+                        type=str, required=True)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from ..data import kaldi_io
+    from ..data.token_mel import parse_token_line
+    from ..models import build_model
+
+    config = yaml.safe_load(open(args.config))
+    model = build_model(config)
+    L = config.get("max_tokens", 128)
+
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, L), jnp.int32), jnp.zeros((1, L), jnp.int32),
+        jnp.zeros((1, config.get("max_frames", 512),
+                   config.get("mel_dim", 80)), jnp.float32),
+        jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
+        jnp.ones((1,), jnp.int32), train=True)
+    with open(args.checkpoint, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(dict(variables)["params"],
+                                           payload["model"])
+    v = {"params": params}
+    infer = jax.jit(lambda toks, y, lens: model.apply(v, toks, y, lens,
+                                                      method="infer"))
+
+    spk_file = Path(args.spk)
+    utt2spk = (kaldi_io.load_dict_data(spk_file) if spk_file.exists()
+               else None)
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n = 0
+    with kaldi_io.ArkWriter(out_dir / "mel.ark", out_dir / "feats.scp") as w:
+        for utt, line in kaldi_io.load_dict_data(args.tokens).items():
+            toks = parse_token_line(line)[:L]
+            pad = np.zeros((1, L), np.int32)
+            pad[0, :len(toks)] = toks
+            spk = int(utt2spk[utt]) if utt2spk else int(args.spk)
+            mel, lens = infer(jnp.asarray(pad),
+                              jnp.asarray([spk], jnp.int32),
+                              jnp.asarray([len(toks)], jnp.int32))
+            w.write(utt, np.asarray(mel)[0, :int(lens[0])])
+            n += 1
+    print(f"Synthesized {n} utterances -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

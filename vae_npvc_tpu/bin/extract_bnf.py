@@ -25,6 +25,9 @@ def main():
     parser.add_argument("-k", "--bnf_kind", type=str, default="csid",
                         choices=["id", "csid", "token"])
     parser.add_argument("--output_txt", type=str, default="true")
+    parser.add_argument("--durations", type=str, default=None,
+                        help="also write per-token run lengths (duration "
+                             "targets for the token-to-mel synthesizer)")
     parser.add_argument("-g", "--gpu", type=str, default=None,
                         help="ignored (device selection is automatic)")
     args = parser.parse_args()
@@ -36,7 +39,8 @@ def main():
     it = ex.load_checkpoint(args.model_path)
     print(f"Extracting BNF {args.bnf_kind} with model at iteration {it}")
     n = ex.extract(args.rspecifier, args.wspecifier, args.bnf_kind,
-                   args.output_txt.lower() == "true")
+                   args.output_txt.lower() == "true",
+                   durations_path=args.durations)
     print(f"Finished extracting BNF {args.bnf_kind} ({n} utterances)")
 
 

@@ -1,0 +1,118 @@
+"""Token-to-mel synthesizer training CLI (the in-framework second stage).
+
+Replaces the reference recipe's external ESPnet TTS training (reference:
+egs/aishell3/vc2/run_tts.sh:201-217) with models/token_tts.py on the
+token-mel data contract (data/token_mel.py). Same log/checkpoint/best-model
+semantics as the main train CLI.
+
+Usage:
+    python -m vae_npvc_tpu.bin.train_tts -c conf/train_token_tts.yaml \
+        --train_dir data/token_mel_train --valid_dir data/token_mel_dev \
+        --output_dir exp/token_tts
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+from shutil import copyfile
+
+import numpy as np
+import yaml
+
+from .train import get_logger
+
+
+def train(args):
+    import jax
+
+    from ..data.token_mel import TokenMelDataset
+    from ..train import build_trainer
+
+    config = yaml.safe_load(open(args.config))
+    max_iter = config.get("max_iter", 100000)
+    iters_per_checkpoint = config.get("iters_per_checkpoint", 10000)
+    iters_per_log = config.get("iters_per_log", 1000)
+    check_loss_kind = config.get("check_loss_kind", "X like")
+    seed = config.get("seed", 777)
+    batch_size = config.get("batch_size", 32)
+
+    output_dir = Path(args.output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    logger = get_logger(output_dir)
+
+    trainer = build_trainer(config)
+    train_set = TokenMelDataset(args.train_dir, config)
+    valid_set = (TokenMelDataset(args.valid_dir, config, valid=True)
+                 if args.valid_dir else None)
+
+    trainer.init_state(next(train_set.batches(batch_size, shuffle=False,
+                                              epochs=1)))
+    iteration = 1
+    if args.checkpoint:
+        iteration = trainer.load_checkpoint(args.checkpoint) + 1
+        logger.info(f"Resumed from {args.checkpoint} at iteration {iteration}")
+
+    logger.info(trainer.get_model_info())
+    logger.info(f"Training utterances: {len(train_set)}; "
+                f"validation: {len(valid_set) if valid_set else 0}")
+    logger.info("Start training...")
+
+    train_log: dict[str, list] = {}
+    best_loss = {check_loss_kind: np.inf}
+    best_iter = 0
+    t_log = time.time()
+
+    for batch in train_set.batches(batch_size, shuffle=True, seed=seed):
+        detail = trainer.train_step(batch)
+        iteration = trainer.iteration
+        for k, v in detail.items():
+            train_log.setdefault(k, []).append(v)
+
+        if iteration % iters_per_log == 0 and train_log:
+            host = {k: np.mean(jax.device_get(v)) for k, v in
+                    train_log.items()}
+            mseg = f"Iter {iteration}:" + "".join(
+                f"  {k}: {v:.6f}" for k, v in host.items())
+            mseg += f"  |  {time.time() - t_log:.1f}s"
+            logger.info(mseg)
+            train_log = {}
+            t_log = time.time()
+
+        if iteration % iters_per_checkpoint == 0:
+            ckpt = output_dir / f"iter.{iteration}"
+            trainer.save_checkpoint(ckpt)
+            logger.info(f"Saved checkpoint to {ckpt}")
+            if valid_set:
+                detail = trainer.valid(valid_set.batches(
+                    batch_size, shuffle=False, epochs=1))
+                check = np.mean(detail[check_loss_kind])
+                if np.mean(best_loss[check_loss_kind]) >= check:
+                    best_loss, best_iter = detail, iteration
+                logger.info(f"Valid {iteration}:" + "".join(
+                    f"  {k}: {np.mean(v):.6f}" for k, v in detail.items()))
+            t_log = time.time()
+
+        if iteration >= max_iter:
+            break
+
+    if best_iter > 0:
+        copyfile(str(output_dir / f"iter.{best_iter}"),
+                 str(output_dir / "model.loss.best"))
+        logger.info(f"Best model: iteration {best_iter}")
+    logger.info("Finished")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True)
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--train_dir", type=str, required=True)
+    parser.add_argument("--valid_dir", type=str, default=None)
+    train(parser.parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,19 @@ def collapse_consecutive(ids):
     return ids[keep]
 
 
+def collapse_with_durations(ids):
+    """Run-length collapse returning (tokens, run_lengths) — the duration
+    targets for the token-to-mel synthesizer (models/token_tts.py)."""
+    ids = np.asarray(ids).reshape(-1)
+    if ids.size == 0:
+        return ids, ids
+    keep = np.ones(ids.shape, bool)
+    keep[1:] = ids[1:] != ids[:-1]
+    starts = np.flatnonzero(keep)
+    lengths = np.diff(np.append(starts, ids.size))
+    return ids[starts], lengths.astype(np.int64)
+
+
 class BnfExtractor:
     def __init__(self, config):
         import jax
@@ -97,7 +110,7 @@ class BnfExtractor:
         return outs
 
     def extract(self, rspecifier, wspecifier, bnf_kind="csid",
-                output_txt=True):
+                output_txt=True, durations_path=None):
         items = list(kaldi_io.read_ark(rspecifier))
         output_txt = output_txt and bnf_kind in ("id", "csid")
 
@@ -124,6 +137,11 @@ class BnfExtractor:
                     results[utt] = ids
 
         n = 0
+        if durations_path is not None:
+            with open(durations_path, "w") as df:
+                for utt, _ in items:
+                    _, runs = collapse_with_durations(results[utt])
+                    df.write(f"{utt} " + " ".join(map(str, runs)) + "\n")
         if output_txt:
             with open(wspecifier, "w") as wf:
                 for utt, _ in items:

@@ -54,6 +54,10 @@ from . import vae as _vae  # noqa: E402
 
 register("vae_npvc.model.vae", "vae")(_vae.Model)
 
+from . import token_tts as _token_tts  # noqa: E402
+
+register("vae_npvc.model.token_tts", "token_tts")(_token_tts.Model)
+
 try:  # hierarchical families registered as they land
     from . import vqvae2 as _vqvae2  # noqa: E402
     register("vae_npvc.model.vqvae2", "vqvae2")(_vqvae2.Model)

@@ -70,28 +70,28 @@ class Trainer:
         cannot be partitioned (e.g. the last partial validation batch) — it
         falls back to replication, which is correct but unscaled.
         """
-        feats, spks = batch
         n = self.mesh.shape["data"]
-        if feats.shape[0] % n == 0:
+        if batch[0].shape[0] % n == 0:
             sharding = self.batch_sharding
         else:
             sharding = self.repl
             if not self._warned_shard and n > 1:
                 import logging
                 logging.getLogger("vae_npvc_tpu.train").warning(
-                    f"batch size {feats.shape[0]} not divisible by data-axis "
-                    f"size {n}; replicating this batch")
+                    f"batch size {batch[0].shape[0]} not divisible by "
+                    f"data-axis size {n}; replicating this batch")
                 self._warned_shard = True
-        return (jax.device_put(feats, sharding), jax.device_put(spks, sharding))
+        return tuple(jax.device_put(a, sharding) for a in batch)
 
     # ------------------------------------------------------------------ init
     def init_state(self, example_batch):
         """Initialize params/ema/opt_state from an example (host) batch shape."""
-        feats, spks = example_batch
-        x = jnp.zeros((1,) + tuple(feats.shape[1:]), jnp.float32)
-        y = jnp.zeros((1,), jnp.int32)
+        example = tuple(
+            jnp.zeros((1,) + tuple(np.asarray(a).shape[1:]),
+                      jnp.asarray(a).dtype)
+            for a in example_batch)
         k_param, k_vq = jax.random.split(self.base_rng)
-        variables = self.model.init({"params": k_param, "vq": k_vq}, x, y,
+        variables = self.model.init({"params": k_param, "vq": k_vq}, *example,
                                     train=True)
         variables = dict(variables)
         params = variables.pop("params")
@@ -102,7 +102,7 @@ class Trainer:
         return self.state
 
     # ------------------------------------------------------------------ steps
-    def _train_step(self, state: TrainState, feats, spks, rng):
+    def _train_step(self, state: TrainState, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
         mutable = list(state.ema.keys())
 
@@ -110,11 +110,11 @@ class Trainer:
             variables = {"params": params, **state.ema}
             if mutable:
                 (xhat, loss, detail), mut = self.model.apply(
-                    variables, feats, spks, train=True, mutable=mutable,
+                    variables, *batch, train=True, mutable=mutable,
                     rngs={"vq": step_rng})
             else:
                 xhat, loss, detail = self.model.apply(
-                    variables, feats, spks, train=True, rngs={"vq": step_rng})
+                    variables, *batch, train=True, rngs={"vq": step_rng})
                 mut = {}
             return loss, (mut, detail)
 
@@ -127,10 +127,9 @@ class Trainer:
             jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grads)))
         return new_state, detail
 
-    def _valid_step(self, state: TrainState, feats, spks):
+    def _valid_step(self, state: TrainState, batch):
         variables = {"params": state.params, **state.ema}
-        xhat, loss, detail = self.model.apply(variables, feats, spks,
-                                              train=False)
+        xhat, loss, detail = self.model.apply(variables, *batch, train=False)
         return detail
 
     def _get_compiled(self, name, fn, donate=()):
@@ -144,11 +143,10 @@ class Trainer:
 
         Returns the loss-detail dict as device scalars (no host sync).
         """
-        feats, spks = batch
-        if not isinstance(feats, jax.Array):
-            feats, spks = self.shard_batch(batch)
+        if not isinstance(batch[0], jax.Array):
+            batch = self.shard_batch(batch)
         step = self._get_compiled("train", self._train_step, donate=(0,))
-        self.state, detail = step(self.state, feats, spks, self.base_rng)
+        self.state, detail = step(self.state, tuple(batch), self.base_rng)
         return detail
 
     def valid(self, batches):
@@ -156,8 +154,8 @@ class Trainer:
         step = self._get_compiled("valid", self._valid_step)
         acc: dict[str, list] = {}
         for batch in batches:
-            feats, spks = self.shard_batch(batch)
-            detail = step(self.state, feats, spks)
+            batch = self.shard_batch(batch)
+            detail = step(self.state, tuple(batch))
             for k, v in detail.items():
                 acc.setdefault(k, []).append(v)
         return {k: [float(x) for x in jax.device_get(v)] for k, v in acc.items()}
