@@ -196,3 +196,98 @@ def test_converted_vqvae2_matches_reference(tmp_path):
     np.testing.assert_allclose(float(detail["X like"]),
                                float(ref_detail["X like"]), rtol=1e-4)
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# vqvae2a (cascade) and vqvae2b (fusion) forward parity
+# --------------------------------------------------------------------------
+
+def _convert_and_load(tmp_path, ref_module_name, cfg, tag):
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from vae_npvc_tpu.models import build_model
+    from vae_npvc_tpu.utils.torch_convert import convert_checkpoint_file
+
+    ref_mod = importlib.import_module(f"vae_npvc.model.{ref_module_name}")
+    torch.manual_seed(0)
+    ref = ref_mod.Model(cfg)
+    ref.eval()
+    ckpt = tmp_path / f"{tag}.pt"
+    torch.save({"model": ref.state_dict(), "iteration": 1}, ckpt)
+    out = tmp_path / f"{tag}.msgpack"
+    convert_checkpoint_file(ckpt, cfg, out)
+
+    model = build_model(cfg)
+    variables = dict(model.init(
+        {"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 10)), jnp.zeros((1,), jnp.int32), train=True))
+    with open(out, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(variables.pop("params"),
+                                           payload["model"])
+    return ref, model, {"params": params}
+
+
+def _forward_parity(ref, model, v, rtol=1e-4):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 16, 10)).astype(np.float32)
+    y = np.array([1, 4], np.int64)
+    with torch.no_grad():
+        ref_xhat, ref_loss, ref_detail = ref(
+            (torch.from_numpy(np.transpose(x, (0, 2, 1))),
+             torch.from_numpy(y).view(-1, 1)))
+    xhat, loss, detail = model.apply(v, jnp.asarray(x),
+                                     jnp.asarray(y, jnp.int32), train=False)
+    np.testing.assert_allclose(
+        np.asarray(xhat), np.transpose(ref_xhat.numpy(), (0, 2, 1)),
+        rtol=rtol, atol=rtol)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=rtol)
+
+
+def test_converted_vqvae2a_matches_reference(tmp_path):
+    cfg = {
+        "model_type": "vae_npvc.model.vqvae2a",
+        "levels": 3, "y_dim": 8, "y_num": 5, "beta": 0.01,
+        "use_gst": True, "use_ema": False, "jitter_p": 0.0,
+        "use_quantizers": True, "use_embeds": True,
+        "pooling_last": True, "upsample_last": False,
+        "encoder.0": _enc2(10, 1),
+        "encoder.1": _enc2(14, 2),
+        "encoder.2": _enc2(14, 2),
+        "decoder.2": _dec2(8, 8, 8),
+        "decoder.1": _dec2(16, 8, 8),
+        "decoder.0": _dec2(16, 8, 10),
+        "quantizer.0": {"z_dim": 8, "z_num": 24, "normalize": True},
+        "quantizer.1": {"z_dim": 8, "z_num": 24, "normalize": True},
+        "quantizer.2": {"ref_embed_dim": 8, "gst_tokens": 4,
+                        "gst_token_dim": 8, "gst_heads": 2},
+    }
+    ref, model, v = _convert_and_load(tmp_path, "vqvae2a", cfg, "v2a")
+    _forward_parity(ref, model, v)
+
+
+def test_converted_vqvae2b_matches_reference(tmp_path):
+    dec_b = dict(_dec2(8, 8, 8))
+    final = dict(_dec2(16, 0, 10))
+    final["cond_channels"] = 0
+    cfg = {
+        "model_type": "vae_npvc.model.vqvae2b",
+        "levels": 2, "y_dim": 8, "y_num": 5, "beta": 0.01,
+        "use_gst": False, "use_ema": False, "jitter_p": 0.0,
+        "pooling_last": True,
+        "encoder.0": _enc2(10, 1),
+        "encoder.1": _enc2(14, 2),
+        "decoder.0": dec_b,
+        "decoder.1": dict(dec_b),
+        "final_decoder": final,
+        "quantizer.0": {"z_dim": 8, "z_num": 24, "normalize": True},
+        "quantizer.1": {"z_dim": 8, "z_num": 24, "normalize": True},
+    }
+    ref, model, v = _convert_and_load(tmp_path, "vqvae2b", cfg, "v2b")
+    _forward_parity(ref, model, v)
