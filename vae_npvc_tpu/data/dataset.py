@@ -143,7 +143,10 @@ def batch_iterator(dataset, batch_size, *, shuffle, drop_last, seed=0,
             epoch += 1
     finally:
         if pool is not None:
-            pool.shutdown(wait=False, cancel_futures=True)
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                pass  # generator finalized during interpreter teardown
 
 
 def prefetch_to_device(iterator, size=2, sharding=None, put=None):
