@@ -291,3 +291,61 @@ def test_converted_vqvae2b_matches_reference(tmp_path):
     }
     ref, model, v = _convert_and_load(tmp_path, "vqvae2b", cfg, "v2b")
     _forward_parity(ref, model, v)
+
+
+def test_converted_strided_vqvae_matches_reference(tmp_path):
+    """Covers the strided ConvTranspose converter mapping (us > 1)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from vae_npvc.model import vqvae as ref_vqvae
+
+    from vae_npvc_tpu.models import build_model
+    from vae_npvc_tpu.utils.torch_convert import convert_checkpoint_file
+
+    cfg = {
+        "model_type": "vae_npvc.model.vqvae",
+        "y_dim": 8, "y_num": 5, "z_dim": 8, "z_num": 16,
+        "use_ema": False, "embed_norm": True, "beta": 0.01, "jitter_p": 0.0,
+        "encoder": {"in_channels": [10, 14], "out_channels": [14, 14],
+                    "kernel_size": 3, "downsample_scales": [1, 2],
+                    "z_channels": 8, "dilation": False,
+                    "stack_kernel_size": 3, "stack_layers": 1,
+                    "stacks": [1, 1], "use_weight_norm": True},
+        "decoder": {"in_channels": [8, 14], "out_channels": [14, 14],
+                    "cond_channels": 8, "skip_channels": 8,
+                    "final_channels": 10, "kernel_size": 3,
+                    "upsample_scales": [2, 1], "dilation": False,
+                    "stack_kernel_size": 3, "stacks": [1, 1],
+                    "use_weight_norm": True},
+    }
+    torch.manual_seed(0)
+    ref = ref_vqvae.Model(cfg)
+    ref.eval()
+    ckpt = tmp_path / "refs.pt"
+    torch.save({"model": ref.state_dict(), "iteration": 1}, ckpt)
+    out = tmp_path / "ourss.msgpack"
+    convert_checkpoint_file(ckpt, cfg, out)
+
+    model = build_model(cfg)
+    variables = dict(model.init(
+        {"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 10)), jnp.zeros((1,), jnp.int32), train=True))
+    with open(out, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(variables.pop("params"),
+                                           payload["model"])
+    v = {"params": params}
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 16, 10)).astype(np.float32)
+    y = np.array([0, 2], np.int64)
+    with torch.no_grad():
+        ref_out = ref.infer((torch.from_numpy(np.transpose(x, (0, 2, 1))),
+                             torch.from_numpy(y).view(-1, 1)))
+    out_j = model.apply(v, jnp.asarray(x), jnp.asarray(y, jnp.int32),
+                        method="infer")
+    np.testing.assert_allclose(
+        np.asarray(out_j), np.transpose(ref_out.numpy(), (0, 2, 1)),
+        rtol=1e-4, atol=1e-4)
