@@ -94,18 +94,44 @@ def train_embedder(data_dir, config, *, steps=2000, batch_size=64,
     return model, params
 
 
-def embed_scp(model, params, scp_path, max_frames=800):
-    """Embed every utterance in a feats.scp → {utt: unit-norm embedding}."""
+def embed_scp(model, params, scp_path, max_frames=800, batch_size=16,
+              bucket=128):
+    """Embed every utterance in a feats.scp → {utt: unit-norm embedding}.
+
+    Length-bucketed and batched under one jitted fn per bucket shape (a naive
+    per-utterance loop recompiles for every distinct length — pathological on
+    remote backends).
+    """
+    import jax
     import jax.numpy as jnp
 
     from ..data import kaldi_io
 
+    embed_jit = jax.jit(lambda x, l: model.apply({"params": params}, x, l)[0])
+
+    items = [(u, kaldi_io.load_mat(rx)[:max_frames])
+             for u, rx in kaldi_io.read_scp(scp_path).items()]
+    buckets: dict = {}
+    for u, mat in items:
+        T_pad = -(-mat.shape[0] // bucket) * bucket
+        buckets.setdefault(T_pad, []).append((u, mat))
+
     out = {}
-    for utt, rx in kaldi_io.read_scp(scp_path).items():
-        mat = kaldi_io.load_mat(rx)[:max_frames]
-        emb, _ = model.apply({"params": params}, jnp.asarray(mat[None]))
-        e = np.asarray(emb)[0]
-        out[utt] = e / max(np.linalg.norm(e), 1e-9)
+    for T_pad in sorted(buckets):
+        group = buckets[T_pad]
+        for lo in range(0, len(group), batch_size):
+            chunk = group[lo:lo + batch_size]
+            D = chunk[0][1].shape[1]
+            x = np.zeros((batch_size, T_pad, D), np.float32)
+            lens = np.ones((batch_size,), np.int32)
+            for b, (u, mat) in enumerate(chunk):
+                x[b, :mat.shape[0]] = mat
+                lens[b] = mat.shape[0]
+            embs = np.asarray(embed_jit(jnp.asarray(x),
+                                        jnp.asarray(lens)))
+            for b, (u, _) in enumerate(chunk):
+                e = embs[b]
+                out[u] = e / max(np.linalg.norm(e), 1e-9)
     return out
 
 
