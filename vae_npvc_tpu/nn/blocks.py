@@ -98,10 +98,19 @@ class GroupNorm(nn.Module):
 
 
 def _kaiming_v_init(key, shape, dtype=jnp.float32):
-    """Kaiming-normal (relu gain) over fan_in for conv kernels (K, I, O)."""
+    """Torch-default conv init U(±1/sqrt(fan_in)) for kernels (K, I, O).
+
+    This matches the reference's EFFECTIVE init: its kaiming reset writes to
+    the weight-norm-recomputed `.weight` tensor and is overwritten from g/v on
+    the next forward (vqvae.py:203-217 — dead code), so the reference trains
+    from torch's default uniform init. Kaiming-normal (gain √2) is ~2.4×
+    hotter per layer and compounds through the un-normalized res-skip chains
+    into ~1e5 activations at init on the deep hierarchical configs — stable
+    in fp32 but NaN-prone in bf16.
+    """
     fan_in = shape[0] * shape[1]
-    std = math.sqrt(2.0 / fan_in)
-    return std * jax.random.normal(key, shape, dtype)
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
 def _torch_bias_init(fan_in):

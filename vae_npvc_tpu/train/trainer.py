@@ -62,6 +62,7 @@ class Trainer:
         self.state: TrainState | None = None
         self._compiled = {}
         self._warned_shard = False
+        self.skip_nonfinite = config.get("skip_nonfinite_updates", True)
 
     def shard_batch(self, batch):
         """Shard (feats, spks) on the data axis; replicate if indivisible.
@@ -121,10 +122,22 @@ class Trainer:
         grads, (mut, detail) = jax.grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        grad_sq = sum(jnp.sum(jnp.square(g))
+                      for g in jax.tree_util.tree_leaves(grads))
+        if self.skip_nonfinite:
+            # production guard: a step whose gradients are non-finite (rare
+            # bf16 backward blowups) is skipped instead of poisoning the
+            # params/optimizer state
+            ok = jnp.isfinite(grad_sq)
+            pick = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new, old)
+            params = pick(params, state.params)
+            opt_state = pick(opt_state, state.opt_state)
+            mut = pick(mut, {k: state.ema[k] for k in mut}) if mut else mut
+            detail["skipped_nonfinite"] = (1.0 - ok.astype(jnp.float32))
         new_state = TrainState(step=state.step + 1, params=params,
                                ema={**state.ema, **mut}, opt_state=opt_state)
-        detail["grad_norm"] = jnp.sqrt(sum(
-            jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grads)))
+        detail["grad_norm"] = jnp.sqrt(grad_sq)
         return new_state, detail
 
     def _valid_step(self, state: TrainState, batch):
