@@ -74,12 +74,15 @@ class Model(nn.Module):
         for i in range(self.levels):
             q = self.q_args[i]
             if self.use_gst and i == self.levels - 1:
+                # the GST is a single-query attention over ~10 tokens —
+                # negligible FLOPs, so keep it fp32 (bf16 scores on large
+                # reference embeddings are a numerics hazard)
                 gst_layer = StyleTokenLayer(
                     ref_embed_dim=q.get("ref_embed_dim", 128),
                     gst_tokens=q.get("gst_tokens", 10),
                     gst_token_dim=q.get("gst_token_dim", 256),
                     gst_heads=q.get("gst_heads", 4),
-                    dtype=self.dtype, name="gst")
+                    dtype=jnp.float32, name="gst")
             elif self.use_ema:
                 ema_states[i] = self.variable(
                     "ema", f"quantizer_{i}",

@@ -61,16 +61,20 @@ def group_norm(x, scale, bias, num_groups, eps=1e-5, mask=None,
         m = jnp.ones((B, T, 1, 1), jnp.float32)
     else:
         m = mask.astype(jnp.float32)[:, :, :, None]       # (B, T, 1, 1)
-    # one-pass moments (E[x], E[x^2]) — halves the HBM reads vs mean-then-var
+    # two-pass moments: mean, then E[(x-mean)^2]. The one-pass E[x^2]-mean^2
+    # form cancels catastrophically when |mean| >> std (seen at ~6e4-scale
+    # activations in the deep hierarchical config: var underflows to ~0, the
+    # rsqrt amplifies by ~300x, and bf16 training blows up).
     count = jnp.sum(m, axis=1, keepdims=True) * (C // G)
     total = jnp.sum(xf * m, axis=(1, 3), keepdims=True)
-    total_sq = jnp.sum(jnp.square(xf) * m, axis=(1, 3), keepdims=True)
     if seq_axis is not None:
         count = jax.lax.psum(count, seq_axis)
         total = jax.lax.psum(total, seq_axis)
-        total_sq = jax.lax.psum(total_sq, seq_axis)
     mean = total / count
-    var = jnp.maximum(total_sq / count - jnp.square(mean), 0.0)
+    sq = jnp.sum(jnp.square(xf - mean) * m, axis=(1, 3), keepdims=True)
+    if seq_axis is not None:
+        sq = jax.lax.psum(sq, seq_axis)
+    var = sq / count
     xn = (xf - mean) * jax.lax.rsqrt(var + eps)
     xn = xn.reshape(B, T, C)
     out = (xn * scale + bias).astype(x.dtype)
