@@ -176,3 +176,33 @@ def test_make_spk_id_and_subset(toy_env, tmp_path):
     overlap = (set(kaldi_io.load_dict_data(tr / "feats.scp"))
                & set(kaldi_io.load_dict_data(cv / "feats.scp")))
     assert not overlap
+
+
+def test_nonfinite_update_guard(toy_env):
+    """A batch that produces non-finite grads must not poison the state."""
+    import jax
+
+    from vae_npvc_tpu.train.trainer import Trainer
+
+    root, train_dir, valid_dir = toy_env
+    cfg = dict(TINY_CONFIG)
+    tr = Trainer(cfg)
+    rng = np.random.default_rng(0)
+    good = (rng.normal(size=(4, 32, 10)).astype(np.float32),
+            np.zeros((4,), np.int32))
+    tr.init_state(good)
+    tr.train_step(good)
+    before = jax.device_get(tr.state.params)
+
+    bad_feats = good[0].copy()
+    bad_feats[0, 0, 0] = np.nan
+    d = tr.train_step((bad_feats, good[1]))
+    assert float(d["skipped_nonfinite"]) == 1.0
+    after = jax.device_get(tr.state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    # and training continues normally afterwards
+    d = tr.train_step(good)
+    assert float(d.get("skipped_nonfinite", 0.0)) == 0.0
+    assert np.isfinite(float(d["Total"]))
