@@ -93,4 +93,11 @@ if [ "${stage}" -le 4 ] && [ "${stop_stage}" -ge 4 ]; then
         scp:${dumpdir}/${all_set}/feats.scp ${expdir}/vq_tokens.txt
     echo "VQ token transcripts: ${expdir}/vq_tokens.txt"
 fi
+
+if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then
+    echo "stage 5: Any-to-many conversion over the dev split"
+    # random source/target trials (reference uses make_trials.py variants)
+    python ../../vcc20/vae2/local/make_trials.py ${dumpdir}/${dev_set} -n 50 --seed 777
+    ${PY} vae_npvc_tpu.bin.decode -c ${train_config}         --checkpoint ${expdir}/model.loss.best         --decode-dir ${dumpdir}/${dev_set}         --output-dir ${expdir}/decode_${dev_set}
+fi
 echo "Finished."
