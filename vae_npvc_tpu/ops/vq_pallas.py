@@ -103,7 +103,7 @@ def _vq_kernel(z_ref, emb_ref, embt_ref, idx_ref, zq_ref, sum_ref, cnt_ref,
         cnt_ref[:] = acc_cnt[:]
 
 
-def vq_fused(z_flat, emb, *, tile_n=512, interpret=False):
+def vq_fused(z_flat, emb, *, tile_n=256, interpret=False):
     """Fused VQ forward pieces.
 
     ``z_flat`` (N, D) latents, ``emb`` (K, D) codebook →
@@ -148,6 +148,10 @@ def vq_fused(z_flat, emb, *, tile_n=512, interpret=False):
             pltpu.VMEM((K, D), jnp.float32),
             pltpu.VMEM((K, 1), jnp.float32),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N_pad * K * (2 * D),          # dist + stats matmuls
+            bytes_accessed=4 * (N_pad * D * 2 + K * D * 3),
+            transcendentals=0),
         interpret=interpret,
     )(z_flat, emb, emb.T)
     return idx[:N, 0], zq[:N], bsum, bcnt[:, 0]
