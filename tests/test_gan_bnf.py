@@ -127,3 +127,16 @@ class TestBnf:
         assert n == 3
         mats = dict(kaldi_io.read_ark(f"scp:{tmp_path}/b.scp"))
         assert mats["u1"].shape[0] == 17
+
+
+def test_gan_valid_loop():
+    """GanTrainer.valid works with the generalized batch-tuple API."""
+    trainer = build_trainer(TINY)
+    rng = np.random.default_rng(2)
+    batch = (rng.normal(size=(4, 16, 10)).astype(np.float32),
+             np.zeros((4,), np.int32))
+    trainer.init_state(batch)
+    trainer.train_step(batch)
+    detail = trainer.valid([batch, batch])
+    assert "X like" in detail and len(detail["X like"]) == 2
+    assert all(np.isfinite(v) for v in detail["X like"])

@@ -204,10 +204,9 @@ class GanTrainer(Trainer):
         self._host_iter += 1
         return detail
 
-    def _valid_step(self, state, feats, spks):
+    def _valid_step(self, state, batch):
         variables = {"params": state.params, **state.ema}
-        xhat, loss, detail = self.model.apply(variables, feats, spks,
-                                              train=False)
+        xhat, loss, detail = self.model.apply(variables, *batch, train=False)
         return detail
 
     @property
