@@ -71,4 +71,9 @@ class Model(nn.Module):
                             lengths).astype(jnp.float32)
 
     def infer(self, x, y_idx, lengths=None):
-        return self.decode(self.encode(x, lengths), y_idx, lengths)
+        # latent time axis is shorter than the input for strided encoder
+        # configs — transform lengths so decoder masks/GroupNorm stats are
+        # computed against the latent frame count (as vqvae.Model.infer does)
+        z_lengths = (Encoder.out_lengths(dict(self.arch).get("encoder", {}),
+                     lengths) if lengths is not None else None)
+        return self.decode(self.encode(x, lengths), y_idx, z_lengths)

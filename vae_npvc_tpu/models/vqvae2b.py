@@ -70,7 +70,9 @@ class Model(nn.Module):
                     gst_tokens=q.get("gst_tokens", 10),
                     gst_token_dim=q.get("gst_token_dim", 256),
                     gst_heads=q.get("gst_heads", 4),
-                    dtype=self.dtype, name="gst")
+                    # fp32-pinned like vqvae2: bf16 attention scores on
+                    # large reference embeddings NaN (negligible FLOPs)
+                    dtype=jnp.float32, name="gst")
             elif self.use_ema:
                 ema_states[i] = self.variable(
                     "ema", f"quantizer_{i}",

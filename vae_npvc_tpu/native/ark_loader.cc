@@ -66,15 +66,15 @@ bool split_rx(const std::string& rx, std::string* path, int64_t* off) {
 // Read the Kaldi binary FM header at `off`; fill rows/cols/data offset.
 bool parse_header(int fd, int64_t off, Item* it) {
   unsigned char buf[16];
-  if (pread(fd, buf, 13, off) != 13) return false;
-  // \0B 'F''M'' ' \x04 <i32 rows> \x04 <i32 cols>
+  // Full FM header is 15 bytes: \0B 'F''M'' ' \x04 <i32 rows> \x04 <i32 cols>
+  if (pread(fd, buf, 15, off) != 15) return false;
   if (buf[0] != 0 || buf[1] != 'B') return false;
   if (buf[2] != 'F' || buf[3] != 'M' || buf[4] != ' ') return false;
   if (buf[5] != 4 || buf[10] != 4) return false;
   int32_t rows, cols;
   std::memcpy(&rows, buf + 6, 4);
   std::memcpy(&cols, buf + 11, 4);
-  if (pread(fd, buf, 1, off + 14) < 0) return false;  // access check
+  if (rows < 0 || cols <= 0) return false;
   it->data_off = off + 15;  // 2 flag + 3 token + (1+4)*2 dims
   it->rows = rows;
   it->cols = cols;
@@ -156,6 +156,7 @@ int loader_load_batch(void* h, const long* indices, const long* starts,
       long start = starts[b];
       long take = it.rows - start;
       if (take > crop) take = crop;
+      if (take < 0) take = 0;  // start past end: whole window zero-padded
       float* dst = out + b * crop * dim;
       if (take < crop)
         std::memset(dst + take * dim, 0, (crop - take) * dim * sizeof(float));

@@ -186,20 +186,22 @@ class GanTrainer(Trainer):
         if not isinstance(feats, jax.Array):
             feats, spks = self.shard_batch(batch)
         it = self._host_iter
+        # fold the host iteration in here: state.step only advances on
+        # generator updates, so critic-only iterations (gen per_iteration > 1)
+        # would otherwise reuse identical GP-interpolation alphas
+        it_rng = jax.random.fold_in(self.base_rng, it)
         detail = {}
         if it <= self.pre_iter:
             step = self._get_compiled("vae", self._vae_step, donate=(0,))
-            self.state, detail = step(self.state, feats, spks, self.base_rng)
+            self.state, detail = step(self.state, feats, spks, it_rng)
         else:
             if it % self.disc_param["per_iteration"] == 0:
                 dstep = self._get_compiled("disc", self._disc_step)
-                self.state, d_detail = dstep(self.state, feats, spks,
-                                             self.base_rng)
+                self.state, d_detail = dstep(self.state, feats, spks, it_rng)
                 detail.update(d_detail)
             if it % self.gen_param["per_iteration"] == 0:
                 gstep = self._get_compiled("gen", self._gen_step, donate=(0,))
-                self.state, g_detail = gstep(self.state, feats, spks,
-                                             self.base_rng)
+                self.state, g_detail = gstep(self.state, feats, spks, it_rng)
                 detail.update(g_detail)
         self._host_iter += 1
         return detail
@@ -223,6 +225,10 @@ class GanTrainer(Trainer):
             "optimizer_G": serialization.to_state_dict(state.opt_state),
             "optimizer_D": serialization.to_state_dict(state.d_opt_state),
             "iteration": int(state.step),
+            # the disc/gen phase schedule runs on the host counter, which
+            # diverges from state.step once critic-only iterations happen —
+            # persist it so resume does not shift the schedule
+            "host_iteration": self._host_iter,
         }
         with open(path, "wb") as f:
             f.write(serialization.msgpack_serialize(payload))
@@ -249,5 +255,6 @@ class GanTrainer(Trainer):
                                                       payload["optimizer_D"]),
         )
         self.state = jax.device_put(new, self.repl)
-        self._host_iter = int(payload["iteration"])
+        self._host_iter = int(payload.get("host_iteration",
+                                          payload["iteration"]))
         return self._host_iter
