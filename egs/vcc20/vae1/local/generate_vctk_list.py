@@ -1,9 +1,13 @@
 #!/usr/bin/env python3
 """VCTK corpus → Kaldi data lists with sox-resample wav.scp pipes.
 
-Split by utterance number (reference behavior:
-egs/vcc20/vae1/local/generate_vctk_list.py:56-67): test = utt 1-25,
-dev = 26-50, train = 51+.
+Split by utterance number, exposed as flags because the two recipes differ
+(reference behavior):
+- vae1 (egs/vcc20/vae1/local/generate_vctk_list.py:56-67): test = utt 1-25,
+  dev = 26-50, train = 51+  (the defaults here);
+- vae2 (egs/vcc20/vae2/local/generate_vctk_list.py:56-60): no test
+  (test_hi=0), dev = 1-50, train = 51+ — the vae2 recipe passes
+  --test_hi 0 --dev_lo 1.
 """
 
 import argparse
@@ -55,5 +59,11 @@ if __name__ == "__main__":
     p.add_argument("--no-pipe", action="store_true",
                    help="emit plain wav paths (in-framework resampling) "
                         "instead of sox pipes")
+    p.add_argument("--test_hi", type=int, default=25,
+                   help="utt numbers <= this go to vctk_test (vae2: 0)")
+    p.add_argument("--dev_lo", type=int, default=26,
+                   help="low bound of the vctk_dev range (vae2: 1)")
+    p.add_argument("--dev_hi", type=int, default=50)
     a = p.parse_args()
-    main(a.data_root, a.list_dir, None if a.no_pipe else a.fs)
+    main(a.data_root, a.list_dir, None if a.no_pipe else a.fs,
+         dev_lo=a.dev_lo, dev_hi=a.dev_hi, test_hi=a.test_hi)

@@ -43,7 +43,10 @@ expdir=exp/${expname}
 if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
     echo "stage 0: Data list generation"
     pipe_flag=""; [ "${no_pipe}" = "true" ] && pipe_flag="--no-pipe"
-    python local/generate_vctk_list.py -d "${vctk_root}" -l data -f ${fs} ${pipe_flag}
+    # vae2 VCTK split: no test set, dev = utts 1-50 (reference
+    # egs/vcc20/vae2/local/generate_vctk_list.py:56-60)
+    python local/generate_vctk_list.py -d "${vctk_root}" -l data -f ${fs} ${pipe_flag} \
+        --test_hi 0 --dev_lo 1 --dev_hi 50
     python local/generate_vcc2020_traindev_list.py -d "${vcc2020_root}" -l data -f ${fs} ${pipe_flag}
     python local/generate_vcc2020_eval_list.py -d "${vcc2020_root}" -l data -f ${fs} ${pipe_flag}
     for pair in "train vctk_train vcc2020_train" "dev vctk_dev vcc2020_dev" "eval vcc2020_test"; do
