@@ -30,7 +30,11 @@ def main(data_root, list_dir, fs, dev_lo=51, dev_hi=70):
                 else wav.stem
             cmd = (str(wav.absolute()) if fs is None else
                    f"sox {wav.absolute()} -c 1 -r {fs} -b 16 -t wav - |")
-            num = int("".join(c for c in wav.stem if c.isdigit()) or 0)
+            # reference semantics: the utterance number is the LAST TWO
+            # digits of the stem (E10051 -> 51), reference
+            # generate_vcc2020_traindev_list.py:45 `int(data_file.stem[-2:])`
+            digits = "".join(c for c in wav.stem if c.isdigit())
+            num = int(digits[-2:]) if digits else 0
             (dev_rows if dev_lo <= num <= dev_hi
              else train_rows).append((utt, spk, cmd))
     write_lists(list_dir, "vcc2020_train", train_rows)

@@ -9,6 +9,7 @@ shift || true
 ./run.sh --stage 3 --stop-stage 3 "$@"
 for trg in ${targets}; do
     ./run.sh --stage 5 --stop-stage 7 --trgspk "${trg}" "$@" | tee /tmp/eval_${trg}.log
-    mcd=$(grep -oE 'MCD: [0-9.]+' /tmp/eval_${trg}.log | tail -1 || echo "MCD: n/a")
-    echo "SUMMARY ${trg}: ${mcd}"
+    # full reference metric line (reference test.sh:16-24):
+    # RESULT <src>_<trg>  MCD: x  CER: x  WER: x  PLDA: x  COSSIM: x
+    grep '^RESULT ' /tmp/eval_${trg}.log | tail -1 | sed "s/^RESULT/SUMMARY/"
 done

@@ -41,3 +41,80 @@ class TestMcd:
         # full-order orthonormal DCT preserves energy (times ln10 scaling)
         np.testing.assert_allclose(
             np.sum(c ** 2), np.sum((m * np.log(10)) ** 2), rtol=1e-9)
+
+
+class TestWavMcd:
+    """Wav-domain mcep MCD with the reference knob set (evaluate.sh:57-69)."""
+
+    @staticmethod
+    def _tone(fs, f0, formants, sec=0.5, seed=0):
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(fs * sec)) / fs
+        x = 0.25 * np.sin(2 * np.pi * f0 * t)
+        for f in formants:
+            x = x + 0.35 * np.sin(2 * np.pi * f * t)
+        return x + 0.002 * rng.standard_normal(t.shape)
+
+    def test_estimate_f0_accuracy(self):
+        from vae_npvc_tpu.eval.mcd import estimate_f0
+
+        fs = 24000
+        x = self._tone(fs, 150.0, [])
+        f0 = estimate_f0(x, fs, f0min=70, f0max=400)
+        voiced = f0[f0 > 0]
+        assert voiced.size > 0.8 * f0.size
+        assert abs(np.median(voiced) - 150.0) < 5.0
+
+    def test_f0_range_masks_out_of_range(self):
+        from vae_npvc_tpu.eval.mcd import estimate_f0
+
+        fs = 24000
+        x = self._tone(fs, 150.0, [])
+        f0 = estimate_f0(x, fs, f0min=200, f0max=400)
+        # true pitch below the search floor: should not report ~150
+        voiced = f0[f0 > 0]
+        assert voiced.size == 0 or np.median(voiced) > 190
+
+    def test_identical_wav_is_zero(self):
+        from vae_npvc_tpu.eval.mcd import mcd_wav
+
+        fs = 24000
+        x = self._tone(fs, 150.0, [700, 1200])
+        assert mcd_wav(x, x, fs) < 1e-8
+
+    def test_same_content_beats_different_content(self):
+        from vae_npvc_tpu.eval.mcd import mcd_wav
+
+        fs = 24000
+        a = self._tone(fs, 150.0, [700, 1200])
+        same = self._tone(fs, 120.0, [700, 1200], seed=1)   # other speaker
+        diff = self._tone(fs, 120.0, [350, 2400], seed=2)   # other phones
+        assert mcd_wav(a, same, fs) < mcd_wav(a, diff, fs)
+
+    def test_read_f0_conf(self, tmp_path):
+        from vae_npvc_tpu.eval.mcd import read_f0_range
+
+        p = tmp_path / "TEF1.f0"
+        p.write_text("127 405\n")
+        assert read_f0_range(p) == (127.0, 405.0)
+
+    def test_mcd_from_wavdirs_pairing(self, tmp_path):
+        import wave
+
+        from vae_npvc_tpu.eval.mcd import mcd_from_wavdirs
+
+        fs = 24000
+
+        def write(p, x):
+            p.parent.mkdir(parents=True, exist_ok=True)
+            with wave.open(str(p), "wb") as w:
+                w.setnchannels(1); w.setsampwidth(2); w.setframerate(fs)
+                w.writeframes((x * 32767).astype("<i2").tobytes())
+
+        x = self._tone(fs, 150.0, [700, 1200])
+        y = self._tone(fs, 120.0, [700, 1200], seed=1)
+        write(tmp_path / "conv" / "SEF1_E20001.wav", x)
+        write(tmp_path / "gt" / "TEF1" / "E20001.wav", y)
+        mean, per_utt = mcd_from_wavdirs(tmp_path / "conv",
+                                         tmp_path / "gt" / "TEF1")
+        assert list(per_utt) == ["SEF1_E20001"] and mean > 0

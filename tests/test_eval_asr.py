@@ -1,0 +1,163 @@
+"""Objective-eval subsystem: sclite-semantics scorer, PLDA, CTC proxy ASR."""
+
+import numpy as np
+import pytest
+
+from vae_npvc_tpu.eval import wer as wer_mod
+from vae_npvc_tpu.eval.plda import plda_train, plda_score
+
+
+class TestWer:
+    def test_align_counts(self):
+        c = wer_mod.align("a b c d".split(), "a x c".split())
+        assert (c.corr, c.sub, c.dele, c.ins) == (2, 1, 1, 0)
+        assert c.n_ref == 4
+        assert c.err_pct == 50.0
+
+    def test_insertions(self):
+        c = wer_mod.align("a b".split(), "a x b y".split())
+        assert (c.corr, c.sub, c.dele, c.ins) == (2, 0, 0, 2)
+        assert c.err_pct == 100.0
+
+    def test_empty_hyp_is_all_deletions(self):
+        total, s_err, per_utt = wer_mod.score({"u1": "a b c"}, {}, "word")
+        assert total.dele == 3 and total.err_pct == 100.0 and s_err == 1
+
+    def test_char_level_strips_spaces(self):
+        total, _, _ = wer_mod.score({"u": "ab cd"}, {"u": "abcd"}, "char")
+        assert total.err_pct == 0.0
+
+    def test_report_field_11_is_err_pct(self, tmp_path):
+        """The reference greps Err% as awk field 11 (test.sh:19-20)."""
+        refs = {"u1": "a b c d", "u2": "e f"}
+        hyps = {"u1": "a b c d", "u2": "e x"}
+        p = tmp_path / "result.txt"
+        total = wer_mod.write_report(p, refs, hyps, "word")
+        line = [ln for ln in p.read_text().splitlines()
+                if "Sum/Avg" in ln][0]
+        field11 = line.split()[10]
+        assert float(field11) == pytest.approx(total.err_pct, abs=0.05)
+
+
+class TestPlda:
+    @staticmethod
+    def _toy_embeddings(n_spk=8, n_utt=20, dim=16, seed=0):
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(n_spk, dim)) * 3.0
+        embs, labels = [], []
+        for s in range(n_spk):
+            embs.append(centers[s] + rng.normal(size=(n_utt, dim)))
+            labels += [s] * n_utt
+        return np.concatenate(embs), np.array(labels), centers, rng
+
+    def test_same_speaker_scores_higher(self):
+        embs, labels, centers, rng = self._toy_embeddings()
+        plda = plda_train(embs, labels)
+        dim = embs.shape[1]
+        # fresh utterances from speakers 0 and 1
+        t0 = centers[0] + rng.normal(size=(dim,))
+        t1 = centers[1] + rng.normal(size=(dim,))
+        enroll0 = embs[labels == 0].mean(axis=0)
+        s_same = plda_score(plda, enroll0, t0, n_enroll=20)
+        s_diff = plda_score(plda, enroll0, t1, n_enroll=20)
+        assert s_same > s_diff
+        assert s_same > 0 > s_diff
+
+    def test_psi_descending_and_within_whitened(self):
+        embs, labels, _, _ = self._toy_embeddings()
+        plda = plda_train(embs, labels)
+        assert np.all(np.diff(plda.psi) <= 1e-9)
+        # strong speaker structure => top psi well above 1
+        assert plda.psi[0] > 1.0
+
+    def test_more_enrollment_sharpens(self):
+        """With more enrollment utterances the same-speaker LLR grows."""
+        embs, labels, centers, rng = self._toy_embeddings()
+        plda = plda_train(embs, labels)
+        enroll0 = embs[labels == 0].mean(axis=0)
+        t0 = centers[0] + 0.1 * rng.normal(size=(embs.shape[1],))
+        s1 = plda_score(plda, enroll0, t0, n_enroll=1)
+        s20 = plda_score(plda, enroll0, t0, n_enroll=20)
+        assert s20 > s1
+
+
+def _char_corpus(tmp_path, n_utts=60, seed=0):
+    """Synthetic mel-ish corpus where each char is a distinct 8-frame
+    feature template — learnable by the CTC proxy in a few hundred steps."""
+    from vae_npvc_tpu.data import kaldi_io
+
+    rng = np.random.default_rng(seed)
+    alphabet = "abcd"
+    dim = 10
+    templates = {c: rng.normal(size=(dim,)) * 2.0 for c in alphabet}
+    d = tmp_path / "asr_data"
+    d.mkdir()
+    texts = {}
+    with kaldi_io.ArkWriter(d / "feats.ark", d / "feats.scp") as w, \
+            open(d / "text", "w") as tf:
+        for i in range(n_utts):
+            n_char = int(rng.integers(2, 6))
+            text = "".join(rng.choice(list(alphabet), size=n_char))
+            frames = []
+            for c in text:
+                block = templates[c][None, :].repeat(8, axis=0)
+                frames.append(block + 0.1 * rng.normal(size=block.shape))
+            mat = np.concatenate(frames).astype(np.float32)
+            utt = f"utt{i:03d}"
+            w.write(utt, mat)
+            tf.write(f"{utt} {text}\n")
+            texts[utt] = text
+    return d, texts
+
+
+class TestCTC:
+    def test_train_and_transcribe(self, tmp_path):
+        from vae_npvc_tpu.eval.asr import train_ctc
+
+        d, texts = _char_corpus(tmp_path)
+        rec = train_ctc(d, steps=400, batch_size=16, width=48, seed=0,
+                        log_every=0)
+        hyps = rec.transcribe_scp(d / "feats.scp", batch_size=8, bucket=64)
+        total, _, _ = wer_mod.score(texts, hyps, "char")
+        assert total.err_pct < 10.0, f"CER {total.err_pct}%"
+
+    def test_recognizer_interface_resolution(self):
+        from vae_npvc_tpu.eval.asr import CTCRecognizer, get_recognizer
+
+        rec = get_recognizer("vae_npvc_tpu.eval.asr:CTCRecognizer",
+                             model=None, params=None, vocab={"a": 1})
+        assert isinstance(rec, CTCRecognizer)
+
+
+class TestEvalAsrCLI:
+    def test_cli_end_to_end(self, tmp_path, monkeypatch, capsys):
+        """Train → transcribe → result.txt/result.wrd.txt greppable."""
+        import sys
+
+        from vae_npvc_tpu.bin.eval_asr import main
+
+        d, texts = _char_corpus(tmp_path)
+        out = tmp_path / "asr_result"
+        ckpt = tmp_path / "ctc.msgpack"
+        argv = ["eval_asr", "--train_dir", str(d),
+                "--eval_scp", str(d / "feats.scp"),
+                "--ref_text", str(d / "text"),
+                "--output_dir", str(out),
+                "--recognizer_ckpt", str(ckpt),
+                "--steps", "400", "--width", "48"]
+        monkeypatch.setattr(sys, "argv", argv)
+        main()
+        printed = capsys.readouterr().out
+        assert "CER:" in printed and "WER:" in printed
+        assert (out / "result.txt").exists()
+        assert (out / "result.wrd.txt").exists()
+        line = [ln for ln in (out / "result.txt").read_text().splitlines()
+                if "Sum/Avg" in ln][0]
+        assert float(line.split()[10]) < 10.0  # CER% on train data
+
+        # second run reuses the checkpoint (no training) and matches
+        monkeypatch.setattr(sys, "argv", argv)
+        main()
+        printed2 = capsys.readouterr().out
+        assert "loaded recognizer" in printed2
+        assert printed.splitlines()[-1] == printed2.splitlines()[-1]

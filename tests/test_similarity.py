@@ -52,3 +52,31 @@ def test_similarity_pipeline(spk_data):
     m_good, _ = cosine_similarity_report(embs, embs, good, u2s)
     m_bad, _ = cosine_similarity_report(embs, embs, bad, u2s)
     assert m_good > m_bad
+
+
+def test_plda_similarity_report(spk_data):
+    """PLDA trained on the embedder's outputs ranks true targets higher."""
+    from vae_npvc_tpu.eval.plda import plda_train
+    from vae_npvc_tpu.eval.similarity import (plda_similarity_report,
+                                              write_scores)
+
+    root, _ = spk_data
+    cfg = {"crop_length": 24, "use_native_loader": False}
+    model, params = train_embedder(root, cfg, steps=150, batch_size=16,
+                                   log_every=0)
+    embs = embed_scp(model, params, root / "feats.scp")
+    u2s = kaldi_io.load_dict_data(root / "utt2spk_id")
+    utts = sorted(embs)
+    plda = plda_train(np.stack([embs[u] for u in utts]),
+                      [u2s[u] for u in utts])
+    good = {u: u2s[u] for u in utts[:9]}
+    bad = {u: str((int(u2s[u]) + 1) % 3) for u in utts[:9]}
+    m_good, per_utt = plda_similarity_report(plda, embs, embs, good, u2s)
+    m_bad, _ = plda_similarity_report(plda, embs, embs, bad, u2s)
+    assert m_good > m_bad
+
+    # scores-file shape: $3 of the tail line is the mean (reference grep)
+    write_scores(root / "plda_scores", "0", per_utt, m_good)
+    tail = (root / "plda_scores").read_text().splitlines()[-1].split()
+    assert tail[1] == "Mean" and float(tail[2]) == pytest.approx(m_good,
+                                                                 abs=1e-4)

@@ -1,0 +1,89 @@
+"""Intelligibility (CER/WER) evaluation CLI.
+
+In-framework replacement for the reference's ASR objective-eval stage
+(reference: egs/vcc20/vae1/local/ob_eval/evaluate.sh:72-155 — downloads a
+pretrained ESPnet LibriSpeech transformer ASR, decodes converted audio, and
+scores CER/WER with sclite). Here the recognizer is pluggable
+(``--recognizer module:Class`` satisfying ``transcribe_scp``); the default is
+the in-framework CTC proxy trained on the experiment's own
+(mel, transcript) pairs, and scoring uses the sclite-semantics scorer
+(eval/wer.py), writing ``result.txt`` (char) / ``result.wrd.txt`` (word) in
+the shape the reference greps (test.sh:19-20).
+
+Usage:
+    python -m vae_npvc_tpu.bin.eval_asr \
+        --train_dir dump/train --eval_scp out/feats.scp \
+        --ref_text data/eval/text --output_dir exp/.../asr_result
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--train_dir", type=str, default=None,
+                        help="data dir with feats.scp + text to train the "
+                             "CTC proxy recognizer on")
+    parser.add_argument("--eval_scp", type=str, required=True,
+                        help="feats.scp of the (converted) utterances")
+    parser.add_argument("--ref_text", type=str, required=True,
+                        help="Kaldi text file with reference transcripts")
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--recognizer", type=str, default=None,
+                        help="module.path:ClassName recognizer override "
+                             "(e.g. a wrapper around a real pretrained ASR)")
+    parser.add_argument("--recognizer_ckpt", type=str, default=None,
+                        help="reuse/persist the trained CTC proxy here")
+    parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--width", type=int, default=192)
+    parser.add_argument("--platform", type=str, default=None)
+    args = parser.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..data import kaldi_io
+    from ..eval import wer
+    from ..eval.asr import CTCRecognizer, get_recognizer, train_ctc
+
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    if args.recognizer:
+        rec = get_recognizer(args.recognizer)
+    elif args.recognizer_ckpt and Path(args.recognizer_ckpt).exists():
+        rec = CTCRecognizer.load(args.recognizer_ckpt, width=args.width)
+        print(f"loaded recognizer from {args.recognizer_ckpt}")
+    else:
+        if not args.train_dir:
+            raise SystemExit("--train_dir required to train the CTC proxy "
+                             "(or pass --recognizer/--recognizer_ckpt)")
+        rec = train_ctc(args.train_dir, steps=args.steps, width=args.width)
+        if args.recognizer_ckpt:
+            Path(args.recognizer_ckpt).parent.mkdir(parents=True,
+                                                    exist_ok=True)
+            rec.save(args.recognizer_ckpt)
+
+    hyps = rec.transcribe_scp(args.eval_scp)
+    refs_all = kaldi_io.load_dict_data(args.ref_text)
+    # score only utterances present in the eval scp (hyps keys); converted
+    # utterances keep their source utterance name => transcript lookup works
+    refs = {u: refs_all[u] for u in hyps if u in refs_all}
+    if not refs:
+        raise SystemExit("no utterances shared between --eval_scp and "
+                         "--ref_text")
+
+    with open(out / "hyp.text", "w") as f:
+        for u in sorted(hyps):
+            f.write(f"{u} {hyps[u]}\n")
+    cer = wer.write_report(out / "result.txt", refs, hyps, "char")
+    w = wer.write_report(out / "result.wrd.txt", refs, hyps, "word")
+    print(f"CER: {cer.err_pct:.2f}  WER: {w.err_pct:.2f} "
+          f"over {len(refs)} utterances")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,12 +1,16 @@
-"""Speaker-similarity CLI: train embedder → embed → cosine report.
+"""Speaker-similarity CLI: train embedder → embed → PLDA + cosine report.
 
 Self-contained replacement for the reference's external x-vector/PLDA stage
-(reference: egs/vcc20/vae1/local/ob_eval/evaluate_similarity.sh).
+(reference: egs/vcc20/vae1/local/ob_eval/evaluate_similarity.sh): the PLDA is
+trained on the experiment's own training-set embeddings instead of the
+downloaded SITW model, then both PLDA LLR and cosine scores are reported
+(and optionally written in the reference's scores-file shape).
 
 Usage:
     python -m vae_npvc_tpu.bin.eval_similarity -c conf/train.yaml \
         --train_dir dump/train --converted_scp decode_out/feats.scp \
-        --trials dump/eval/trials --enroll_dir dump/train
+        --trials dump/eval/trials --enroll_dir dump/train \
+        [--output_dir exp/.../asv_result]
 """
 
 from __future__ import annotations
@@ -28,6 +32,9 @@ def main():
                         help="data dir with feats.scp + utt2spk(_id) of real "
                              "target-speaker utterances")
     parser.add_argument("--steps", type=int, default=2000)
+    parser.add_argument("--output_dir", type=str, default=None,
+                        help="write per-target plda_scores/cossim_scores "
+                             "files (reference scores-file shape)")
     parser.add_argument("--platform", type=str, default=None)
     args = parser.parse_args()
     if args.platform:
@@ -36,9 +43,13 @@ def main():
 
     from pathlib import Path
 
+    import numpy as np
+
     from ..data import kaldi_io
+    from ..eval.plda import plda_train
     from ..eval.similarity import (cosine_similarity_report, embed_scp,
-                                   train_embedder)
+                                   plda_similarity_report, train_embedder,
+                                   write_scores)
 
     config = yaml.safe_load(open(args.config))
     model, params = train_embedder(args.train_dir, config, steps=args.steps)
@@ -61,9 +72,41 @@ def main():
         remap = {**{k: k for k in enroll_spks}, **name2id, **id2name}
         utt2target = {u: remap.get(t, t) for u, t in utt2target.items()}
 
-    mean, per_utt = cosine_similarity_report(conv_embs, enroll_embs,
-                                             utt2target, enroll_utt2spk)
-    print(f"COSSIM: {mean:.4f} over {len(per_utt)} utterances")
+    cos_mean, cos_per_utt = cosine_similarity_report(
+        conv_embs, enroll_embs, utt2target, enroll_utt2spk)
+
+    # PLDA trained on the training-set embeddings (speaker labels from the
+    # train dir) — the offline stand-in for the reference's SITW PLDA
+    train_dir = Path(args.train_dir)
+    train_embs = embed_scp(model, params, train_dir / "feats.scp")
+    if (train_dir / "utt2spk").exists():
+        train_utt2spk = kaldi_io.load_dict_data(train_dir / "utt2spk")
+    else:
+        train_utt2spk = kaldi_io.load_dict_data(train_dir / "utt2spk_id")
+    utts = [u for u in train_embs if u in train_utt2spk]
+    plda = plda_train(np.stack([train_embs[u] for u in utts]),
+                      [train_utt2spk[u] for u in utts])
+    plda_mean, plda_per_utt = plda_similarity_report(
+        plda, conv_embs, enroll_embs, utt2target, enroll_utt2spk)
+
+    if args.output_dir:
+        out = Path(args.output_dir)
+        for tgt in sorted(set(utt2target.values())):
+            d = out / tgt
+            d.mkdir(parents=True, exist_ok=True)
+            tgt_utts = [u for u, t in utt2target.items() if t == tgt]
+            pu_cos = {u: cos_per_utt[u] for u in tgt_utts if u in cos_per_utt}
+            pu_plda = {u: plda_per_utt[u] for u in tgt_utts
+                       if u in plda_per_utt}
+            if pu_cos:
+                write_scores(d / "cossim_scores", tgt, pu_cos,
+                             float(np.mean(list(pu_cos.values()))))
+            if pu_plda:
+                write_scores(d / "plda_scores", tgt, pu_plda,
+                             float(np.mean(list(pu_plda.values()))))
+
+    print(f"PLDA: {plda_mean:.4f}  COSSIM: {cos_mean:.4f} "
+          f"over {len(cos_per_utt)} utterances")
 
 
 if __name__ == "__main__":

@@ -1,16 +1,32 @@
-"""Mel-cepstral distortion with DTW alignment.
+"""Mel-cepstral distortion with DTW alignment (mel proxy + wav-domain mcep).
 
 Self-contained analog of the reference's objective evaluation stage
 (reference: egs/vcc20/vae1/local/ob_eval/evaluate.sh:57-69 drives an external
-``mcd_calculate.py`` over WORLD mceps). This environment has no WORLD/pysptk,
-so cepstra are computed as the DCT-II of the log-mel features — the standard
-MCD formula 10/ln10 · sqrt(2 · Σ_d (c1_d − c2_d)²) over DTW-aligned frames,
-excluding c0 (energy), averaged over the aligned path.
+``mcd_calculate.py`` over WORLD mceps with per-speaker f0 search ranges from
+``conf/<spk>.f0`` and knobs --mcep_dim/--mcep_alpha/--shiftms/--f0min/--f0max).
+Two modes here:
+
+- **mel proxy** (``mcd``/``mcd_from_scp``): cepstra as the DCT-II of log-mel
+  features. Fast, works directly on the framework's feature arks, but numbers
+  are NOT comparable to reference-published WORLD-mcep MCDs (different
+  envelope estimator and frequency warping).
+- **wav-domain mcep** (``mcd_wav``/``mcd_from_wavdirs``): from-scratch
+  mel-cepstra with the reference's knob set — STFT power envelope,
+  first-order all-pass frequency warping with ``mcep_alpha`` (0.466 @ 24 kHz,
+  the VCC2020 setting), ``mcep_dim`` coefficients at ``shiftms`` frame shift,
+  autocorrelation f0 with the per-speaker ``f0min``/``f0max`` range used to
+  restrict scoring to frames voiced in both signals (WORLD/pysptk are not in
+  this environment; the warping matches SPTK's mcep frequency axis, the
+  envelope is |STFT| rather than CheapTrick — a documented deviation).
+
+MCD formula both modes: 10/ln10 · sqrt(2 · Σ_{d≥1} (c1_d − c2_d)²) over
+DTW-aligned frames, excluding c0 (energy).
 """
 
 from __future__ import annotations
 
 import math
+from pathlib import Path
 
 import numpy as np
 
@@ -81,4 +97,175 @@ def mcd_from_scp(scp_a, scp_b, n_cep=25):
         raise ValueError("no shared utterances between the two scps")
     per_utt = {u: mcd(kaldi_io.load_mat(a[u]), kaldi_io.load_mat(b[u]),
                       n_cep) for u in utts}
+    return float(np.mean(list(per_utt.values()))), per_utt
+
+
+# ---------------------------------------------------------------------------
+# wav-domain mcep MCD (reference knob set: evaluate.sh:57-69)
+# ---------------------------------------------------------------------------
+
+def read_f0_range(conf_path):
+    """Read a reference-style ``conf/<spk>.f0`` file: "<f0min> <f0max>"."""
+    lo, hi = Path(conf_path).read_text().split()[:2]
+    return float(lo), float(hi)
+
+
+def default_mcep_alpha(fs):
+    """Standard all-pass warping constants by sample rate (SPTK convention;
+    the VCC2020 recipes use 0.466 at 24 kHz)."""
+    table = {8000: 0.312, 16000: 0.41, 22050: 0.455, 24000: 0.466,
+             44100: 0.544, 48000: 0.554}
+    return table.get(int(fs), 0.42)
+
+
+def estimate_f0(x, fs, f0min=70.0, f0max=400.0, shiftms=5.0,
+                frame_sec=0.04, voicing_threshold=0.45):
+    """Frame-wise autocorrelation f0; 0 for unvoiced frames.
+
+    Stand-in for WORLD harvest bounded by the per-speaker range
+    (reference evaluate.sh:58-59 reads the range from conf/<spk>.f0).
+    """
+    x = np.asarray(x, np.float64)
+    hop = int(fs * shiftms / 1000.0)
+    win = int(fs * frame_sec)
+    lag_min = max(int(fs / f0max), 2)
+    lag_max = min(int(fs / f0min), win - 1)
+    n_frames = max(1 + (len(x) - win) // hop, 0)
+    f0 = np.zeros(n_frames)
+    for t in range(n_frames):
+        fr = x[t * hop:t * hop + win]
+        fr = fr - fr.mean()
+        e0 = float(np.dot(fr, fr))
+        if e0 < 1e-8:
+            continue
+        # normalized autocorrelation over the allowed lag range
+        ac = np.correlate(fr, fr, mode="full")[len(fr) - 1:]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            nac = ac / e0
+        seg = nac[lag_min:lag_max + 1]
+        if seg.size == 0:
+            continue
+        k = int(np.argmax(seg))
+        if seg[k] > voicing_threshold:
+            f0[t] = fs / (lag_min + k)
+    return f0
+
+
+def _warp_frequencies(omega, alpha):
+    """First-order all-pass frequency warping ω → ω̃ (SPTK mcep axis)."""
+    return omega + 2.0 * np.arctan2(alpha * np.sin(omega),
+                                    1.0 - alpha * np.cos(omega))
+
+
+def mcep_from_wav(x, fs, mcep_dim=34, mcep_alpha=None, shiftms=5.0,
+                  n_fft=1024):
+    """(samples,) → (T, mcep_dim+1) warped cepstra (c0..c_dim).
+
+    Log |STFT| envelope resampled onto the alpha-warped frequency axis, then
+    an inverse-DCT-style projection to ``mcep_dim+1`` cepstral coefficients —
+    the same frequency warping as SPTK mcep (the reference's extractor),
+    with a spectrum envelope from the STFT magnitude instead of CheapTrick.
+    """
+    if mcep_alpha is None:
+        mcep_alpha = default_mcep_alpha(fs)
+    x = np.asarray(x, np.float64)
+    hop = int(fs * shiftms / 1000.0)
+    win = np.hanning(n_fft)
+    n_frames = max(1 + (len(x) - n_fft) // hop, 0)
+    K = n_fft // 2 + 1
+    frames = np.stack([x[t * hop:t * hop + n_fft] * win
+                       for t in range(n_frames)]) if n_frames else \
+        np.zeros((0, n_fft))
+    spec = np.abs(np.fft.rfft(frames, n_fft, axis=-1))
+    logs = np.log(np.maximum(spec, 1e-10))
+
+    # sample the log envelope on the UNwarped axis at positions whose warped
+    # image is uniform: invert the warp by interpolation
+    omega = np.linspace(0.0, np.pi, K)
+    warped = _warp_frequencies(omega, mcep_alpha)      # monotone 0..pi
+    uniform = np.linspace(0.0, np.pi, K)
+    # for each uniform warped frequency find the source (unwarped) frequency
+    src = np.interp(uniform, warped, omega)
+    pos = src / np.pi * (K - 1)
+    lo = np.floor(pos).astype(int)
+    hi = np.minimum(lo + 1, K - 1)
+    w = pos - lo
+    warped_logs = logs[:, lo] * (1.0 - w) + logs[:, hi] * w
+
+    # cepstra of the warped log envelope (orthonormal-free cosine transform,
+    # the convention behind the 10/ln10*sqrt(2) MCD constant)
+    k = np.arange(mcep_dim + 1)
+    basis = np.cos(np.pi * np.arange(K)[None, :] * k[:, None] / (K - 1))
+    basis[:, 0] *= 0.5
+    basis[:, -1] *= 0.5
+    return (warped_logs @ basis.T) * (2.0 / (K - 1))
+
+
+def mcd_wav(x_a, x_b, fs, *, mcep_dim=34, mcep_alpha=None, shiftms=5.0,
+            f0min=70.0, f0max=400.0, voiced_only=True, n_fft=1024):
+    """Reference-knob MCD between two waveforms (converted vs ground truth).
+
+    DTW over warped mceps excluding c0; with ``voiced_only`` the reported
+    mean runs over aligned frame pairs voiced in both signals (f0 search
+    bounded by the per-speaker range, reference conf/<spk>.f0).
+    """
+    ca = mcep_from_wav(x_a, fs, mcep_dim, mcep_alpha, shiftms, n_fft)[:, 1:]
+    cb = mcep_from_wav(x_b, fs, mcep_dim, mcep_alpha, shiftms, n_fft)[:, 1:]
+    if min(len(ca), len(cb)) == 0:
+        raise ValueError("empty mcep sequence")
+    diff = ca[:, None, :] - cb[None, :, :]
+    cost = np.sqrt(np.sum(diff ** 2, axis=-1))
+    path = dtw_path(cost)
+    if voiced_only:
+        va = estimate_f0(x_a, fs, f0min, f0max, shiftms) > 0
+        vb = estimate_f0(x_b, fs, f0min, f0max, shiftms) > 0
+        sel = [(i, j) for i, j in path
+               if i < len(va) and j < len(vb) and va[i] and vb[j]]
+        if sel:
+            path = sel
+    d = np.array([cost[i, j] for i, j in path])
+    return MCD_CONST / math.sqrt(2.0) * float(np.mean(d))
+
+
+def mcd_from_wavdirs(wavdir, gtwavdir, *, f0_conf=None, mcep_dim=34,
+                     mcep_alpha=None, shiftms=5.0, f0min=70.0, f0max=400.0,
+                     voiced_only=True):
+    """Mean MCD between converted wavs and target ground-truth wavs.
+
+    Pairing: a converted ``<src>_<stem>.wav`` matches a GT file whose name
+    ends with the same ``<stem>`` (the parallel-corpus convention — VCC2020
+    eval sentences exist for every speaker; reference mcd stage pairs
+    converted audio with ``${db_root}/${trgspk}`` recordings of the same
+    sentence, evaluate.sh:60-69).
+    """
+    import wave as wave_mod
+
+    def read_wav(p):
+        with wave_mod.open(str(p), "rb") as w:
+            fs = w.getframerate()
+            x = np.frombuffer(w.readframes(w.getnframes()),
+                              np.int16).astype(np.float64) / 32768.0
+        return fs, x
+
+    if f0_conf:
+        f0min, f0max = read_f0_range(f0_conf)
+    gt = {}
+    for p in sorted(Path(gtwavdir).glob("**/*.wav")):
+        stem = p.stem.split("_")[-1]
+        gt[stem] = p
+    per_utt = {}
+    for p in sorted(Path(wavdir).glob("*.wav")):
+        stem = p.stem.split("_")[-1]
+        if stem not in gt:
+            continue
+        fs_a, xa = read_wav(p)
+        fs_b, xb = read_wav(gt[stem])
+        if fs_a != fs_b:
+            raise ValueError(f"sample-rate mismatch {p} vs {gt[stem]}")
+        per_utt[p.stem] = mcd_wav(xa, xb, fs_a, mcep_dim=mcep_dim,
+                                  mcep_alpha=mcep_alpha, shiftms=shiftms,
+                                  f0min=f0min, f0max=f0max,
+                                  voiced_only=voiced_only)
+    if not per_utt:
+        raise ValueError("no (converted, ground-truth) wav pairs matched")
     return float(np.mean(list(per_utt.values()))), per_utt

@@ -1,12 +1,14 @@
 """Speaker-similarity evaluation with an in-framework x-vector-style embedder.
 
 The reference's similarity stage downloads a pretrained Kaldi SITW x-vector
-model and scores converted audio with PLDA/cosine (reference:
+model and scores converted audio with PLDA *and* cosine (reference:
 egs/vcc20/vae1/local/ob_eval/evaluate_similarity.sh:54-142) — external
 binaries and network downloads. This module is the self-contained equivalent:
 a small conv + statistics-pooling speaker embedder trained on the experiment's
 own training mels, then cosine scoring between converted utterances and
-target-speaker enrollment embeddings.
+target-speaker enrollment embeddings, plus PLDA scoring (eval/plda.py) with
+the PLDA trained on the same training embeddings (the offline stand-in for
+Kaldi's downloaded SITW PLDA model).
 """
 
 from __future__ import annotations
@@ -153,3 +155,36 @@ def cosine_similarity_report(conv_embs, enroll_embs, utt2target,
     if not per_utt:
         raise ValueError("no scorable (converted utt, target) pairs")
     return float(np.mean(list(per_utt.values()))), per_utt
+
+
+def plda_similarity_report(plda, conv_embs, enroll_embs, utt2target,
+                           enroll_utt2spk):
+    """Mean PLDA LLR of each converted utt vs its target speaker's raw-mean
+    enrollment vector (Kaldi ivector-mean + --num-utts semantics,
+    reference evaluate_similarity.sh:121-129). Returns (mean, per_utt)."""
+    from .plda import plda_score
+
+    spk_vecs: dict = {}
+    for utt, spk in enroll_utt2spk.items():
+        if utt in enroll_embs:
+            spk_vecs.setdefault(spk, []).append(enroll_embs[utt])
+    spk_mean = {s: np.mean(v, axis=0) for s, v in spk_vecs.items()}
+    spk_count = {s: len(v) for s, v in spk_vecs.items()}
+    per_utt = {}
+    for utt, tgt in utt2target.items():
+        if utt in conv_embs and tgt in spk_mean:
+            per_utt[utt] = plda_score(plda, spk_mean[tgt], conv_embs[utt],
+                                      n_enroll=spk_count[tgt])
+    if not per_utt:
+        raise ValueError("no scorable (converted utt, target) pairs")
+    return float(np.mean(list(per_utt.values()))), per_utt
+
+
+def write_scores(path, target, per_utt, mean):
+    """Reference scores-file shape: ``<trg>_enroll <utt> <score>`` rows plus
+    a final Mean row (evaluate_similarity.sh:136-142; test.sh greps $3 of the
+    tail line)."""
+    with open(path, "w") as f:
+        for utt, s in per_utt.items():
+            f.write(f"{target}_enroll {utt} {s:.6f}\n")
+        f.write(f"{target}_enroll Mean {mean:.6f}\n")
