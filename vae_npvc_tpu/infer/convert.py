@@ -64,17 +64,13 @@ class Converter:
         self.bucket_size = config.get("decode_bucket_size", 256)
         self.batch_size = config.get("decode_batch_size", 8)
         self.variables = None
-        # only the flat model threads length masks; hierarchical models are
-        # batched by EXACT length instead (same outputs, more compiles)
-        self.supports_lengths = type(self.model).__module__.endswith(".vqvae")
-        if self.supports_lengths:
-            self._infer_jit = jax.jit(
-                lambda v, x, y, lengths: self.model.apply(
-                    v, x, y, lengths, method="infer"))
-        else:
-            self._infer_jit = jax.jit(
-                lambda v, x, y, lengths: self.model.apply(
-                    v, x, y, method="infer"))
+        # every model family threads length masks (padded batch == unpadded
+        # runs, tests/test_masked_inference.py incl. the hierarchical
+        # families), so all models share the bucketed-padded batching path
+        self.supports_lengths = True
+        self._infer_jit = jax.jit(
+            lambda v, x, y, lengths: self.model.apply(
+                v, x, y, lengths, method="infer"))
 
     def load_checkpoint(self, path):
         import jax
@@ -121,8 +117,7 @@ class Converter:
                 cpu_vars = jax.device_put(self.variables, cpu)
                 out = self.model.apply(
                     cpu_vars, jnp.asarray(feats), jnp.asarray(tgts),
-                    *((jnp.asarray(lengths),) if self.supports_lengths
-                      else ()), method="infer")
+                    jnp.asarray(lengths), method="infer")
                 return np.asarray(out)
 
     # --------------------------------------------------------------- sweep
@@ -136,7 +131,7 @@ class Converter:
         import jax
         import jax.numpy as jnp
 
-        if not self.supports_lengths:
+        if not type(self.model).__module__.endswith(".vqvae"):
             raise NotImplementedError(
                 "the all-targets sweep currently supports the flat vqvae "
                 "model (encode-once + speaker-axis decode)")
@@ -217,12 +212,12 @@ class Converter:
             T = kaldi_io.matrix_header(feats_scp[utt])[0]
             jobs.append((utt, feats_scp[utt], T, tgt))
 
-        # bucket by padded length (flat model) or exact length (hierarchical)
+        # bucket by padded length; masked inference keeps padded batches
+        # numerically identical to unpadded runs for every model family
         buckets: dict[int, list] = {}
         for job in jobs:
-            key = (_bucket(job[2], self.bucket_size) if self.supports_lengths
-                   else job[2])
-            buckets.setdefault(key, []).append(job)
+            buckets.setdefault(_bucket(job[2], self.bucket_size),
+                               []).append(job)
 
         wspec = f"ark,scp:{output_dir}/feats.ark,{output_dir}/feats.scp"
         results = {}
@@ -233,7 +228,7 @@ class Converter:
                 batch_jobs = buckets[T_pad]
                 for lo in range(0, len(batch_jobs), self.batch_size):
                     chunk = batch_jobs[lo:lo + self.batch_size]
-                    B = self.batch_size if self.supports_lengths else len(chunk)
+                    B = self.batch_size
                     D = kaldi_io.matrix_header(chunk[0][1])[1]
                     feats = np.zeros((B, T_pad, D), np.float32)
                     lengths = np.zeros((B,), np.int32)

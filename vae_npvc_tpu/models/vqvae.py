@@ -121,6 +121,15 @@ class Decoder(nn.Module):
     dtype: Any = jnp.float32
     seq_axis: Any = None
 
+    @staticmethod
+    def out_lengths(arch, lengths):
+        """Frame-count transform of the decoder (ConvT doubles etc.)."""
+        for us in arch.get("upsample_scales",
+                           [1] * len(arch.get("in_channels", [1]))):
+            if us != 1:
+                lengths = lengths * us
+        return lengths
+
     @nn.compact
     def __call__(self, z, c, lengths=None):
         a = dict(self.arch)

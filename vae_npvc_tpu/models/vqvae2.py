@@ -39,7 +39,7 @@ from ..nn.gst import StyleTokenLayer
 from ..ops import vq as vq_ops
 from ..ops.jitter import jitter as jitter_op
 from ..ops.losses import log_loss
-from ..ops.upsample import nearest_upsample
+from ..ops.upsample import nearest_upsample, nearest_upsample_masked
 from .vqvae import Decoder, Encoder
 
 
@@ -132,20 +132,43 @@ class Model(nn.Module):
                                 normalize=self.q_args[i].get("normalize",
                                                              False))
 
-    def _encode_levels(self, x):
-        """Bottom-up encoder sweep → (z per level, time per level incl. T_x)."""
+    def _encode_levels(self, x, lengths=None):
+        """Bottom-up encoder sweep → (z per level, padded time per level incl.
+        T_x, real length per level or Nones)."""
         z_levels, time_levels = [], [x.shape[1]]
+        len_levels = [lengths]
         h = x.astype(self.dtype)
         for i in range(self.levels):
-            z, h = self.encoders[i](h)
+            z, h = self.encoders[i](h, len_levels[-1])
             z_levels.append(z)
             time_levels.append(z.shape[1])
-        return z_levels, time_levels
+            len_levels.append(
+                Encoder.out_lengths(dict(self.arch)[f"encoder.{i}"],
+                                    len_levels[-1])
+                if lengths is not None else None)
+        return z_levels, time_levels, len_levels
+
+    @staticmethod
+    def _masked_mean(z, lengths):
+        """Time-mean respecting real lengths (the GST reference embedding —
+        with padding an unmasked mean would shift the style)."""
+        if lengths is None:
+            return jnp.mean(z, axis=1)
+        mask = (jnp.arange(z.shape[1])[None, :]
+                < lengths[:, None]).astype(z.dtype)
+        denom = jnp.maximum(lengths, 1).astype(z.dtype)[:, None]
+        return jnp.sum(z * mask[..., None], axis=1) / denom
+
+    @staticmethod
+    def _upsample(z, t, in_len, out_len):
+        if in_len is None or out_len is None:
+            return nearest_upsample(z, t)
+        return nearest_upsample_masked(z, t, in_len, out_len)
 
     # ---------------------------------------------------------------- forward
     def __call__(self, x, y_idx, train: bool = True):
         y = self.embeds(y_idx.reshape(y_idx.shape[0], -1)[:, 0])[:, None, :]
-        z_levels, time_levels = self._encode_levels(x)
+        z_levels, time_levels, _ = self._encode_levels(x)
 
         z_vq_levels = []   # one list per level (coarse first), upsampled
         z_qut_losses, z_enc_losses, vq_details = [], [], []
@@ -187,52 +210,76 @@ class Model(nn.Module):
         return xhat, loss, detail
 
     # ------------------------------------------------------------ inference
-    def encode(self, x):
+    def encode(self, x, lengths=None):
         """→ (ids tuple coarse→fine for VQ levels, style (B, D) or None).
 
         Runs the deterministic top-down chain (intermediate quantizer inputs
         depend on coarser decodes). Fixes the reference's broken encode
-        (vqvae2.py:49-55).
+        (vqvae2.py:49-55). With ``lengths``, zero-padded batches give results
+        identical to unpadded per-utterance runs (ids beyond the transformed
+        length are garbage; truncate with the encoder length chain).
         """
-        z_levels, time_levels = self._encode_levels(x)
+        z_levels, time_levels, len_levels = self._encode_levels(x, lengths)
         ids, style = [], None
         z_vq_levels = []
         z_ = z_levels.pop()
         for i in reversed(range(self.levels)):
             if self._is_gst_level(i):
-                style = self.gst_layer(jnp.mean(z_.astype(jnp.float32),
-                                                axis=1))
+                style = self.gst_layer(self._masked_mean(
+                    z_.astype(jnp.float32), len_levels[i + 1]))
                 z_vq = style[:, None, :]
+                in_len = (None if lengths is None else
+                          jnp.ones_like(len_levels[i + 1]))
             else:
                 idx = self._vq_encode(i, z_)
                 ids.append(idx)
                 z_vq = self._vq_decode(i, idx)
-            z_vq_levels.append([nearest_upsample(z_vq, t)
-                                for t in time_levels[:i + 1]])
+                in_len = len_levels[i + 1]
+            z_vq_levels.append([self._upsample(z_vq, time_levels[j], in_len,
+                                               len_levels[j])
+                                for j in range(i + 1)])
             if i > 0:
                 z_ = z_levels.pop()
                 cond = jnp.concatenate(
                     [lv[i] for lv in z_vq_levels], axis=-1).astype(self.dtype)
-                z_ = self.decoders[i](z_.astype(self.dtype), cond)
+                z_ = self.decoders[i](z_.astype(self.dtype), cond,
+                                      len_levels[i])
         return tuple(ids), style
 
-    def decode(self, ids, y_idx, style=None, target_len=None):
-        """ids (coarse→fine) + speaker → mel via the final decoder only."""
-        levels = []
+    def decode(self, ids, y_idx, style=None, target_len=None, lengths=None):
+        """ids (coarse→fine) + speaker → mel via the final decoder only.
+
+        ``lengths`` are the real OUTPUT frame counts of each batch row; the
+        per-level code lengths are re-derived through the encoder arch chain
+        (the code tensors are padded to their bucket shapes).
+        """
+        a = dict(self.arch)
+        len_levels = [lengths]
+        for i in range(self.levels):
+            len_levels.append(
+                Encoder.out_lengths(a[f"encoder.{i}"], len_levels[-1])
+                if lengths is not None else None)
+        levels, level_lens = [], []
         vq_level_indices = [i for i in reversed(range(self.levels))
                             if not self._is_gst_level(i)]
         if self.use_gst:
             assert style is not None, "GST hierarchy needs the style embedding"
             levels.append(style[:, None, :])
+            level_lens.append(None if lengths is None
+                              else jnp.ones_like(lengths))
         for lvl_i, idx in zip(vq_level_indices, ids):
             levels.append(self._vq_decode(lvl_i, idx))
+            level_lens.append(len_levels[lvl_i + 1])
         T = target_len if target_len is not None else levels[-1].shape[1]
-        z_vq = jnp.concatenate([nearest_upsample(lv, T) for lv in levels],
-                               axis=-1).astype(self.dtype)
+        z_vq = jnp.concatenate(
+            [self._upsample(lv, T, ln, lengths)
+             for lv, ln in zip(levels, level_lens)], axis=-1
+        ).astype(self.dtype)
         y = self.embeds(y_idx.reshape(y_idx.shape[0], -1)[:, 0])[:, None, :]
-        out = self.decoders[0](z_vq, nearest_upsample(y, T))
+        out = self.decoders[0](z_vq, nearest_upsample(y, T), lengths)
         return out.astype(jnp.float32)
 
-    def infer(self, x, y_idx):
-        ids, style = self.encode(x)
-        return self.decode(ids, y_idx, style=style, target_len=x.shape[1])
+    def infer(self, x, y_idx, lengths=None):
+        ids, style = self.encode(x, lengths)
+        return self.decode(ids, y_idx, style=style, target_len=x.shape[1],
+                           lengths=lengths)

@@ -33,7 +33,7 @@ from ..nn.gst import StyleTokenLayer
 from ..ops import vq as vq_ops
 from ..ops.jitter import jitter as jitter_op
 from ..ops.losses import log_loss
-from ..ops.upsample import nearest_upsample
+from ..ops.upsample import nearest_upsample, nearest_upsample_masked
 from .vqvae import Decoder, Encoder
 
 
@@ -163,15 +163,50 @@ class Model(nn.Module):
         table = self.embeds[i] if self.use_embeds else self.embed
         return table(y_idx)[:, None, :]           # (B, 1, y_dim)
 
-    def _encode_quantize(self, x, train, collect_losses):
+    def _len_chain(self, lengths):
+        """Real latent length per level (index i = level-i z length); pooled
+        and GST tops collapse to length 1."""
+        if lengths is None:
+            return [None] * self.levels
+        a = dict(self.arch)
+        lens, cur = [], lengths
+        for i in range(self.levels):
+            cur = Encoder.out_lengths(a[f"encoder.{i}"], cur)
+            if ((self.pooling_last or self._is_gst_level(i))
+                    and i == self.levels - 1):
+                cur = jnp.ones_like(cur)
+            lens.append(cur)
+        return lens
+
+    @staticmethod
+    def _masked_mean(z, lengths, keepdims=True):
+        if lengths is None:
+            return jnp.mean(z, axis=1, keepdims=keepdims)
+        mask = (jnp.arange(z.shape[1])[None, :]
+                < lengths[:, None]).astype(z.dtype)
+        denom = jnp.maximum(lengths, 1).astype(z.dtype)[:, None]
+        out = jnp.sum(z * mask[..., None], axis=1) / denom
+        return out[:, None, :] if keepdims else out
+
+    @staticmethod
+    def _upsample(z, t, in_len, out_len):
+        if in_len is None or out_len is None:
+            return nearest_upsample(z, t)
+        return nearest_upsample_masked(z, t, in_len, out_len)
+
+    def _encode_quantize(self, x, train, collect_losses, lengths=None):
         """Bottom-up sweep → list of z_vq per level (+ losses when training)."""
         z_vq_levels = []
         z_qut_losses, z_enc_losses, vq_details = [], [], []
+        a = dict(self.arch)
         h = x.astype(self.dtype)
+        cur_len = lengths
         for i in range(self.levels):
-            z, h = self.encoders[i](h)
+            z, h = self.encoders[i](h, cur_len)
+            if cur_len is not None:
+                cur_len = Encoder.out_lengths(a[f"encoder.{i}"], cur_len)
             if self.pooling_last and i == self.levels - 1:
-                z = jnp.mean(z.astype(jnp.float32), axis=1, keepdims=True)
+                z = self._masked_mean(z.astype(jnp.float32), cur_len)
             if self._is_gst_level(i):
                 z_vq = self.gst_layer(
                     jnp.asarray(z, jnp.float32)[:, 0, :])[:, None, :]
@@ -188,28 +223,43 @@ class Model(nn.Module):
             z_vq_levels.append(z_vq)
         return z_vq_levels, z_qut_losses, z_enc_losses, vq_details
 
-    def _decode_cascade(self, z_vq_levels, y_per_level, target_len):
+    def _decode_cascade(self, z_vq_levels, y_per_level, target_len,
+                        z_lens=None, out_len=None):
         """Top-down decode (vqvae2a.py:160-179). ``y_per_level[i]`` is the
-        (B, 1, y_dim) condition for level i."""
+        (B, 1, y_dim) condition for level i; ``z_lens[i]``/``out_len`` are
+        the real lengths for masked (padded-batch) inference."""
+        a = dict(self.arch)
+        if z_lens is None:
+            z_lens = [None] * self.levels
         xhat = None
+        cur_len = None
         for i in reversed(range(self.levels)):
             if i == self.levels - 1:
                 xhat = z_vq_levels[i]
+                cur_len = z_lens[i]
             else:
                 xhat = jnp.concatenate([z_vq_levels[i], xhat], axis=-1)
             if i == 0:
-                t_next = target_len
+                t_next, ln_next = target_len, out_len
             else:
-                t_next = z_vq_levels[i - 1].shape[1]
+                t_next, ln_next = z_vq_levels[i - 1].shape[1], z_lens[i - 1]
             y = y_per_level[i]
+            dec_arch = a[f"decoder.{i}"]
             if self.upsample_last:
                 xhat = self.decoders[i](xhat.astype(self.dtype),
-                                        nearest_upsample(y, xhat.shape[1]))
-                xhat = nearest_upsample(xhat, t_next)
+                                        nearest_upsample(y, xhat.shape[1]),
+                                        cur_len)
+                dec_len = (None if cur_len is None
+                           else Decoder.out_lengths(dec_arch, cur_len))
+                xhat = self._upsample(xhat, t_next, dec_len, ln_next)
             else:
                 xhat = self.decoders[i](
-                    nearest_upsample(xhat, t_next).astype(self.dtype),
-                    nearest_upsample(y, t_next))
+                    self._upsample(xhat, t_next, cur_len,
+                                   ln_next).astype(self.dtype),
+                    nearest_upsample(y, t_next), ln_next)
+                ln_next = (None if ln_next is None
+                           else Decoder.out_lengths(dec_arch, ln_next))
+            cur_len = ln_next
         return xhat
 
     # ---------------------------------------------------------------- forward
@@ -231,15 +281,21 @@ class Model(nn.Module):
         return xhat, loss, detail
 
     # ------------------------------------------------------------ inference
-    def encode(self, x):
+    def encode(self, x, lengths=None):
         """→ tuple over levels (fine→coarse): ids (B, T_i), or the style
-        embedding (B, D) for a GST top (working version of vqvae2a.py:72-91)."""
+        embedding (B, D) for a GST top (working version of vqvae2a.py:72-91).
+        With ``lengths``, padded batches match unpadded runs exactly (ids
+        beyond the per-level transformed length are garbage)."""
         out = []
+        a = dict(self.arch)
         h = x.astype(self.dtype)
+        cur_len = lengths
         for i in range(self.levels):
-            z, h = self.encoders[i](h)
+            z, h = self.encoders[i](h, cur_len)
+            if cur_len is not None:
+                cur_len = Encoder.out_lengths(a[f"encoder.{i}"], cur_len)
             if self.pooling_last and i == self.levels - 1:
-                z = jnp.mean(z.astype(jnp.float32), axis=1, keepdims=True)
+                z = self._masked_mean(z.astype(jnp.float32), cur_len)
             if self._is_gst_level(i):
                 out.append(self.gst_layer(
                     jnp.asarray(z, jnp.float32)[:, 0, :]))
@@ -247,9 +303,11 @@ class Model(nn.Module):
                 out.append(self._vq_encode(i, z))
         return tuple(out)
 
-    def decode(self, zs, ys, target_len=None):
+    def decode(self, zs, ys, target_len=None, lengths=None):
         """``zs`` from :meth:`encode`; ``ys`` (B,) or (B, levels) — per-level
-        speaker ids (vqvae2a.py:111 uses ys[:, i] per level)."""
+        speaker ids (vqvae2a.py:111 uses ys[:, i] per level). ``lengths`` are
+        the real OUTPUT frame counts (per-level code lengths are re-derived
+        through the encoder arch chain)."""
         ys = ys.reshape(ys.shape[0], -1)
         z_vq_levels = []
         for i in range(self.levels):
@@ -262,8 +320,11 @@ class Model(nn.Module):
         y_per_level = [
             self._embed(i, ys[:, min(i, ys.shape[1] - 1)])
             for i in range(self.levels)]
-        out = self._decode_cascade(z_vq_levels, y_per_level, target_len)
+        out = self._decode_cascade(z_vq_levels, y_per_level, target_len,
+                                   z_lens=self._len_chain(lengths),
+                                   out_len=lengths)
         return out.astype(jnp.float32)
 
-    def infer(self, x, y_idx):
-        return self.decode(self.encode(x), y_idx, target_len=x.shape[1])
+    def infer(self, x, y_idx, lengths=None):
+        return self.decode(self.encode(x, lengths), y_idx,
+                           target_len=x.shape[1], lengths=lengths)

@@ -25,7 +25,7 @@ from ..nn.gst import StyleTokenLayer
 from ..ops import vq as vq_ops
 from ..ops.jitter import jitter as jitter_op
 from ..ops.losses import log_loss
-from ..ops.upsample import nearest_upsample
+from ..ops.upsample import nearest_upsample, nearest_upsample_masked
 from .vqvae import Decoder, Encoder
 
 
@@ -121,15 +121,49 @@ class Model(nn.Module):
                                 normalize=self.q_args[i].get("normalize",
                                                              False))
 
-    def _level_decode(self, i, z_vq, y, time):
-        """Decode one level to ``time``-aligned features (vqvae2b.py:126-131)."""
+    def _len_chain(self, lengths):
+        """Real latent length per level; pooled/GST tops collapse to 1."""
+        if lengths is None:
+            return [None] * self.levels
+        a = dict(self.arch)
+        lens, cur = [], lengths
+        for i in range(self.levels):
+            cur = Encoder.out_lengths(a[f"encoder.{i}"], cur)
+            if ((self.pooling_last or self._is_gst_level(i))
+                    and i == self.levels - 1):
+                cur = jnp.ones_like(cur)
+            lens.append(cur)
+        return lens
+
+    @staticmethod
+    def _masked_mean(z, lengths, keepdims=True):
+        if lengths is None:
+            return jnp.mean(z, axis=1, keepdims=keepdims)
+        mask = (jnp.arange(z.shape[1])[None, :]
+                < lengths[:, None]).astype(z.dtype)
+        denom = jnp.maximum(lengths, 1).astype(z.dtype)[:, None]
+        out = jnp.sum(z * mask[..., None], axis=1) / denom
+        return out[:, None, :] if keepdims else out
+
+    @staticmethod
+    def _upsample(z, t, in_len, out_len):
+        if in_len is None or out_len is None:
+            return nearest_upsample(z, t)
+        return nearest_upsample_masked(z, t, in_len, out_len)
+
+    def _level_decode(self, i, z_vq, y, time, z_len=None, out_len=None):
+        """Decode one level to ``time``-aligned features (vqvae2b.py:126-131).
+        ``z_len``/``out_len`` are real lengths for masked padded batches."""
+        dec_arch = dict(self.arch)[f"decoder.{i}"]
         if self.upsample_last:
             out = self.decoders[i](z_vq.astype(self.dtype),
-                                   nearest_upsample(y, z_vq.shape[1]))
-            return nearest_upsample(out, time)
+                                   nearest_upsample(y, z_vq.shape[1]), z_len)
+            dec_len = (None if z_len is None
+                       else Decoder.out_lengths(dec_arch, z_len))
+            return self._upsample(out, time, dec_len, out_len)
         return self.decoders[i](
-            nearest_upsample(z_vq, time).astype(self.dtype),
-            nearest_upsample(y, time))
+            self._upsample(z_vq, time, z_len, out_len).astype(self.dtype),
+            nearest_upsample(y, time), out_len)
 
     # ---------------------------------------------------------------- forward
     def __call__(self, x, y_idx, train: bool = True):
@@ -170,15 +204,20 @@ class Model(nn.Module):
         return xhat, loss, detail
 
     # ------------------------------------------------------------ inference
-    def encode(self, x):
+    def encode(self, x, lengths=None):
         """→ tuple over levels: ids (B, T_i) / style (B, D) for a GST top
-        (vqvae2b.py:52-70)."""
+        (vqvae2b.py:52-70). With ``lengths``, padded batches match unpadded
+        runs exactly (ids beyond the per-level length are garbage)."""
         out = []
+        a = dict(self.arch)
         h = x.astype(self.dtype)
+        cur_len = lengths
         for i in range(self.levels):
-            z, h = self.encoders[i](h)
+            z, h = self.encoders[i](h, cur_len)
+            if cur_len is not None:
+                cur_len = Encoder.out_lengths(a[f"encoder.{i}"], cur_len)
             if self.pooling_last and i == self.levels - 1:
-                z = jnp.mean(z.astype(jnp.float32), axis=1, keepdims=True)
+                z = self._masked_mean(z.astype(jnp.float32), cur_len)
             if self._is_gst_level(i):
                 out.append(self.gst_layer(
                     jnp.asarray(z, jnp.float32)[:, 0, :]))
@@ -186,14 +225,15 @@ class Model(nn.Module):
                 out.append(self._vq_encode(i, z))
         return tuple(out)
 
-    def decode(self, zs, ys, target_len=None):
+    def decode(self, zs, ys, target_len=None, lengths=None):
         """``ys`` (B,) or (B, levels): per-level speaker ids
-        (vqvae2b.py:73-90)."""
+        (vqvae2b.py:73-90). ``lengths`` are the real OUTPUT frame counts."""
         ys = ys.reshape(ys.shape[0], -1)
         if target_len is None:
             # finest VQ level's length (the GST entry is (B, D), not temporal)
             target_len = max(zs[i].shape[-1] for i in range(self.levels)
                              if not self._is_gst_level(i))
+        z_lens = self._len_chain(lengths)
         level_feats = []
         for i in range(self.levels):
             y = self.embeds[i](ys[:, min(i, ys.shape[1] - 1)])[:, None, :]
@@ -201,9 +241,12 @@ class Model(nn.Module):
                 z_vq = zs[i][:, None, :]
             else:
                 z_vq = self._vq_decode(i, zs[i])
-            level_feats.append(self._level_decode(i, z_vq, y, target_len))
+            level_feats.append(self._level_decode(i, z_vq, y, target_len,
+                                                  z_len=z_lens[i],
+                                                  out_len=lengths))
         fused = jnp.concatenate(level_feats, axis=-1).astype(self.dtype)
-        return self.final_decoder(fused, None).astype(jnp.float32)
+        return self.final_decoder(fused, None, lengths).astype(jnp.float32)
 
-    def infer(self, x, y_idx):
-        return self.decode(self.encode(x), y_idx, target_len=x.shape[1])
+    def infer(self, x, y_idx, lengths=None):
+        return self.decode(self.encode(x, lengths), y_idx,
+                           target_len=x.shape[1], lengths=lengths)
