@@ -30,6 +30,10 @@ train_config=conf/train_vqvae.yaml
 tag=""
 srcspk=SEF1
 trgspk=TEF1
+voc=GL                        # GL (Griffin-Lim) or PWG (needs the optional
+                              # parallel_wavegan package + pretrained model,
+                              # reference run.sh:192-239)
+voc_expdir=exp/parallel_wavegan
 griffin_lim_iters=64
 asr_steps=3000                # CTC-proxy recognizer training steps (stage 7)
 sim_steps=1000                # speaker-embedder training steps (stage 7)
@@ -139,13 +143,24 @@ if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then
 fi
 
 if [ "${stage}" -le 6 ] && [ "${stop_stage}" -ge 6 ]; then
-    echo "stage 6: Griffin-Lim synthesis"
+    echo "stage 6: Waveform synthesis (voc=${voc})"
     denorm=${outdir}_denorm/${srcspk}_${trgspk}
     ${PY} vae_npvc_tpu.bin.apply_cmvn apply --reverse data/${train_set}_cmvn.ark \
         scp:${outdir}/${srcspk}_${trgspk}/feats.scp ${denorm}
-    ${PY} vae_npvc_tpu.bin.convert_fbank --fs ${fs} ${fmax:+--fmax ${fmax}} ${fmin:+--fmin ${fmin}} \
-        --n_fft ${n_fft} --n_shift ${n_shift} --n_mels ${n_mels} \
-        --iters ${griffin_lim_iters} ${denorm}/feats.scp ${denorm}/wav
+    if [ "${voc}" = "PWG" ]; then
+        # optional Parallel WaveGAN backend (reference run.sh:192-239);
+        # needs the parallel_wavegan package + pretrained ${voc_expdir}
+        python - <<EOF
+from vae_npvc_tpu.infer.vocoder import pwg_decode_scp
+n = pwg_decode_scp("${denorm}/feats.scp", "${denorm}/pwg_wav",
+                   "${voc_expdir}")
+print(f"PWG synthesized {n} wavs")
+EOF
+    else
+        ${PY} vae_npvc_tpu.bin.convert_fbank --fs ${fs} ${fmax:+--fmax ${fmax}} ${fmin:+--fmin ${fmin}} \
+            --n_fft ${n_fft} --n_shift ${n_shift} --n_mels ${n_mels} \
+            --iters ${griffin_lim_iters} ${denorm}/feats.scp ${denorm}/wav
+    fi
 fi
 
 if [ "${stage}" -le 7 ] && [ "${stop_stage}" -ge 7 ]; then

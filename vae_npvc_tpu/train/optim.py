@@ -5,6 +5,18 @@ Reference semantics (vae_npvc/trainer/basic.py:32-48): Adam or RAdam with betas
 steps), and global-norm gradient clipping applied before the update
 (basic.py:62-67). RAdam is optax's rectified Adam (the reference carries its own
 from-scratch port of the same algorithm, trainer/radam.py:5-78).
+
+The reference also ships two optimizer variants no shipped config uses
+(inventory parity):
+
+- ``PlainRAdam`` (radam.py:80-142) — RAdam without the 10-slot step-size
+  cache; mathematically the same rectified update, so it maps to
+  ``optax.radam`` too (the cache only quantizes the rectification term's
+  recomputation, not its value);
+- ``AdamW`` with linear warmup (radam.py:145-207) — decoupled weight decay
+  where both the step size and the decay are scaled by
+  ``1e-8 + step·lr/warmup`` until ``warmup`` steps, then ``lr``. Config keys:
+  ``warmup``, ``weight_decay`` (top level or under ``optim_param``).
 """
 
 from __future__ import annotations
@@ -27,14 +39,36 @@ def build_schedule(config):
     )
 
 
+def _warmup_schedule(lr, warmup):
+    """Reference AdamW warmup: 1e-8 + step·lr/warmup, then lr
+    (radam.py:195-198)."""
+    if not warmup:
+        return lr
+    return optax.join_schedules(
+        [optax.linear_schedule(1e-8, lr, warmup), lambda _: lr], [warmup])
+
+
 def build_optimizer(config):
-    """Gradient transform: clip-by-global-norm → (R)Adam(0.5, 0.999)."""
+    """Gradient transform: clip-by-global-norm → the configured optimizer."""
     schedule = build_schedule(config)
     optim_type = config.get("optim_type", "Adam")
     max_grad_norm = config.get("max_grad_norm", 5)
+    extra = dict(config.get("optim_param", {}))
+    warmup = config.get("warmup", extra.get("warmup", 0))
+    weight_decay = config.get("weight_decay", extra.get("weight_decay", 0.0))
 
-    if optim_type.upper() == "RADAM":
+    kind = optim_type.upper()
+    if kind in ("RADAM", "PLAINRADAM"):
+        # PlainRAdam = RAdam minus the step-size cache; same update values
         opt = optax.radam(schedule, b1=0.5, b2=0.999)
+    elif kind == "ADAMW":
+        # reference warmup-AdamW: betas default (0.9, 0.999) there
+        # (radam.py:147); warmup scales step size AND decoupled decay
+        lr = config.get("learning_rate", 1e-3)
+        sched = (_warmup_schedule(lr, warmup)
+                 if config.get("lr_scheduler") is None else schedule)
+        opt = optax.adamw(sched, b1=0.9, b2=0.999,
+                          weight_decay=weight_decay)
     else:
         opt = optax.adam(schedule, b1=0.5, b2=0.999)
 

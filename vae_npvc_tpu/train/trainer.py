@@ -163,12 +163,29 @@ class Trainer:
         return detail
 
     def valid(self, batches):
-        """Mean loss-detail over an iterable of batches (reference .valid)."""
+        """Mean loss-detail over an iterable of batches (reference .valid).
+
+        An indivisible batch (e.g. the last partial validation batch) is
+        split into the largest data-axis-divisible prefix (sharded) plus a
+        small replicated tail, recombined by exact size-weighted averaging —
+        valid batches share one crop length, so per-batch detail means are
+        per-row means and the weighted combine equals the full-batch mean.
+        """
         step = self._get_compiled("valid", self._valid_step)
+        n = self.mesh.shape["data"]
         acc: dict[str, list] = {}
         for batch in batches:
-            batch = self.shard_batch(batch)
-            detail = step(self.state, tuple(batch))
+            B = np.asarray(batch[0]).shape[0]
+            rem = B % n
+            if rem and B > rem:
+                main = tuple(np.asarray(a)[:B - rem] for a in batch)
+                tail = tuple(np.asarray(a)[B - rem:] for a in batch)
+                d_main = step(self.state, tuple(self.shard_batch(main)))
+                d_tail = step(self.state, tuple(self.shard_batch(tail)))
+                detail = {k: (d_main[k] * (B - rem) + d_tail[k] * rem) / B
+                          for k in d_main}
+            else:
+                detail = step(self.state, tuple(self.shard_batch(batch)))
             for k, v in detail.items():
                 acc.setdefault(k, []).append(v)
         return {k: [float(x) for x in jax.device_get(v)] for k, v in acc.items()}
