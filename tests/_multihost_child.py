@@ -1,0 +1,64 @@
+"""Child process for the 2-process multi-host CPU test (test_multihost.py).
+
+Each process owns 2 virtual CPU devices; together they form a 4-device global
+``data`` mesh over a localhost coordinator — the DCN-analog bring-up path of
+``parallel.mesh.initialize_multihost``.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+coordinator, pid = sys.argv[1], int(sys.argv[2])
+
+from vae_npvc_tpu.parallel.mesh import initialize_multihost  # noqa: E402
+
+process_id, n_proc = initialize_multihost(
+    coordinator_address=coordinator, num_processes=2, process_id=pid)
+assert process_id == pid, (process_id, pid)
+assert n_proc == 2, n_proc
+assert len(jax.devices()) == 4, jax.devices()
+assert len(jax.local_devices()) == 2
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import (Mesh, NamedSharding,  # noqa: E402
+                          PartitionSpec as P)
+
+mesh = Mesh(np.asarray(jax.devices()), ("data",))
+
+# global batch sharded over both processes: each host contributes its local
+# rows via make_array_from_process_local_data
+global_shape = (8, 3)
+local = np.arange(8 * 3, dtype=np.float32).reshape(global_shape)[
+    pid * 4:(pid + 1) * 4]
+sharding = NamedSharding(mesh, P("data"))
+garr = jax.make_array_from_process_local_data(sharding, local, global_shape)
+
+
+@jax.jit
+def global_mean_step(x):
+    # a psum-shaped global reduction: XLA inserts the cross-host collective
+    return jnp.mean(x) * jnp.ones((), jnp.float32)
+
+
+got = float(global_mean_step(garr))
+want = float(np.arange(8 * 3, dtype=np.float32).mean())
+assert abs(got - want) < 1e-5, (got, want)
+
+# explicit collective over the global mesh (the shard_map/psum path)
+from jax.experimental.shard_map import shard_map  # noqa: E402
+
+summed = jax.jit(shard_map(
+    lambda x: jax.lax.psum(jnp.sum(x), "data"),
+    mesh=mesh, in_specs=P("data"), out_specs=P()))(garr)
+assert abs(float(summed) - float(np.arange(24).sum())) < 1e-4
+
+print(f"MULTIHOST_OK pid={pid} global_mean={got}")
