@@ -10,7 +10,7 @@ from collections import defaultdict
 from pathlib import Path
 
 
-def main(data_root, list_dir, fs):
+def main(data_root, list_dir, fs, no_pipe=False):
     data_root = Path(data_root)
     out = Path(list_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -26,7 +26,8 @@ def main(data_root, list_dir, fs):
             spk = spk_dir.name
             for wav in sorted(spk_dir.glob("*.wav")):
                 utt = wav.stem
-                cmd = f"sox {wav.absolute()} -c 1 -r {fs} -b 16 -t wav - |"
+                cmd = (str(wav.absolute()) if no_pipe else
+                       f"sox {wav.absolute()} -c 1 -r {fs} -b 16 -t wav - |")
                 ws.write(f"{utt} {cmd}\n")
                 us.write(f"{utt} {spk}\n")
                 spk2utt[spk].append(utt)
@@ -42,5 +43,7 @@ if __name__ == "__main__":
     p.add_argument("-d", "--data_root", type=str, required=True)
     p.add_argument("-l", "--list_dir", type=str, default="data/all")
     p.add_argument("-f", "--fs", type=int, default=44100)
+    p.add_argument("--no-pipe", action="store_true",
+                   help="plain wav paths (in-framework resampling)")
     a = p.parse_args()
-    main(a.data_root, a.list_dir, a.fs)
+    main(a.data_root, a.list_dir, a.fs, no_pipe=a.no_pipe)

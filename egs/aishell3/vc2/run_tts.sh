@@ -16,6 +16,10 @@ z_num=128
 tts_config=conf/train_token_tts.yaml
 tts_cmd=""   # optional external trainer; by default the IN-FRAMEWORK
              # token-to-mel model (vae_npvc_tpu.bin.train_tts) is used
+use_spk_embed=false   # condition the TTS on continuous speaker embeddings
+                      # (the x-vector analog, reference run_tts.sh:153-192)
+                      # instead of the learned speaker-ID table
+spk_emb_steps=2000
 
 . ../../utils/parse_flags.sh
 export PYTHONPATH="$(cd ../../.. && pwd):${PYTHONPATH:-}"
@@ -33,9 +37,18 @@ if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
     cp ${expdir}/vq_durations.txt data/tts/durations.txt 2>/dev/null || {
         echo "missing ${expdir}/vq_durations.txt (rerun extract_bnf with --durations)"; exit 1; }
     cp ${dumpdir}/all/feats.scp ${dumpdir}/all/utt2spk_id data/tts/
+    cp ${dumpdir}/all/utt2num_frames data/tts/ 2>/dev/null || true
     cp data/tts/tokens.txt data/tts/text   # ESPnet-compatible alias
     python local/generate_nlsymbols.py -n ${z_num} -o data/tts/nlsyms.txt
     echo "token-mel dir ready: data/tts"
+fi
+
+if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ] \
+        && [ "${use_spk_embed}" = "true" ]; then
+    echo "stage 1a: Speaker-embedding extraction (x-vector analog)"
+    ${PY} vae_npvc_tpu.bin.extract_spk_emb -c ${tts_config} \
+        --train_dir data/tts --data_dir data/tts \
+        --steps ${spk_emb_steps} --spk_mean
 fi
 
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
@@ -49,6 +62,38 @@ fi
 
 if [ "${stage}" -le 2 ] && [ "${stop_stage}" -ge 2 ]; then
     echo "stage 2: Token-to-mel synthesis (per-utterance speakers)"
-    ${PY} vae_npvc_tpu.bin.decode_tts -c ${tts_config}         --checkpoint exp/token_tts/model.loss.best         --tokens data/tts/tokens.txt --spk data/tts/utt2spk_id         --output-dir exp/token_tts/decode
+    if [ "${use_spk_embed}" = "true" ]; then
+        ${PY} vae_npvc_tpu.bin.decode_tts -c ${tts_config} \
+            --checkpoint exp/token_tts/model.loss.best \
+            --tokens data/tts/tokens.txt --spk_emb data/tts/spk_emb.scp \
+            --output-dir exp/token_tts/decode
+    else
+        ${PY} vae_npvc_tpu.bin.decode_tts -c ${tts_config} \
+            --checkpoint exp/token_tts/model.loss.best \
+            --tokens data/tts/tokens.txt --spk data/tts/utt2spk_id \
+            --output-dir exp/token_tts/decode
+    fi
+fi
+
+if [ "${stage}" -le 3 ] && [ "${stop_stage}" -ge 3 ]; then
+    echo "stage 3: Token-to-mel objective eval (resynthesis MCD + similarity)"
+    mcd=$(python - <<EOF
+from vae_npvc_tpu.eval.mcd import mcd_from_scp
+mean, per_utt = mcd_from_scp("exp/token_tts/decode/feats.scp",
+                             "data/tts/feats.scp")
+print(f"{mean:.3f}")
+EOF
+)
+    # similarity trials: each synthesized utterance vs its TRUE speaker
+    awk '{print $1, $2}' data/tts/utt2spk_id > data/tts/trials_self
+    sim_line=$(${PY} vae_npvc_tpu.bin.eval_similarity -c ${tts_config} \
+        --train_dir data/tts \
+        --converted_scp exp/token_tts/decode/feats.scp \
+        --trials data/tts/trials_self --enroll_dir data/tts \
+        --steps 800 | tail -1) || sim_line=""
+    echo "${sim_line}"
+    cossim=$(echo "${sim_line}" | grep -oE 'COSSIM: [-0-9.]+' | cut -d' ' -f2)
+    plda=$(echo "${sim_line}" | grep -oE 'PLDA: [-0-9.]+' | cut -d' ' -f2)
+    echo "RESULT token_tts  MCD: ${mcd}  PLDA: ${plda:-n/a}  COSSIM: ${cossim:-n/a}"
 fi
 echo "Finished."

@@ -22,6 +22,7 @@ train_config=conf/train_vqvae.yaml
 tag=""
 num_train=60000
 num_valid=3200
+no_pipe=true          # plain wav paths + in-framework resampling (no sox)
 
 . ../../utils/parse_flags.sh
 
@@ -37,7 +38,8 @@ expdir=exp/${expname}
 
 if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
     echo "stage 0: Data list generation"
-    python local/data_prep.py -d "${aishell3_root}" -l data/${all_set} -f ${fs}
+    pipe_flag=""; [ "${no_pipe}" = "true" ] && pipe_flag="--no-pipe"
+    python local/data_prep.py -d "${aishell3_root}" -l data/${all_set} -f ${fs} ${pipe_flag}
 fi
 
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then

@@ -103,3 +103,123 @@ class TestTtsCli:
             train_dir=str(d), valid_dir=str(d)))
         assert (out / "iter.8").exists()
         assert (out / "model.loss.best").exists()
+
+
+class TestVarianceAndPostnet:
+    def test_detail_keys_present(self, tmp_path):
+        d = make_data(tmp_path)
+        ds = TokenMelDataset(d, CFG)
+        batch = next(ds.batches(4, shuffle=False, epochs=1))
+        model = build_model({**CFG, "postnet_layers": 2,
+                             "variance_predictor": True})
+        variables = model.init(jax.random.PRNGKey(0),
+                               *map(jnp.asarray, batch), train=True)
+        _, loss, detail = model.apply(variables, *map(jnp.asarray, batch),
+                                      train=True)
+        for k in ("X like", "X pre like", "DUR loss", "PITCH loss",
+                  "ENERGY loss", "Total"):
+            assert k in detail and np.isfinite(float(detail[k])), k
+
+    def test_variance_proxies(self):
+        from vae_npvc_tpu.models.token_tts import mel_energy, mel_pitch_proxy
+
+        mel = np.zeros((1, 4, 8), np.float32)
+        mel[0, :, 6] = 5.0   # energy concentrated in a high bin
+        p_high = mel_pitch_proxy(jnp.asarray(mel))
+        mel2 = np.zeros((1, 4, 8), np.float32)
+        mel2[0, :, 1] = 5.0  # low bin
+        p_low = mel_pitch_proxy(jnp.asarray(mel2))
+        assert float(p_high.mean()) > float(p_low.mean())
+        e = mel_energy(jnp.asarray(mel))
+        np.testing.assert_allclose(np.asarray(e), 5.0 / 8, rtol=1e-5)
+
+
+class TestSpeakerEmbeddingMode:
+    def _embs(self, n=24, dim=12, seed=1):
+        rng = np.random.default_rng(seed)
+        spk_emb = rng.normal(size=(3, dim)).astype(np.float32)
+        return {f"u{i:02d}": spk_emb[i % 3] for i in range(n)}, spk_emb
+
+    def test_train_and_unseen_speaker_infer(self, tmp_path):
+        cfg = {**CFG, "use_spk_embed": True, "spk_embed_dim": 12}
+        rng = np.random.default_rng(0)
+        embs, spk_emb = self._embs()
+        # data whose speaker offset is a linear function of the embedding
+        token_mel = rng.normal(size=(8, 6)).astype(np.float32) * 2
+        W = rng.normal(size=(12, 6)).astype(np.float32) * 0.3
+        items = []
+        for i in range(24):
+            L = int(rng.integers(3, 9))
+            toks = rng.integers(0, 8, L)
+            durs = rng.integers(2, 5, L)
+            mel = np.repeat(token_mel[toks], durs, axis=0) \
+                + embs[f"u{i:02d}"] @ W
+            items.append((f"u{i:02d}", toks, durs, mel, i % 3))
+        write_token_mel_dir(tmp_path / "tm", items, spk_embs=embs)
+
+        ds = TokenMelDataset(tmp_path / "tm", cfg)
+        batch = next(ds.batches(8, shuffle=False, epochs=1))
+        assert batch[3].shape == (8, 12)      # float embeddings, not ids
+        assert batch[3].dtype == np.float32
+
+        trainer = build_trainer(cfg)
+        trainer.init_state(batch)
+        losses = []
+        for b in ds.batches(8, shuffle=True, seed=0, epochs=40):
+            losses.append(float(trainer.train_step(b)["Total"]))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+        # unseen-speaker inference from a NEW embedding vector
+        model = trainer.model
+        v = {"params": jax.device_get(trainer.state.params)}
+        new_emb = rng.normal(size=(1, 12)).astype(np.float32)
+        toks = jnp.asarray(np.pad(np.arange(5, dtype=np.int32), (0, 5))[None])
+        mel, lens = model.apply(v, toks, jnp.asarray(new_emb),
+                                jnp.asarray([5], jnp.int32), method="infer")
+        assert np.all(np.isfinite(np.asarray(mel)))
+        assert int(lens[0]) > 0
+
+    def test_decode_tts_cli_with_embeddings(self, tmp_path, monkeypatch,
+                                            capsys):
+        import sys
+        import yaml
+
+        from vae_npvc_tpu.bin.decode_tts import main as decode_main
+        from vae_npvc_tpu.bin.train_tts import train as train_cli
+        from vae_npvc_tpu.data import kaldi_io
+
+        cfg = {**CFG, "use_spk_embed": True, "spk_embed_dim": 12,
+               "max_iter": 6, "iters_per_checkpoint": 6, "iters_per_log": 3,
+               "batch_size": 4}
+        embs, spk_emb = self._embs()
+        rng = np.random.default_rng(0)
+        token_mel = rng.normal(size=(8, 6)).astype(np.float32)
+        items = []
+        for i in range(24):
+            L = int(rng.integers(3, 9))
+            toks = rng.integers(0, 8, L)
+            durs = rng.integers(2, 5, L)
+            items.append((f"u{i:02d}", toks, durs,
+                          np.repeat(token_mel[toks], durs, axis=0), i % 3))
+        d = tmp_path / "tm"
+        write_token_mel_dir(d, items, spk_embs=embs)
+        conf = tmp_path / "c.yaml"
+        conf.write_text(yaml.safe_dump(cfg))
+        out = tmp_path / "exp"
+        train_cli(argparse.Namespace(config=str(conf), output_dir=str(out),
+                                     checkpoint=None, train_dir=str(d),
+                                     valid_dir=str(d)))
+        ckpt = out / "model.loss.best"
+        assert ckpt.exists()
+
+        dec = tmp_path / "dec"
+        monkeypatch.setattr(sys, "argv", [
+            "decode_tts", "-c", str(conf), "--checkpoint", str(ckpt),
+            "--tokens", str(d / "tokens.txt"),
+            "--spk_emb", str(d / "spk_emb.scp"),
+            "--output-dir", str(dec)])
+        decode_main()
+        assert "Synthesized 24" in capsys.readouterr().out
+        mats = dict(kaldi_io.read_ark(f"scp:{dec}/feats.scp"))
+        assert len(mats) == 24
+        assert all(np.all(np.isfinite(m)) for m in mats.values())

@@ -24,9 +24,14 @@ def main():
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--tokens", type=str, required=True,
                         help="token transcript file: utt <i><j>... lines")
-    parser.add_argument("--spk", type=str, required=True,
+    parser.add_argument("--spk", type=str, default=None,
                         help="target speaker id (int), or utt2spk_id file "
                              "for per-utterance speakers")
+    parser.add_argument("--spk_emb", type=str, default=None,
+                        help="continuous speaker embedding(s): an scp/ark of "
+                             "per-utterance (1, E) matrices, or one matrix "
+                             "file used for every utterance (unseen-speaker "
+                             "synthesis, the x-vector analog)")
     parser.add_argument("--output-dir", "--output_dir", dest="output_dir",
                         type=str, required=True)
     args = parser.parse_args()
@@ -39,16 +44,22 @@ def main():
     from ..data.token_mel import parse_token_line
     from ..models import build_model
 
+    if not args.spk and not args.spk_emb:
+        raise SystemExit("pass --spk (ids) or --spk_emb (embeddings)")
     config = yaml.safe_load(open(args.config))
     model = build_model(config)
     L = config.get("max_tokens", 128)
 
+    use_emb = bool(args.spk_emb) or config.get("use_spk_embed", False)
+    emb_dim = config.get("spk_embed_dim", 64)
+    y_tpl = (jnp.zeros((1, emb_dim), jnp.float32) if use_emb
+             else jnp.zeros((1,), jnp.int32))
     variables = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, L), jnp.int32), jnp.zeros((1, L), jnp.int32),
         jnp.zeros((1, config.get("max_frames", 512),
                    config.get("mel_dim", 80)), jnp.float32),
-        jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
+        y_tpl, jnp.ones((1,), jnp.int32),
         jnp.ones((1,), jnp.int32), train=True)
     with open(args.checkpoint, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
@@ -58,9 +69,17 @@ def main():
     infer = jax.jit(lambda toks, y, lens: model.apply(v, toks, y, lens,
                                                       method="infer"))
 
-    spk_file = Path(args.spk)
-    utt2spk = (kaldi_io.load_dict_data(spk_file) if spk_file.exists()
-               else None)
+    utt2spk = utt2emb = fixed_emb = None
+    if args.spk_emb:
+        emb_path = Path(args.spk_emb)
+        if emb_path.suffix == ".scp" or "scp" in emb_path.name:
+            utt2emb = kaldi_io.load_dict_data(emb_path)
+        else:
+            fixed_emb = kaldi_io.load_mat(str(emb_path))[0]
+    else:
+        spk_file = Path(args.spk)
+        utt2spk = (kaldi_io.load_dict_data(spk_file) if spk_file.exists()
+                   else None)
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -70,9 +89,15 @@ def main():
             toks = parse_token_line(line)[:L]
             pad = np.zeros((1, L), np.int32)
             pad[0, :len(toks)] = toks
-            spk = int(utt2spk[utt]) if utt2spk else int(args.spk)
-            mel, lens = infer(jnp.asarray(pad),
-                              jnp.asarray([spk], jnp.int32),
+            if utt2emb is not None:
+                y = jnp.asarray(kaldi_io.load_mat(utt2emb[utt])[:1],
+                                jnp.float32)
+            elif fixed_emb is not None:
+                y = jnp.asarray(fixed_emb[None, :], jnp.float32)
+            else:
+                spk = int(utt2spk[utt]) if utt2spk else int(args.spk)
+                y = jnp.asarray([spk], jnp.int32)
+            mel, lens = infer(jnp.asarray(pad), y,
                               jnp.asarray([len(toks)], jnp.int32))
             w.write(utt, np.asarray(mel)[0, :int(lens[0])])
             n += 1

@@ -101,6 +101,14 @@ def train(args):
         copyfile(str(output_dir / f"iter.{best_iter}"),
                  str(output_dir / "model.loss.best"))
         logger.info(f"Best model: iteration {best_iter}")
+    else:
+        # no validation set: the final state is the best we know of
+        final = output_dir / f"iter.{iteration}"
+        if not final.exists():
+            trainer.save_checkpoint(final)
+        copyfile(str(final), str(output_dir / "model.loss.best"))
+        logger.info(f"No validation set; model.loss.best = iteration "
+                    f"{iteration}")
     logger.info("Finished")
 
 

@@ -9,10 +9,15 @@ File contract (a "token-mel dir"):
   durations.txt  utt d1 d2 ...      per-token frame counts (run lengths)
   feats.scp      utt → mel matrix   target mels (same frames the tokens came from)
   utt2spk_id     utt id
+  spk_emb.scp    utt → (1, E) mat   OPTIONAL continuous speaker embeddings
+                                    (the x-vector analog, reference
+                                    run_tts.sh:153-192); used when config
+                                    ``use_spk_embed`` is true
 
 Batches are padded to config ``max_tokens``/``max_frames`` (static shapes for
 jit); true lengths ride along for masking. Yields
-``(tokens, durations, mels, spks, tok_lens, mel_lens)``.
+``(tokens, durations, mels, spks, tok_lens, mel_lens)`` where ``spks`` is
+(B,) int32 ids or (B, E) float32 embeddings in ``use_spk_embed`` mode.
 """
 
 from __future__ import annotations
@@ -31,8 +36,9 @@ def parse_token_line(s):
     return np.asarray([int(t) for t in _TOKEN_RE.findall(s)], np.int32)
 
 
-def write_token_mel_dir(out_dir, items):
-    """Helper for tests/recipes: items = [(utt, tokens, durations, mel, spk)]."""
+def write_token_mel_dir(out_dir, items, spk_embs=None):
+    """Helper for tests/recipes: items = [(utt, tokens, durations, mel, spk)];
+    ``spk_embs`` optionally maps utt → (E,) continuous embedding."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     with open(out_dir / "tokens.txt", "w") as tf, \
@@ -45,6 +51,11 @@ def write_token_mel_dir(out_dir, items):
             df.write(f"{utt} " + " ".join(str(int(d)) for d in durs) + "\n")
             uf.write(f"{utt} {spk}\n")
             w.write(utt, np.asarray(mel, np.float32))
+    if spk_embs is not None:
+        with kaldi_io.ArkWriter(out_dir / "spk_emb.ark",
+                                out_dir / "spk_emb.scp") as w:
+            for utt, emb in spk_embs.items():
+                w.write(utt, np.asarray(emb, np.float32)[None, :])
 
 
 class TokenMelDataset:
@@ -56,9 +67,15 @@ class TokenMelDataset:
         durs = kaldi_io.load_dict_data(data_dir / "durations.txt")
         self.feats_scp = kaldi_io.load_dict_data(data_dir / "feats.scp")
         spk = kaldi_io.load_dict_data(data_dir / "utt2spk_id")
+        self.spk_emb_scp = None
+        if config.get("use_spk_embed") and (data_dir / "spk_emb.scp").exists():
+            self.spk_emb_scp = kaldi_io.load_dict_data(
+                data_dir / "spk_emb.scp")
         self.items = []
         for utt in tokens:
             if utt not in durs or utt not in self.feats_scp or utt not in spk:
+                continue
+            if self.spk_emb_scp is not None and utt not in self.spk_emb_scp:
                 continue
             t = parse_token_line(tokens[utt])
             d = np.asarray([int(x) for x in durs[utt].split()], np.int32)
@@ -78,6 +95,11 @@ class TokenMelDataset:
 
     def get(self, index, rng):
         utt, toks, durs, spk = self.items[index]
+        if self.spk_emb_scp is not None:
+            spk = kaldi_io.load_mat(self.spk_emb_scp[utt])[0].astype(
+                np.float32)
+        else:
+            spk = np.int32(spk)
         mel = kaldi_io.load_mat(self.feats_scp[utt]).astype(np.float32)
         L, T = self.max_tokens, self.max_frames
         tok = np.zeros((L,), np.int32)
@@ -87,7 +109,7 @@ class TokenMelDataset:
         n_frames = min(int(durs.sum()), mel.shape[0], T)
         out_mel = np.zeros((T, self.mel_dim), np.float32)
         out_mel[:n_frames] = mel[:n_frames]
-        return (tok, dur, out_mel, np.int32(spk),
+        return (tok, dur, out_mel, spk,
                 np.int32(len(toks)), np.int32(n_frames))
 
     def batches(self, batch_size, *, shuffle, seed=0, epochs=None):

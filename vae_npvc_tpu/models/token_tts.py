@@ -1,23 +1,40 @@
 """Token→mel synthesizer: the in-framework second-stage TTS.
 
 The reference's AISHELL-3 pipeline feeds collapsed VQ-token transcripts to an
-*external* ESPnet Tacotron2/Transformer (reference: egs/aishell3/vc2/
-run_tts.sh:201-217 — the TTS model never lived in the reference repo). This is
-a TPU-native non-autoregressive realization (FastSpeech-style): attention-free,
-all convs, static shapes — so it jits cleanly and rides the MXU:
+*external* ESPnet Tacotron2/Transformer conditioned on Kaldi x-vector speaker
+embeddings (reference: egs/aishell3/vc2/run_tts.sh:153-192,201-217 — the TTS
+model never lived in the reference repo). This is a TPU-native
+non-autoregressive realization (FastSpeech2-style): attention-free, all convs,
+static shapes — so it jits cleanly and rides the MXU:
 
-  token embed (+ speaker embed) → conv encoder → duration predictor
+  token embed (+ speaker condition) → conv encoder → duration predictor
   → length regulation (true durations at train time, predicted at inference)
-  → conv decoder → mel
+  → variance adaptor (pitch + energy predictors, FastSpeech2)
+  → conv decoder → mel → conv postnet residual (Tacotron2 convention)
+
+Speaker conditioning is dual-mode (dispatch on the dtype of the speaker
+input): int32 ids use a learned table; float (B, E) CONTINUOUS embeddings —
+the x-vector analog from the eval/similarity embedder — are projected with a
+Dense layer, so unseen speakers synthesize from an enrollment embedding alone
+(reference run_tts.sh:153-192 uses x-vectors for exactly this).
+
+Variance targets need no extra data: energy = per-frame mel mean, pitch = the
+mel-bin spectral centroid (a documented proxy — the reference's external
+stage extracts true f0 with Kaldi; no wav access exists in this data
+contract). Predicted values are used at inference; teacher values train the
+conditioning projections.
 
 The duration targets are the csid run lengths the extractor already computes
 (infer/bnf.py) — no learned alignment needed.
 
 Config keys: ``token_num`` (VQ codebook size), ``token_dim``, ``y_num/y_dim``,
-``mel_dim``, ``hidden``, ``enc_stacks``/``dec_stacks``, ``dur_weight``,
-``max_tokens``/``max_frames``. Loss = masked frame-mean Gaussian NLL on mel
-(the reference's 'X like' metric) + ``dur_weight`` · masked MSE on
-log-durations. Detail keys: {Total, X like, DUR loss}.
+``spk_embed_dim`` (continuous-mode input dim, optional), ``mel_dim``,
+``hidden``, ``enc_stacks``/``dec_stacks``, ``postnet_layers`` (0 disables),
+``variance_predictor`` (false disables), ``dur_weight``, ``var_weight``,
+``max_tokens``/``max_frames``. Loss = masked frame-mean Gaussian NLL on the
+postnet mel + pre-net mel + ``dur_weight``·MSE(log-durations) +
+``var_weight``·(MSE(pitch) + MSE(energy)). Detail keys: {Total, X like,
+X pre like, DUR loss, PITCH loss, ENERGY loss}.
 """
 
 from __future__ import annotations
@@ -50,6 +67,22 @@ def length_regulate(enc, durations, max_frames):
     return jnp.take_along_axis(enc, frame_tok[:, :, None], axis=1)
 
 
+def mel_pitch_proxy(mel):
+    """(B, T, D) mel → (B, T) spectral-centroid pitch proxy in [0, 1].
+
+    Softmax over mel bins as a per-frame spectral distribution; the expected
+    normalized bin index tracks pitch/brightness. A documented stand-in for
+    true f0 (no waveform access in the token-mel data contract)."""
+    p = jax.nn.softmax(mel.astype(jnp.float32), axis=-1)
+    bins = jnp.linspace(0.0, 1.0, mel.shape[-1])
+    return jnp.sum(p * bins, axis=-1)
+
+
+def mel_energy(mel):
+    """(B, T, D) mel → (B, T) per-frame mean log-mel energy."""
+    return jnp.mean(mel.astype(jnp.float32), axis=-1)
+
+
 class Model(nn.Module):
     arch: Mapping[str, Any]
     dtype: Any = jnp.float32
@@ -62,7 +95,10 @@ class Model(nn.Module):
         self.mel_dim = a.get("mel_dim", 80)
         self.enc_stacks = a.get("enc_stacks", 4)
         self.dec_stacks = a.get("dec_stacks", 4)
+        self.postnet_layers = a.get("postnet_layers", 3)
+        self.use_variance = a.get("variance_predictor", True)
         self.dur_weight = a.get("dur_weight", 0.1)
+        self.var_weight = a.get("var_weight", 0.1)
         self.max_frames = a.get("max_frames", 512)
 
         self.tok_embed = nn.Embed(self.token_num, self.token_dim,
@@ -70,25 +106,45 @@ class Model(nn.Module):
         self.spk_embed = Conditions(a.get("y_num", 10), a.get("y_dim", 128),
                                     normalize=False, dtype=self.dtype,
                                     name="spk_embed")
+        # continuous-embedding projection (x-vector analog); built lazily
+        # inside the compact _network (needs the input dim at trace time)
+        self.y_dim = a.get("y_dim", 128)
+
+    def _speaker_vector(self, y):
+        """(B,) int ids → table lookup; (B, E) float → Dense projection."""
+        if jnp.issubdtype(y.dtype, jnp.floating):
+            y2 = y.reshape(y.shape[0], -1).astype(self.dtype)
+            return nn.Dense(self.y_dim, dtype=self.dtype,
+                            name="spk_emb_proj")(y2)
+        return self.spk_embed(y.reshape(y.shape[0], -1)[:, 0])
+
+    def _predictor(self, h, name):
+        """Small conv stack → per-position scalar (duration/pitch/energy)."""
+        d = WNConv1d(self.hidden // 2, 3, dtype=self.dtype,
+                     name=f"{name}_0")(h)
+        d = nn.relu(d)
+        d = WNConv1d(1, 1, dtype=self.dtype, name=f"{name}_1")(d)
+        return d[..., 0].astype(jnp.float32)
 
     @nn.compact
-    def _network(self, tokens, durations, y_idx, tok_lens, mel_frames,
-                 use_true_dur):
+    def _network(self, tokens, durations, y, tok_lens, mel_frames,
+                 use_true_dur, target_mel=None):
         B, L = tokens.shape
         tok_mask = length_mask(tok_lens, L)
         h = self.tok_embed(tokens).astype(self.dtype) * tok_mask
         h = WNConv1d(self.hidden, 1, dtype=self.dtype, name="enc_in")(h)
+        # speaker condition enters the ENCODER too so durations/variance can
+        # be speaker-dependent (ESPnet's spkemb integration point)
+        spk = self._speaker_vector(y)
+        h = h + WNConv1d(self.hidden, 1, dtype=self.dtype,
+                         name="spk_proj_enc")(spk[:, None, :])
         for j in range(self.enc_stacks):
             h = ConvResStack(self.hidden, 3, layers=1, dilation=2 ** (j % 3),
                              dtype=self.dtype, name=f"enc_{j}")(h, tok_mask)
         enc = h
 
         # duration predictor on detached encodings (FastSpeech convention)
-        d = jax.lax.stop_gradient(enc)
-        d = WNConv1d(self.hidden // 2, 3, dtype=self.dtype, name="dur_0")(d)
-        d = nn.relu(d)
-        d = WNConv1d(1, 1, dtype=self.dtype, name="dur_1")(d)
-        log_dur_pred = d[..., 0].astype(jnp.float32)       # (B, L)
+        log_dur_pred = self._predictor(jax.lax.stop_gradient(enc), "dur")
 
         if use_true_dur:
             durs = durations
@@ -97,42 +153,92 @@ class Model(nn.Module):
             durs = (durs * tok_mask[..., 0]).astype(jnp.int32)
         frames = length_regulate(enc, durs, mel_frames)
 
-        y = self.spk_embed(y_idx.reshape(y_idx.shape[0], -1)[:, 0])
-        h = frames + WNConv1d(self.hidden, 1, dtype=self.dtype,
-                              name="spk_proj")(y[:, None, :])
         mel_lens = jnp.minimum(jnp.sum(durs, axis=1), mel_frames)
         mel_mask = length_mask(mel_lens, mel_frames)
+
+        # ----------------------------------------------- variance adaptor
+        pitch_pred = energy_pred = None
+        if self.use_variance:
+            vin = jax.lax.stop_gradient(frames)
+            pitch_pred = self._predictor(vin, "pitch")    # (B, T)
+            energy_pred = self._predictor(vin, "energy")  # (B, T)
+            if target_mel is not None:
+                pitch_c = mel_pitch_proxy(target_mel)
+                energy_c = mel_energy(target_mel)
+            else:
+                pitch_c, energy_c = pitch_pred, energy_pred
+            frames = frames \
+                + WNConv1d(self.hidden, 1, dtype=self.dtype,
+                           name="pitch_proj")(pitch_c[..., None]
+                                              .astype(self.dtype)) \
+                + WNConv1d(self.hidden, 1, dtype=self.dtype,
+                           name="energy_proj")(energy_c[..., None]
+                                               .astype(self.dtype))
+
+        h = frames + WNConv1d(self.hidden, 1, dtype=self.dtype,
+                              name="spk_proj")(spk[:, None, :])
         for j in range(self.dec_stacks):
             h = ConvResStack(self.hidden, 3, layers=1, dilation=2 ** (j % 3),
                              dtype=self.dtype, name=f"dec_{j}")(h, mel_mask)
-        mel = WNConv1d(self.mel_dim, 1, dtype=self.dtype, name="mel_out")(h)
-        mel = mel.astype(jnp.float32) * mel_mask
-        return mel, log_dur_pred, mel_lens
+        mel_pre = WNConv1d(self.mel_dim, 1, dtype=self.dtype,
+                           name="mel_out")(h).astype(jnp.float32) * mel_mask
+
+        # ------------------------------------------------------- postnet
+        if self.postnet_layers > 0:
+            p = mel_pre.astype(self.dtype)
+            for j in range(self.postnet_layers):
+                p = WNConv1d(self.hidden // 2 if j < self.postnet_layers - 1
+                             else self.mel_dim, 5, dtype=self.dtype,
+                             name=f"postnet_{j}")(p)
+                if j < self.postnet_layers - 1:
+                    p = jnp.tanh(p) * mel_mask.astype(p.dtype)
+            mel = mel_pre + p.astype(jnp.float32) * mel_mask
+        else:
+            mel = mel_pre
+        return (mel, mel_pre, log_dur_pred, pitch_pred, energy_pred,
+                mel_lens, mel_mask)
 
     def __call__(self, tokens, durations, mels, y_idx, tok_lens, mel_lens,
                  train: bool = True):
         B, T, D = mels.shape
-        mel_hat, log_dur_pred, _ = self._network(
-            tokens, durations, y_idx, tok_lens, T, use_true_dur=True)
+        (mel_hat, mel_pre, log_dur_pred, pitch_pred, energy_pred, _,
+         _) = self._network(tokens, durations, y_idx, tok_lens, T,
+                            use_true_dur=True, target_mel=mels)
 
         mel_mask = length_mask(mel_lens, T)
         n_frames = jnp.maximum(jnp.sum(mel_lens), 1)
-        mel_elem = 0.5 * (LOG_2PI + (mels - mel_hat) ** 2) * mel_mask
-        x_loss = jnp.sum(mel_elem) / (n_frames * 1.0)
+        x_loss = jnp.sum(0.5 * (LOG_2PI + (mels - mel_hat) ** 2)
+                         * mel_mask) / (n_frames * 1.0)
+        x_pre = jnp.sum(0.5 * (LOG_2PI + (mels - mel_pre) ** 2)
+                        * mel_mask) / (n_frames * 1.0)
 
         tok_mask = length_mask(tok_lens, tokens.shape[1])[..., 0]
         dur_target = jnp.log1p(durations.astype(jnp.float32))
-        dur_elem = (log_dur_pred - dur_target) ** 2 * tok_mask
-        dur_loss = jnp.sum(dur_elem) / jnp.maximum(jnp.sum(tok_mask), 1)
+        dur_loss = jnp.sum((log_dur_pred - dur_target) ** 2 * tok_mask) \
+            / jnp.maximum(jnp.sum(tok_mask), 1)
 
-        loss = x_loss + self.dur_weight * dur_loss
-        detail = {"Total": loss, "X like": x_loss, "DUR loss": dur_loss}
+        loss = x_loss + x_pre + self.dur_weight * dur_loss
+        detail = {"X like": x_loss, "X pre like": x_pre,
+                  "DUR loss": dur_loss}
+        if self.use_variance:
+            fmask = mel_mask[..., 0]
+            nf = jnp.maximum(jnp.sum(fmask), 1)
+            p_loss = jnp.sum((pitch_pred - mel_pitch_proxy(mels)) ** 2
+                             * fmask) / nf
+            e_loss = jnp.sum((energy_pred - mel_energy(mels)) ** 2
+                             * fmask) / nf
+            loss = loss + self.var_weight * (p_loss + e_loss)
+            detail["PITCH loss"] = p_loss
+            detail["ENERGY loss"] = e_loss
+        detail["Total"] = loss
         return mel_hat, loss, detail
 
     def infer(self, tokens, y_idx, tok_lens, max_frames=None):
-        """→ (mel (B, T, D), mel_lens) with predicted durations."""
+        """→ (mel (B, T, D), mel_lens) with predicted durations/variance.
+
+        ``y_idx`` may be int32 speaker ids (B,) or continuous float speaker
+        embeddings (B, E) for unseen speakers."""
         T = max_frames or self.max_frames
-        mel, _, mel_lens = self._network(
-            tokens, jnp.zeros_like(tokens), y_idx, tok_lens, T,
-            use_true_dur=False)
-        return mel, mel_lens
+        out = self._network(tokens, jnp.zeros_like(tokens), y_idx, tok_lens,
+                            T, use_true_dur=False)
+        return out[0], out[5]
