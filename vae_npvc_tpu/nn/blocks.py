@@ -158,31 +158,41 @@ class WNConv1d(nn.Module):
             v = self.param("v", _kaiming_v_init, (k, in_ch, self.features))
             b = self.param("b", _torch_bias_init(k * in_ch),
                            (self.features,), jnp.float32)
+            scale = None
             if self.use_weight_norm:
                 g = self.param("g", lambda _k: jnp.linalg.norm(
                     v.reshape(-1, v.shape[-1]), axis=0))
-                w = v * (g / jnp.linalg.norm(
-                    v.reshape(-1, v.shape[-1]), axis=0))
-            else:
-                w = v
+                # weight norm as OUTPUT scaling: conv(x, g·v/||v||) ==
+                # conv(x, v)·(g/||v||) per output channel (linearity) — the
+                # per-step normalized-kernel rewrite was ~550 us/conv on the
+                # v5e (measured, tools/profile_step.py); the output scale is
+                # a fused multiply
+                scale = g / jnp.linalg.norm(v.reshape(-1, v.shape[-1]),
+                                            axis=0)
             pet = jnp.float32 if self.dtype == jnp.float32 else None
             y = jax.lax.conv_general_dilated(
-                xh.astype(self.dtype), w.astype(self.dtype),
+                xh.astype(self.dtype), v.astype(self.dtype),
                 window_strides=(1,), padding=[(0, 0)],
                 rhs_dilation=(self.dilation,),
                 dimension_numbers=("NWC", "WIO", "NWC"),
                 preferred_element_type=pet)
+            if scale is not None:
+                y = y * scale.astype(y.dtype)
             return (y + b).astype(self.dtype)
         v = self.param("v", _kaiming_v_init, (k, in_ch, self.features))
         b = self.param("b", _torch_bias_init(k * in_ch), (self.features,),
                        jnp.float32)
+        scale = None
         if self.use_weight_norm:
             g = self.param("g", lambda _k: jnp.linalg.norm(
                 v.reshape(-1, v.shape[-1]), axis=0))
-            norm = jnp.linalg.norm(v.reshape(-1, v.shape[-1]), axis=0)
-            w = v * (g / norm)
-        else:
-            w = v
+            # weight norm as OUTPUT scaling: conv(x, g·v/||v||) ==
+            # conv(x, v)·(g/||v||) per output channel (linearity). The
+            # normalized-kernel rewrite materialized a full second kernel
+            # every step (~550 us/conv on the v5e at flagship sizes,
+            # tools/profile_step.py); the output scale fuses into the conv
+            # epilogue instead. Same params, same function of (v, g).
+            scale = g / jnp.linalg.norm(v.reshape(-1, v.shape[-1]), axis=0)
         if self.padding == "SAME_TORCH":
             p = (k - 1) // 2 * self.dilation
             pad = [(p, p)]
@@ -193,12 +203,14 @@ class WNConv1d(nn.Module):
         # inside the MXU, so only request it on the f32 path
         pet = jnp.float32 if self.dtype == jnp.float32 else None
         y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), w.astype(self.dtype),
+            x.astype(self.dtype), v.astype(self.dtype),
             window_strides=(self.stride,), padding=pad,
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
             preferred_element_type=pet,
         )
+        if scale is not None:
+            y = y * scale.astype(y.dtype)
         return (y + b).astype(self.dtype)
 
 
@@ -222,13 +234,13 @@ class WNConvTranspose1d(nn.Module):
         v = self.param("v", _kaiming_v_init, (k, in_ch, self.features))
         b = self.param("b", _torch_bias_init(k * in_ch), (self.features,),
                        jnp.float32)
+        scale = None
         if self.use_weight_norm:
             g = self.param("g", lambda _k: jnp.linalg.norm(
                 v.reshape(-1, v.shape[-1]), axis=0))
-            norm = jnp.linalg.norm(v.reshape(-1, v.shape[-1]), axis=0)
-            w = v * (g / norm)
-        else:
-            w = v
+            # output-scaled weight norm (see WNConv1d)
+            scale = g / jnp.linalg.norm(v.reshape(-1, v.shape[-1]), axis=0)
+        w = v
         p_torch = s // 2 + s % 2
         out_pad = s % 2
         lo = k - 1 - p_torch
@@ -242,6 +254,8 @@ class WNConvTranspose1d(nn.Module):
             dimension_numbers=("NWC", "WIO", "NWC"),
             preferred_element_type=pet,
         )
+        if scale is not None:
+            y = y * scale.astype(y.dtype)
         return (y + b).astype(self.dtype)
 
 
