@@ -96,4 +96,48 @@ EOF
     plda=$(echo "${sim_line}" | grep -oE 'PLDA: [-0-9.]+' | cut -d' ' -f2)
     echo "RESULT token_tts  MCD: ${mcd}  PLDA: ${plda:-n/a}  COSSIM: ${cossim:-n/a}"
 fi
+
+if [ "${stage}" -le 4 ] && [ "${stop_stage}" -ge 4 ]; then
+    echo "stage 4: Token-route voice conversion (source tokens -> target speaker)"
+    # the reference's actual VC use of this stage: recognize VQ tokens from
+    # the source, synthesize with the TARGET speaker's conditioning
+    # (x-vectors there, enrollment-mean embeddings or ids here)
+    python - <<'EOF'
+import random
+random.seed(7)
+utts, spks = [], {}
+for ln in open("data/tts/utt2spk_id"):
+    u, s = ln.split()
+    utts.append(u); spks[u] = s
+all_spk = sorted(set(spks.values()))
+with open("data/tts/trials_vc", "w") as wf:
+    for u in utts[:40]:
+        others = [s for s in all_spk if s != spks[u]]
+        wf.write(f"{u} {random.choice(others)}\n")
+print(f"wrote {min(len(utts),40)} VC trials")
+EOF
+    if [ "${use_spk_embed}" = "true" ]; then
+        # targets are speaker ids in the trials; spk_emb_mean.scp is keyed
+        # by the same ids (extract_spk_emb --spk_mean over utt2spk_id)
+        ${PY} vae_npvc_tpu.bin.decode_tts -c ${tts_config} \
+            --checkpoint exp/token_tts/model.loss.best \
+            --tokens data/tts/tokens.txt --trials data/tts/trials_vc \
+            --spk_emb data/tts/spk_emb_mean.scp \
+            --output-dir exp/token_tts/convert
+    else
+        ${PY} vae_npvc_tpu.bin.decode_tts -c ${tts_config} \
+            --checkpoint exp/token_tts/model.loss.best \
+            --tokens data/tts/tokens.txt --trials data/tts/trials_vc \
+            --output-dir exp/token_tts/convert
+    fi
+    sim_line=$(${PY} vae_npvc_tpu.bin.eval_similarity -c ${tts_config} \
+        --train_dir data/tts \
+        --converted_scp exp/token_tts/convert/feats.scp \
+        --trials data/tts/trials_vc --enroll_dir data/tts \
+        --steps 800 | tail -1) || sim_line=""
+    echo "${sim_line}"
+    cossim=$(echo "${sim_line}" | grep -oE 'COSSIM: [-0-9.]+' | cut -d' ' -f2)
+    plda=$(echo "${sim_line}" | grep -oE 'PLDA: [-0-9.]+' | cut -d' ' -f2)
+    echo "RESULT token_vc  PLDA: ${plda:-n/a}  COSSIM: ${cossim:-n/a}"
+fi
 echo "Finished."

@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# VCC2020 flat VQ-VAE voice-conversion recipe (TPU-native framework).
+# VCC2020 hierarchical VQ-VAE (vqvae2) voice-conversion recipe.
 # Stage layout mirrors the reference recipe (reference: egs/vcc20/vae2/run.sh)
 # with all external Kaldi/ESPnet binaries replaced by in-framework CLIs:
 #   0 data-list generation  1 fbank+CMVN stats  2 spk ids + CMVN dump
@@ -20,12 +20,28 @@ n_shift=256
 # data roots (set these to your corpus copies)
 vctk_root=downloads/VCTK-Corpus/wav
 vcc2020_root=downloads/vcc2020
+vcc2020_eval_root=""          # defaults to ${vcc2020_root}
+transcriptions=""             # master "<utt> <text>" file enabling CER/WER
+                              # eval (the synthetic corpus writes one;
+                              # reference analog: Eng_transcriptions.txt,
+                              # evaluate.sh:104)
 
 train_config=conf/train_vqvae2.yaml
 tag=""
 srcspk=SEF1
 trgspk=TEF1
+voc=GL                        # GL (Griffin-Lim) or PWG (needs the optional
+                              # parallel_wavegan package + pretrained model,
+                              # reference run.sh:192-239)
+voc_expdir=exp/parallel_wavegan
 griffin_lim_iters=64
+asr_steps=3000                # CTC-proxy recognizer training steps (stage 7)
+sim_steps=1000                # speaker-embedder training steps (stage 7)
+mcd_gt_root=""                # target-speaker ground-truth wav root; when
+                              # set, stage 7 computes wav-domain mcep MCD
+                              # with the reference knob set (evaluate.sh:57-69)
+mcep_dim=34
+shiftms=5
 no_pipe=true          # plain wav paths + in-framework resampling (no sox)
 
 . ../../utils/parse_flags.sh
@@ -48,7 +64,7 @@ if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
     python local/generate_vctk_list.py -d "${vctk_root}" -l data -f ${fs} ${pipe_flag} \
         --test_hi 0 --dev_lo 1 --dev_hi 50
     python local/generate_vcc2020_traindev_list.py -d "${vcc2020_root}" -l data -f ${fs} ${pipe_flag}
-    python local/generate_vcc2020_eval_list.py -d "${vcc2020_root}" -l data -f ${fs} ${pipe_flag}
+    python local/generate_vcc2020_eval_list.py -d "${vcc2020_eval_root:-${vcc2020_root}}" -l data -f ${fs} ${pipe_flag}
     for pair in "train vctk_train vcc2020_train" "dev vctk_dev vcc2020_dev" "eval vcc2020_test"; do
         set -- ${pair}; out=$1; shift
         mkdir -p data/${out}
@@ -68,6 +84,20 @@ with open(f"data/{out}/spk2utt", "w") as wf:
         wf.write(f"{s} {' '.join(us)}\n")
 EOF
     done
+    if [ -n "${transcriptions}" ] && [ -f "${transcriptions}" ]; then
+        for x in ${train_set} ${dev_set} ${eval_set}; do
+            python - "${transcriptions}" "data/${x}" <<'EOF'
+import sys
+master = dict(line.split(maxsplit=1)
+              for line in open(sys.argv[1]) if line.strip())
+utts = [line.split()[0] for line in open(f"{sys.argv[2]}/utt2spk")]
+with open(f"{sys.argv[2]}/text", "w") as wf:
+    for u in utts:
+        if u in master:
+            wf.write(f"{u} {master[u].strip()}\n")
+EOF
+        done
+    fi
 fi
 
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
@@ -92,6 +122,7 @@ if [ "${stage}" -le 2 ] && [ "${stop_stage}" -ge 2 ]; then
         for f in utt2num_frames utt2spk_id utt2spk spk2spk_id; do
             cp fbank/${x}/${f} ${dumpdir}/${x}/ 2>/dev/null || true
         done
+        cp data/${x}/text ${dumpdir}/${x}/ 2>/dev/null || true
     done
 fi
 
@@ -106,7 +137,9 @@ fi
 outdir=${expdir}/outputs_model.loss.best
 if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then
     echo "stage 5: Conversion ${srcspk} -> ${trgspk}"
-    python local/make_trials.py ${dumpdir}/${eval_set} -s ${srcspk} -t ${trgspk}
+    # targeted trials for the per-speaker eval loop (vae1-style maker);
+    # vae2's own local/make_trials.py is the reference's random sampler
+    python ../vae1/local/make_trials.py ${dumpdir}/${eval_set} -s ${srcspk} -t ${trgspk}
     cp ${dumpdir}/${train_set}/spk2spk_id ${dumpdir}/${eval_set}/ 2>/dev/null || true
     ${PY} vae_npvc_tpu.bin.decode -c ${train_config} \
         --checkpoint ${expdir}/model.loss.best \
@@ -115,32 +148,96 @@ if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then
 fi
 
 if [ "${stage}" -le 6 ] && [ "${stop_stage}" -ge 6 ]; then
-    echo "stage 6: Griffin-Lim synthesis"
+    echo "stage 6: Waveform synthesis (voc=${voc})"
     denorm=${outdir}_denorm/${srcspk}_${trgspk}
     ${PY} vae_npvc_tpu.bin.apply_cmvn apply --reverse data/${train_set}_cmvn.ark \
         scp:${outdir}/${srcspk}_${trgspk}/feats.scp ${denorm}
-    ${PY} vae_npvc_tpu.bin.convert_fbank --fs ${fs} ${fmax:+--fmax ${fmax}} ${fmin:+--fmin ${fmin}} \
-        --n_fft ${n_fft} --n_shift ${n_shift} --n_mels ${n_mels} \
-        --iters ${griffin_lim_iters} ${denorm}/feats.scp ${denorm}/wav
+    if [ "${voc}" = "PWG" ]; then
+        # optional Parallel WaveGAN backend (reference run.sh:192-239);
+        # needs the parallel_wavegan package + pretrained ${voc_expdir}
+        python - <<EOF
+from vae_npvc_tpu.infer.vocoder import pwg_decode_scp
+n = pwg_decode_scp("${denorm}/feats.scp", "${denorm}/pwg_wav",
+                   "${voc_expdir}")
+print(f"PWG synthesized {n} wavs")
+EOF
+    else
+        ${PY} vae_npvc_tpu.bin.convert_fbank --fs ${fs} ${fmax:+--fmax ${fmax}} ${fmin:+--fmin ${fmin}} \
+            --n_fft ${n_fft} --n_shift ${n_shift} --n_mels ${n_mels} \
+            --iters ${griffin_lim_iters} ${denorm}/feats.scp ${denorm}/wav
+    fi
 fi
 
 if [ "${stage}" -le 7 ] && [ "${stop_stage}" -ge 7 ]; then
-    echo "stage 7: Objective evaluation (MCD vs target-speaker references)"
-    python - <<EOF
+    echo "stage 7: Objective evaluation (MCD / CER / WER / PLDA / COSSIM)"
+    obdir=${outdir}.ob_eval
+    pair=${srcspk}_${trgspk}
+    mkdir -p ${obdir}/asr/${pair} ${obdir}/asv/${pair}
+
+    if [ -n "${mcd_gt_root}" ] && [ -d "${outdir}_denorm/${pair}/wav" ]; then
+        # reference-faithful mode: wav-domain mcep MCD against the target
+        # speaker's ground-truth recordings, per-speaker f0 range from
+        # conf/<trgspk>.f0 (reference evaluate.sh:57-69)
+        f0_conf=""
+        [ -f conf/${trgspk}.f0 ] && f0_conf="conf/${trgspk}.f0"
+        mcd=$(python - <<EOF
+from vae_npvc_tpu.eval.mcd import mcd_from_wavdirs
+try:
+    mean, per_utt = mcd_from_wavdirs(
+        "${outdir}_denorm/${pair}/wav", "${mcd_gt_root}/${trgspk}",
+        f0_conf="${f0_conf}" or None,
+        mcep_dim=${mcep_dim}, shiftms=${shiftms})
+    print(f"{mean:.3f}")
+except ValueError:
+    print("n/a")
+EOF
+)
+    else
+        # mel-proxy mode (documented deviation, eval/mcd.py): DCT-of-log-mel
+        # cepstra of converted features vs the source eval features
+        mcd=$(python - <<EOF
 from vae_npvc_tpu.eval.mcd import mcd_from_scp
 try:
     mean, per_utt = mcd_from_scp(
-        "${outdir}_denorm/${srcspk}_${trgspk}/feats.scp",
+        "${outdir}_denorm/${pair}/feats.scp",
         "fbank/${eval_set}/feats.scp")
-    print(f"MCD: {mean:.3f} dB over {len(per_utt)} utterances")
-except ValueError as e:
-    print(f"MCD skipped: {e}")
+    print(f"{mean:.3f}")
+except ValueError:
+    print("n/a")
 EOF
-    ${PY} vae_npvc_tpu.bin.eval_similarity -c ${train_config} \
+)
+    fi
+    echo "MCD: ${mcd}"
+
+    cer=n/a; wer=n/a
+    if [ -f ${dumpdir}/${train_set}/text ] && [ -f data/${eval_set}/text ]; then
+        # CER/WER of converted speech, scored against the source-utterance
+        # transcripts with the in-framework CTC proxy recognizer (the
+        # reference downloads a pretrained ESPnet ASR, evaluate.sh:72-155)
+        asr_line=$(${PY} vae_npvc_tpu.bin.eval_asr \
+            --train_dir ${dumpdir}/${train_set} \
+            --eval_scp ${outdir}/${pair}/feats.scp \
+            --ref_text data/${eval_set}/text \
+            --output_dir ${obdir}/asr/${pair} --steps ${asr_steps} \
+            --recognizer_ckpt ${expdir}/ctc_proxy.msgpack | tail -1)
+        echo "${asr_line}"
+        cer=$(echo "${asr_line}" | grep -oE 'CER: [0-9.]+' | cut -d' ' -f2)
+        wer=$(echo "${asr_line}" | grep -oE 'WER: [0-9.]+' | cut -d' ' -f2)
+    else
+        echo "CER/WER skipped: no transcripts (set --transcriptions)"
+    fi
+
+    sim_line=$(${PY} vae_npvc_tpu.bin.eval_similarity -c ${train_config} \
         --train_dir ${dumpdir}/${train_set} \
-        --converted_scp ${outdir}/${srcspk}_${trgspk}/feats.scp \
+        --converted_scp ${outdir}/${pair}/feats.scp \
         --trials ${dumpdir}/${eval_set}/trials \
-        --enroll_dir ${dumpdir}/${train_set} --steps 1000 || \
-        echo "similarity eval skipped"
+        --enroll_dir ${dumpdir}/${train_set} --steps ${sim_steps} \
+        --output_dir ${obdir}/asv/${pair} | tail -1) || sim_line=""
+    echo "${sim_line}"
+    plda=$(echo "${sim_line}" | grep -oE 'PLDA: [-0-9.]+' | cut -d' ' -f2)
+    cossim=$(echo "${sim_line}" | grep -oE 'COSSIM: [-0-9.]+' | cut -d' ' -f2)
+
+    # the reference's one-line summary (reference test.sh:16-24)
+    echo "RESULT ${pair}  MCD: ${mcd}  CER: ${cer:-n/a}  WER: ${wer:-n/a}  PLDA: ${plda:-n/a}  COSSIM: ${cossim:-n/a}"
 fi
 echo "Finished."

@@ -223,3 +223,54 @@ class TestSpeakerEmbeddingMode:
         mats = dict(kaldi_io.read_ark(f"scp:{dec}/feats.scp"))
         assert len(mats) == 24
         assert all(np.all(np.isfinite(m)) for m in mats.values())
+
+    def test_decode_tts_vc_trials(self, tmp_path, monkeypatch, capsys):
+        """Trials mode: source tokens synthesized with TARGET speaker
+        embeddings (the reference pipeline's actual VC use)."""
+        import sys
+        import yaml
+
+        from vae_npvc_tpu.bin.decode_tts import main as decode_main
+        from vae_npvc_tpu.bin.train_tts import train as train_cli
+        from vae_npvc_tpu.data import kaldi_io
+
+        cfg = {**CFG, "use_spk_embed": True, "spk_embed_dim": 12,
+               "max_iter": 6, "iters_per_checkpoint": 6, "iters_per_log": 3,
+               "batch_size": 4}
+        embs, spk_emb = self._embs()
+        rng = np.random.default_rng(0)
+        token_mel = rng.normal(size=(8, 6)).astype(np.float32)
+        items = []
+        for i in range(12):
+            L = int(rng.integers(3, 9))
+            toks = rng.integers(0, 8, L)
+            durs = rng.integers(2, 5, L)
+            items.append((f"u{i:02d}", toks, durs,
+                          np.repeat(token_mel[toks], durs, axis=0), i % 3))
+        d = tmp_path / "tm"
+        write_token_mel_dir(d, items, spk_embs={u: embs[u] for u, *_ in
+                                                items})
+        # per-SPEAKER mean embeddings keyed by speaker id
+        with kaldi_io.ArkWriter(d / "mean.ark", d / "spk_emb_mean.scp") as w:
+            for s in range(3):
+                w.write(str(s), spk_emb[s][None, :])
+        (d / "trials_vc").write_text("u00 1\nu01 2\nu02 0\n")
+
+        conf = tmp_path / "c.yaml"
+        conf.write_text(yaml.safe_dump(cfg))
+        out = tmp_path / "exp"
+        train_cli(argparse.Namespace(config=str(conf), output_dir=str(out),
+                                     checkpoint=None, train_dir=str(d),
+                                     valid_dir=None))
+        dec = tmp_path / "vc"
+        monkeypatch.setattr(sys, "argv", [
+            "decode_tts", "-c", str(conf),
+            "--checkpoint", str(out / "model.loss.best"),
+            "--tokens", str(d / "tokens.txt"),
+            "--trials", str(d / "trials_vc"),
+            "--spk_emb", str(d / "spk_emb_mean.scp"),
+            "--output-dir", str(dec)])
+        decode_main()
+        assert "Synthesized 3" in capsys.readouterr().out
+        mats = dict(kaldi_io.read_ark(f"scp:{dec}/feats.scp"))
+        assert sorted(mats) == ["u00", "u01", "u02"]

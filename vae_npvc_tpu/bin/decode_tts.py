@@ -32,6 +32,12 @@ def main():
                              "per-utterance (1, E) matrices, or one matrix "
                              "file used for every utterance (unseen-speaker "
                              "synthesis, the x-vector analog)")
+    parser.add_argument("--trials", type=str, default=None,
+                        help="voice-conversion trials file 'utt TARGET': "
+                             "synthesize each utterance's tokens with the "
+                             "TARGET speaker (resolved through --spk (ids) "
+                             "or --spk_emb keyed by speaker, e.g. "
+                             "spk_emb_mean.scp)")
     parser.add_argument("--output-dir", "--output_dir", dest="output_dir",
                         type=str, required=True)
     args = parser.parse_args()
@@ -69,6 +75,10 @@ def main():
     infer = jax.jit(lambda toks, y, lens: model.apply(v, toks, y, lens,
                                                       method="infer"))
 
+    utt2target = None
+    if args.trials:
+        utt2target = {ln.split()[0]: ln.split()[1]
+                      for ln in open(args.trials) if ln.strip()}
     utt2spk = utt2emb = fixed_emb = None
     if args.spk_emb:
         emb_path = Path(args.spk_emb)
@@ -86,10 +96,21 @@ def main():
     n = 0
     with kaldi_io.ArkWriter(out_dir / "mel.ark", out_dir / "feats.scp") as w:
         for utt, line in kaldi_io.load_dict_data(args.tokens).items():
+            if utt2target is not None and utt not in utt2target:
+                continue
             toks = parse_token_line(line)[:L]
             pad = np.zeros((1, L), np.int32)
             pad[0, :len(toks)] = toks
-            if utt2emb is not None:
+            if utt2target is not None:
+                # VC trials: the speaker source is keyed by TARGET speaker
+                # (embedding table like spk_emb_mean.scp, or an int id)
+                tgt = utt2target[utt]
+                if utt2emb is not None:
+                    y = jnp.asarray(kaldi_io.load_mat(utt2emb[tgt])[:1],
+                                    jnp.float32)
+                else:
+                    y = jnp.asarray([int(tgt)], jnp.int32)
+            elif utt2emb is not None:
                 y = jnp.asarray(kaldi_io.load_mat(utt2emb[utt])[:1],
                                 jnp.float32)
             elif fixed_emb is not None:
