@@ -104,3 +104,39 @@ class TestSweep:
                                    atol=5e-3)
         np.testing.assert_allclose(mats["u1__1"], mats2["u1"], rtol=1e-2,
                                    atol=5e-3)
+
+
+def test_sweep_hierarchical(tmp_path):
+    """Generic sweep fallback covers hierarchical models."""
+    import sys
+    from pathlib import Path as P
+    sys.path.insert(0, str(P(__file__).parent))
+    from test_convert_hier import hier_cfg
+
+    from vae_npvc_tpu.infer.convert import Converter
+    from vae_npvc_tpu.train.trainer import Trainer
+
+    cfg = hier_cfg()
+    tr = Trainer(cfg)
+    rng = np.random.default_rng(0)
+    batch = (rng.normal(size=(2, 16, 10)).astype(np.float32),
+             np.zeros((2,), np.int32))
+    tr.init_state(batch)
+    tr.train_step(batch)
+    ck = tmp_path / "m.ckpt"
+    tr.save_checkpoint(ck)
+
+    dec = tmp_path / "dec"
+    dec.mkdir()
+    with kaldi_io.ArkWriter(dec / "f.ark", dec / "feats.scp") as w:
+        for i, T in enumerate((16, 24)):
+            w.write(f"u{i}", rng.normal(size=(T, 10)).astype(np.float32))
+    cv = Converter(cfg)
+    cv.load_checkpoint(ck)
+    n = cv.sweep(dec, tmp_path / "out", targets=["1", "2", "3"])
+    assert n == 6
+    mats = dict(kaldi_io.read_ark(f"scp:{tmp_path / 'out'}/feats.scp"))
+    assert sorted(mats) == ["u0__1", "u0__2", "u0__3",
+                            "u1__1", "u1__2", "u1__3"]
+    assert mats["u1__2"].shape == (24, 10)
+    assert all(np.all(np.isfinite(m)) for m in mats.values())

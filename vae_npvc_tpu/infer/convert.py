@@ -132,9 +132,11 @@ class Converter:
         import jax.numpy as jnp
 
         if not type(self.model).__module__.endswith(".vqvae"):
-            raise NotImplementedError(
-                "the all-targets sweep currently supports the flat vqvae "
-                "model (encode-once + speaker-axis decode)")
+            # hierarchical/VAE families: correct generic fallback — bucketed
+            # masked infer once per target (no encode-once reuse; the flat
+            # model keeps the optimized speaker-axis decode below)
+            return self._sweep_generic(decode_dir, output_dir, targets,
+                                       compress=compress)
         decode_dir = Path(decode_dir)
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
@@ -184,6 +186,53 @@ class Converter:
                         wf[f"{utt}__{name}"] = out[k, :min(T, out.shape[1])]
                         n_done += 1
                     logger.info(f"Sweep: {utt} -> {K} targets")
+        return n_done
+
+    def _sweep_generic(self, decode_dir, output_dir, targets, compress=True):
+        """Any-to-all sweep via the shared bucketed masked infer path."""
+        import jax.numpy as jnp
+
+        decode_dir = Path(decode_dir)
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        feats_scp = kaldi_io.load_dict_data(decode_dir / "feats.scp")
+        spk_map = None
+        if (decode_dir / "spk2spk_id").exists():
+            spk_map = {k: int(v) for k, v in kaldi_io.load_dict_data(
+                decode_dir / "spk2spk_id").items()}
+        tgt_ids = [spk_map[t] if spk_map else int(t) for t in targets]
+        tgt_names = [str(t) for t in targets]
+
+        jobs = [(u, rx, kaldi_io.matrix_header(rx)[0])
+                for u, rx in feats_scp.items()]
+        buckets: dict[int, list] = {}
+        for job in jobs:
+            buckets.setdefault(_bucket(job[2], self.bucket_size),
+                               []).append(job)
+
+        wspec = f"ark,scp:{output_dir}/feats.ark,{output_dir}/feats.scp"
+        n_done = 0
+        with kaldi_io.write_helper(
+                wspec, compression_method=1 if compress else None) as wf:
+            for T_pad in sorted(buckets):
+                group = buckets[T_pad]
+                for lo in range(0, len(group), self.batch_size):
+                    chunk = group[lo:lo + self.batch_size]
+                    D = kaldi_io.matrix_header(chunk[0][1])[1]
+                    feats = np.zeros((self.batch_size, T_pad, D), np.float32)
+                    lengths = np.ones((self.batch_size,), np.int32)
+                    for b, (utt, rx, T) in enumerate(chunk):
+                        feats[b, :T] = kaldi_io.load_mat(rx)
+                        lengths[b] = T
+                    for tid, name in zip(tgt_ids, tgt_names):
+                        tgts = np.full((self.batch_size,), tid, np.int32)
+                        out = self._infer_with_fallback(feats, tgts, lengths)
+                        for b, (utt, rx, T) in enumerate(chunk):
+                            wf[f"{utt}__{name}"] = out[b, :min(T,
+                                                               out.shape[1])]
+                            n_done += 1
+                    logger.info(f"Sweep: {len(chunk)} utts -> "
+                                f"{len(tgt_ids)} targets")
         return n_done
 
     # ------------------------------------------------------------------ decode
