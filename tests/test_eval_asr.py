@@ -161,3 +161,31 @@ class TestEvalAsrCLI:
         printed2 = capsys.readouterr().out
         assert "loaded recognizer" in printed2
         assert printed.splitlines()[-1] == printed2.splitlines()[-1]
+
+
+class TestSpecAugment:
+    def test_masks_within_bounds(self):
+        import jax
+        import jax.numpy as jnp
+
+        from vae_npvc_tpu.eval.asr import spec_augment
+
+        rng = jax.random.PRNGKey(0)
+        feats = jnp.ones((3, 50, 16))
+        flens = jnp.array([50, 30, 10])
+        out = np.asarray(spec_augment(rng, feats, flens))
+        assert out.shape == feats.shape
+        assert np.all((out == 0) | (out == 1))
+        assert out.sum() < feats.size          # something was masked
+        assert out.sum() > feats.size * 0.3    # not everything
+
+    def test_ctc_trains_with_specaug(self, tmp_path):
+        from vae_npvc_tpu.eval.asr import train_ctc
+        from vae_npvc_tpu.eval import wer as wer_mod
+
+        d, texts = _char_corpus(tmp_path)
+        rec = train_ctc(d, steps=400, batch_size=16, width=48, seed=0,
+                        log_every=0, specaug=True)
+        hyps = rec.transcribe_scp(d / "feats.scp", batch_size=8, bucket=64)
+        total, _, _ = wer_mod.score(texts, hyps, "char")
+        assert total.err_pct < 20.0, f"CER {total.err_pct}%"

@@ -39,6 +39,9 @@ def main():
                         help="reuse/persist the trained CTC proxy here")
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--width", type=int, default=192)
+    parser.add_argument("--specaug", action="store_true",
+                        help="SpecAugment during CTC-proxy training (the "
+                             "reference eval stack's specaug.yaml analog)")
     parser.add_argument("--platform", type=str, default=None)
     args = parser.parse_args()
     if args.platform:
@@ -61,7 +64,8 @@ def main():
         if not args.train_dir:
             raise SystemExit("--train_dir required to train the CTC proxy "
                              "(or pass --recognizer/--recognizer_ckpt)")
-        rec = train_ctc(args.train_dir, steps=args.steps, width=args.width)
+        rec = train_ctc(args.train_dir, steps=args.steps, width=args.width,
+                        specaug=args.specaug)
         if args.recognizer_ckpt:
             Path(args.recognizer_ckpt).parent.mkdir(parents=True,
                                                     exist_ok=True)

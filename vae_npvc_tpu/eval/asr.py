@@ -87,12 +87,43 @@ def _load_corpus(data_dir, max_frames):
     return items
 
 
+def spec_augment(rng, feats, flens, *, n_time_masks=2, time_width=20,
+                 n_freq_masks=2, freq_width=8):
+    """SpecAugment (time + frequency masking) on a padded (B, T, D) batch.
+
+    The reference's eval-ASR stack ships a specaug.yaml for its downloaded
+    ESPnet model (reference: egs/vcc20/vae1/conf/specaug.yaml); this is the
+    in-framework analog used when training the CTC proxy. Warping is
+    omitted (static-shape-hostile, minor effect at this scale).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, T, D = feats.shape
+    mask = jnp.ones((B, T, D), feats.dtype)
+    for i in range(n_time_masks):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        w = jax.random.randint(k1, (B, 1), 0, time_width + 1)
+        t0 = (jax.random.uniform(k2, (B, 1))
+              * jnp.maximum(flens[:, None] - w, 1)).astype(jnp.int32)
+        t = jnp.arange(T)[None, :]
+        mask = mask * ((t < t0) | (t >= t0 + w))[:, :, None]
+    for i in range(n_freq_masks):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        w = jax.random.randint(k1, (B, 1), 0, freq_width + 1)
+        f0 = jax.random.randint(k2, (B, 1), 0, max(D - freq_width, 1))
+        f = jnp.arange(D)[None, :]
+        mask = mask * ((f < f0) | (f >= f0 + w))[:, None, :]
+    return feats * mask
+
+
 def train_ctc(data_dir, *, steps: int = 3000, batch_size: int = 16,
               lr: float = 1e-3, width: int = 192, max_frames: int = 1200,
-              seed: int = 0, log_every: int = 500):
+              seed: int = 0, log_every: int = 500, specaug: bool = False):
     """Train the CTC proxy on a data dir with ``feats.scp`` + ``text``.
 
-    Returns a ready ``CTCRecognizer``.
+    Returns a ready ``CTCRecognizer``. ``specaug`` applies time/frequency
+    masking during training (the reference eval stack's specaug.yaml analog).
     """
     import jax
     import jax.numpy as jnp
@@ -110,7 +141,10 @@ def train_ctc(data_dir, *, steps: int = 3000, batch_size: int = 16,
     tx = optax.adam(lr)
 
     @jax.jit
-    def step(params, opt_state, feats, flens, labels, llens):
+    def step(params, opt_state, feats, flens, labels, llens, aug_rng):
+        if specaug:
+            feats = spec_augment(aug_rng, feats, flens)
+
         def loss_fn(p):
             logits, out_len = model.apply({"params": p}, feats, flens)
             t = jnp.arange(logits.shape[1])[None, :]
@@ -147,10 +181,12 @@ def train_ctc(data_dir, *, steps: int = 3000, batch_size: int = 16,
                 jnp.asarray(labels), jnp.asarray(llens))
 
     loss = None
+    base_rng = jax.random.PRNGKey(seed + 1)
     for i in range(steps):
         idx = rng.choice(len(items), size=batch_size,
                          replace=len(items) < batch_size)
-        params, opt_state, loss = step(params, opt_state, *make_batch(idx))
+        params, opt_state, loss = step(params, opt_state, *make_batch(idx),
+                                       jax.random.fold_in(base_rng, i))
         if log_every and i % log_every == 0:
             print(f"ctc step {i}: loss {float(loss):.4f}")
     print(f"ctc final loss: {float(loss):.4f}")
