@@ -62,3 +62,24 @@ summed = jax.jit(shard_map(
 assert abs(float(summed) - float(np.arange(24).sum())) < 1e-4
 
 print(f"MULTIHOST_OK pid={pid} global_mean={got}")
+
+# --- full Trainer integration over the 2-host mesh ----------------------
+# Each host feeds its local half of a fixed global batch; train_step runs
+# GSPMD over the 4-device global mesh (grad psum + EMA cluster-stat psum
+# cross HOSTS, not just chips). Losses must be identical on both hosts and
+# must match the single-process oracle computed by the parent test.
+from tests.toy_config import toy_config  # noqa: E402
+from vae_npvc_tpu.train.trainer import Trainer  # noqa: E402
+
+config = toy_config()
+trainer = Trainer(config, mesh=mesh)
+rng = np.random.default_rng(123)
+feats = rng.normal(size=(8, 16, 10)).astype(np.float32)
+spks = (np.arange(8) % config["y_num"]).astype(np.int32)
+
+trainer.init_state((feats[:1], spks[:1]))
+local = slice(pid * 4, (pid + 1) * 4)
+for _ in range(3):
+    detail = trainer.train_step((feats[local], spks[local]))
+total = float(detail["Total"])
+print(f"TRAINER_OK pid={pid} total={total:.10f}")

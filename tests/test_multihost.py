@@ -48,3 +48,35 @@ def test_two_process_mesh():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert f"MULTIHOST_OK pid={pid}" in out, out
+
+    # Trainer integration: both hosts must report the same loss, and it must
+    # match a single-process oracle on the same global batch + mesh size.
+    totals = {}
+    for pid, out in enumerate(outs):
+        for line in out.splitlines():
+            if line.startswith(f"TRAINER_OK pid={pid}"):
+                totals[pid] = float(line.split("total=")[1])
+    assert set(totals) == {0, 1}, outs
+    assert totals[0] == totals[1], totals
+    assert abs(totals[0] - _oracle_total()) < 1e-4, (totals, _oracle_total())
+
+
+def _oracle_total():
+    """Single-process 4-device run of the child's exact training workload."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from tests.toy_config import toy_config
+    from vae_npvc_tpu.train.trainer import Trainer
+
+    config = toy_config()
+    trainer = Trainer(config, mesh=Mesh(np.asarray(jax.devices()[:4]),
+                                        ("data",)))
+    rng = np.random.default_rng(123)
+    feats = rng.normal(size=(8, 16, 10)).astype(np.float32)
+    spks = (np.arange(8) % config["y_num"]).astype(np.int32)
+    trainer.init_state((feats[:1], spks[:1]))
+    for _ in range(3):
+        detail = trainer.train_step((feats, spks))
+    return float(detail["Total"])

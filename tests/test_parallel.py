@@ -86,6 +86,83 @@ class TestExplicitShardMapStep:
                                    float(detail["X like"]), rtol=1e-5)
 
 
+class TestTensorParallel:
+    def test_param_spec_rule(self):
+        from vae_npvc_tpu.parallel.tp import param_spec
+
+        # conv kernel (k, in, out): trailing-most maximal divisible dim
+        assert param_spec((3, 512, 512), 2, 1024) == P(None, None, "model")
+        assert param_spec((3, 512, 1024), 2, 1024) == P(None, None, "model")
+        # small params stay replicated
+        assert param_spec((8,), 2, 1024) == P()
+        # indivisible dims stay replicated
+        assert param_spec((3, 5, 7), 2, 0) == P()
+        # n_model=1 → no sharding
+        assert param_spec((3, 512, 512), 1, 0) == P()
+
+    def test_tp_step_matches_dp_step(self):
+        """A 4×2 (data×model) mesh with sharded params must reproduce the
+        data-parallel-only trainer's numerics exactly (same math, different
+        layout — XLA inserts the model-axis collectives)."""
+        from vae_npvc_tpu.train.trainer import Trainer
+
+        rng = np.random.default_rng(0)
+        batch = (rng.normal(size=(8, 16, 10)).astype(np.float32),
+                 np.arange(8, dtype=np.int32) % 3)
+
+        t_dp = Trainer(TINY)
+        t_dp.init_state(batch)
+
+        cfg_tp = {**TINY, "tp_min_param_size": 64}
+        t_tp = Trainer(cfg_tp, mesh=make_mesh(n_data=4, n_model=2))
+        t_tp.init_state(batch)
+
+        # at least one parameter must actually be model-axis sharded
+        specs = [s.spec for s in jax.tree_util.tree_leaves(
+            t_tp._state_shardings(t_tp.state),
+            is_leaf=lambda x: hasattr(x, "spec"))]
+        assert any("model" in tuple(s) for s in specs), specs
+
+        for _ in range(3):
+            d_dp = t_dp.train_step(batch)
+            d_tp = t_tp.train_step(batch)
+        np.testing.assert_allclose(float(d_dp["Total"]),
+                                   float(d_tp["Total"]), rtol=2e-5)
+        for a, b in zip(
+                jax.tree_util.tree_leaves(jax.device_get(t_dp.state.params)),
+                jax.tree_util.tree_leaves(jax.device_get(t_tp.state.params))):
+            np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-6)
+
+    def test_tp_checkpoint_roundtrip(self):
+        """Sharded-state save/load keeps values and layout."""
+        import tempfile
+        from pathlib import Path
+
+        from vae_npvc_tpu.train.trainer import Trainer
+
+        rng = np.random.default_rng(1)
+        batch = (rng.normal(size=(8, 16, 10)).astype(np.float32),
+                 np.arange(8, dtype=np.int32) % 3)
+        cfg = {**TINY, "tp_min_param_size": 64}
+        t = Trainer(cfg, mesh=make_mesh(n_data=4, n_model=2))
+        t.init_state(batch)
+        t.train_step(batch)
+        want = jax.device_get(t.state.params)
+
+        with tempfile.TemporaryDirectory() as d:
+            path = str(Path(d) / "iter.1")
+            t.save_checkpoint(path)
+            t2 = Trainer(cfg, mesh=make_mesh(n_data=4, n_model=2))
+            it = t2.load_checkpoint(path, example_batch=batch)
+        assert it == 1
+        for a, b in zip(jax.tree_util.tree_leaves(want),
+                        jax.tree_util.tree_leaves(
+                            jax.device_get(t2.state.params))):
+            np.testing.assert_allclose(a, b, rtol=0, atol=0)
+        d2 = t2.train_step(batch)
+        assert np.isfinite(float(d2["Total"]))
+
+
 class TestHalo:
     def test_sharded_conv_matches_unsharded(self):
         from jax.experimental.shard_map import shard_map

@@ -58,6 +58,10 @@ class Trainer:
         self.mesh = mesh
         self.repl = NamedSharding(mesh, P())
         self.batch_sharding = NamedSharding(mesh, P("data"))
+        # model-axis parameter sharding (TP/FSDP hybrid, parallel/tp.py):
+        # active whenever the mesh carries a 'model' axis > 1
+        self.n_model = dict(mesh.shape).get("model", 1)
+        self.tp_min_param_size = config.get("tp_min_param_size", 1024)
 
         self.state: TrainState | None = None
         self._compiled = {}
@@ -70,7 +74,24 @@ class Trainer:
         A batch whose leading dim isn't divisible by the mesh's data axis
         cannot be partitioned (e.g. the last partial validation batch) — it
         falls back to replication, which is correct but unscaled.
+
+        Multi-host (``jax.process_count() > 1``): each host passes its *local*
+        rows; the global batch is assembled across hosts in process order via
+        ``make_array_from_process_local_data`` (each host's loader owns an
+        utterance shard — the SPMD replacement for the reference's per-node
+        Kaldi job arrays, SURVEY.md §2.4).
         """
+        if jax.process_count() > 1:
+            n_local = (len(self.mesh.local_devices) * self.mesh.shape["data"]
+                       // self.mesh.size)
+            if batch[0].shape[0] % n_local != 0:
+                raise ValueError(
+                    f"multi-host local batch size {batch[0].shape[0]} must "
+                    f"divide the {n_local} local devices on the data axis")
+            return tuple(
+                jax.make_array_from_process_local_data(self.batch_sharding,
+                                                       np.asarray(a))
+                for a in batch)
         n = self.mesh.shape["data"]
         if batch[0].shape[0] % n == 0:
             sharding = self.batch_sharding
@@ -99,8 +120,26 @@ class Trainer:
         ema = variables  # remaining collections (possibly {})
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            ema=ema, opt_state=self.tx.init(params))
-        self.state = jax.device_put(state, self.repl)
+        self.state = jax.device_put(state, self._state_shardings(state))
         return self.state
+
+    def _state_shardings(self, state):
+        """Sharding pytree for the train state: replicated by default;
+        params + optimizer moments sharded over the 'model' axis when the
+        mesh has one (the shape-generic rule in parallel/tp.py — EMA
+        collections stay replicated so the fused Pallas VQ kernel sees the
+        whole codebook)."""
+        if self.n_model <= 1:
+            return jax.tree_util.tree_map(lambda _: self.repl, state)
+        from ..parallel.tp import param_spec
+        shard = lambda leaf: NamedSharding(
+            self.mesh, param_spec(np.shape(leaf), self.n_model,
+                                  self.tp_min_param_size))
+        return TrainState(
+            step=self.repl,
+            params=jax.tree_util.tree_map(shard, state.params),
+            ema=jax.tree_util.tree_map(lambda _: self.repl, state.ema),
+            opt_state=jax.tree_util.tree_map(shard, state.opt_state))
 
     # ------------------------------------------------------------------ steps
     def _train_step(self, state: TrainState, batch, rng):
@@ -135,6 +174,14 @@ class Trainer:
             opt_state = pick(opt_state, state.opt_state)
             mut = pick(mut, {k: state.ema[k] for k in mut}) if mut else mut
             detail["skipped_nonfinite"] = (1.0 - ok.astype(jnp.float32))
+        if self.n_model > 1:
+            # pin the steady-state model-axis layout so the donated loop
+            # doesn't oscillate between GSPMD propagation choices
+            from ..parallel.tp import constrain_params
+            params = constrain_params(params, self.mesh,
+                                      self.tp_min_param_size)
+            opt_state = constrain_params(opt_state, self.mesh,
+                                         self.tp_min_param_size)
         new_state = TrainState(step=state.step + 1, params=params,
                                ema={**state.ema, **mut}, opt_state=opt_state)
         detail["grad_norm"] = jnp.sqrt(grad_sq)
@@ -224,9 +271,9 @@ class Trainer:
             # converted reference checkpoints carry no optimizer state
             opt_state = self.tx.init(params)
         iteration = int(payload["iteration"])
-        self.state = jax.device_put(
-            TrainState(step=jnp.asarray(iteration, jnp.int32), params=params,
-                       ema=ema, opt_state=opt_state), self.repl)
+        state = TrainState(step=jnp.asarray(iteration, jnp.int32),
+                           params=params, ema=ema, opt_state=opt_state)
+        self.state = jax.device_put(state, self._state_shardings(state))
         return iteration
 
     def get_model_info(self):
