@@ -37,6 +37,12 @@ voc_expdir=exp/parallel_wavegan
 griffin_lim_iters=64
 asr_steps=3000                # CTC-proxy recognizer training steps (stage 7)
 sim_steps=1000                # speaker-embedder training steps (stage 7)
+sim_frontend=mel              # mel: embed dump-dir mels directly; mfcc_vad:
+                              # the reference's wav-domain chain (30-dim
+                              # Kaldi-semantics MFCC + energy VAD over the
+                              # synthesized wavs, conf/mfcc.conf+vad.conf —
+                              # reference evaluate_similarity.sh:82-104);
+                              # needs stage 6 (voc) output
 mcd_gt_root=""                # target-speaker ground-truth wav root; when
                               # set, stage 7 computes wav-domain mcep MCD
                               # with the reference knob set (evaluate.sh:57-69)
@@ -222,11 +228,18 @@ EOF
         echo "CER/WER skipped: no transcripts (set --transcriptions)"
     fi
 
+    sim_extra=""
+    if [ "${sim_frontend}" = "mfcc_vad" ] && [ -d "${outdir}_denorm/${pair}/wav" ]; then
+        sim_extra="--frontend mfcc_vad --converted_wav_dir ${outdir}_denorm/${pair}/wav"
+        sim_extra="${sim_extra} --train_wav_scp data/${train_set}/wav.scp"
+        sim_extra="${sim_extra} --enroll_wav_scp data/${train_set}/wav.scp"
+    fi
     sim_line=$(${PY} vae_npvc_tpu.bin.eval_similarity -c ${train_config} \
         --train_dir ${dumpdir}/${train_set} \
         --converted_scp ${outdir}/${pair}/feats.scp \
         --trials ${dumpdir}/${eval_set}/trials \
         --enroll_dir ${dumpdir}/${train_set} --steps ${sim_steps} \
+        ${sim_extra} \
         --output_dir ${obdir}/asv/${pair} | tail -1) || sim_line=""
     echo "${sim_line}"
     plda=$(echo "${sim_line}" | grep -oE 'PLDA: [-0-9.]+' | cut -d' ' -f2)

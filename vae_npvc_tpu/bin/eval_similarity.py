@@ -32,6 +32,25 @@ def main():
                         help="data dir with feats.scp + utt2spk(_id) of real "
                              "target-speaker utterances")
     parser.add_argument("--steps", type=int, default=2000)
+    parser.add_argument("--frontend", choices=("mel", "mfcc_vad"),
+                        default="mel",
+                        help="mel: embed the dump-dir mel features directly; "
+                             "mfcc_vad: the reference's wav-domain chain "
+                             "(30-dim Kaldi-semantics MFCC + energy VAD, "
+                             "conf/mfcc.conf + conf/vad.conf) — requires "
+                             "wav.scp in the train/enroll dirs and "
+                             "--converted_wav_dir")
+    parser.add_argument("--converted_wav_dir", type=str, default=None,
+                        help="dir of converted wavs (<utt>.wav, the "
+                             "Griffin-Lim stage output) for "
+                             "--frontend mfcc_vad")
+    parser.add_argument("--train_wav_scp", type=str, default=None,
+                        help="wav.scp for the embedder training set "
+                             "(default <train_dir>/wav.scp); labels still "
+                             "come from <train_dir>/utt2spk_id")
+    parser.add_argument("--enroll_wav_scp", type=str, default=None,
+                        help="wav.scp of the enrollment utterances "
+                             "(default <enroll_dir>/wav.scp)")
     parser.add_argument("--output_dir", type=str, default=None,
                         help="write per-target plda_scores/cossim_scores "
                              "files (reference scores-file shape)")
@@ -52,11 +71,28 @@ def main():
                                    write_scores)
 
     config = yaml.safe_load(open(args.config))
-    model, params = train_embedder(args.train_dir, config, steps=args.steps)
-
-    conv_embs = embed_scp(model, params, args.converted_scp)
     enroll_dir = Path(args.enroll_dir)
-    enroll_embs = embed_scp(model, params, enroll_dir / "feats.scp")
+    if args.frontend == "mfcc_vad":
+        from ..eval.similarity import embed_feats, mfcc_vad_scp
+
+        if not args.converted_wav_dir:
+            parser.error("--frontend mfcc_vad requires --converted_wav_dir")
+        train_feats = mfcc_vad_scp(
+            args.train_wav_scp or Path(args.train_dir) / "wav.scp")
+        model, params = train_embedder(args.train_dir, config,
+                                       steps=args.steps, feats=train_feats)
+        wavs = sorted(Path(args.converted_wav_dir).glob("*.wav"))
+        conv_embs = embed_feats(model, params, mfcc_vad_scp(
+            {w.stem: str(w) for w in wavs}))
+        enroll_embs = embed_feats(model, params, mfcc_vad_scp(
+            args.enroll_wav_scp or enroll_dir / "wav.scp"))
+        train_embs = embed_feats(model, params, train_feats)
+    else:
+        model, params = train_embedder(args.train_dir, config,
+                                       steps=args.steps)
+        conv_embs = embed_scp(model, params, args.converted_scp)
+        enroll_embs = embed_scp(model, params, enroll_dir / "feats.scp")
+        train_embs = None
     # enrollment speakers by NAME when available, else by id; trial targets
     # may be either — normalize through spk2spk_id if present
     if (enroll_dir / "utt2spk").exists():
@@ -78,7 +114,8 @@ def main():
     # PLDA trained on the training-set embeddings (speaker labels from the
     # train dir) — the offline stand-in for the reference's SITW PLDA
     train_dir = Path(args.train_dir)
-    train_embs = embed_scp(model, params, train_dir / "feats.scp")
+    if train_embs is None:
+        train_embs = embed_scp(model, params, train_dir / "feats.scp")
     if (train_dir / "utt2spk").exists():
         train_utt2spk = kaldi_io.load_dict_data(train_dir / "utt2spk")
     else:

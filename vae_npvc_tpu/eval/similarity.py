@@ -55,22 +55,30 @@ def _embedder(num_speakers, emb_dim=64, width=128):
 
 
 def train_embedder(data_dir, config, *, steps=2000, batch_size=64,
-                   emb_dim=64, lr=1e-3, seed=0, log_every=500):
-    """Train the speaker classifier on a dump dir; returns (model, params)."""
+                   emb_dim=64, lr=1e-3, seed=0, log_every=500, feats=None):
+    """Train the speaker classifier on a dump dir; returns (model, params).
+
+    ``feats``: optional {utt: (T, D)} override — the wav-domain MFCC+VAD
+    front-end (``mfcc_vad_scp``) instead of the dump dir's mels; speaker
+    labels still come from the dir's ``utt2spk_id``.
+    """
     import jax
     import jax.numpy as jnp
     import optax
 
-    from ..data.dataset import UttMelSpkDataset, batch_iterator
+    if feats is not None:
+        it, num_speakers, feats0 = _override_batches(
+            data_dir, feats, batch_size, seed)
+    else:
+        from ..data.dataset import UttMelSpkDataset, batch_iterator
 
-    ds = UttMelSpkDataset(data_dir, config)
-    num_speakers = int(ds.spk_ids.max()) + 1
+        ds = UttMelSpkDataset(data_dir, config)
+        num_speakers = int(ds.spk_ids.max()) + 1
+        batch_size = min(batch_size, len(ds))
+        it = batch_iterator(ds, batch_size, shuffle=True, drop_last=True,
+                            seed=seed, num_workers=4)
+        feats0, _ = next(it)
     model = _embedder(num_speakers, emb_dim)
-
-    batch_size = min(batch_size, len(ds))
-    it = batch_iterator(ds, batch_size, shuffle=True, drop_last=True,
-                        seed=seed, num_workers=4)
-    feats0, _ = next(it)
     params = model.init(jax.random.PRNGKey(seed),
                         jnp.zeros_like(feats0))["params"]
     tx = optax.adam(lr)
@@ -96,6 +104,74 @@ def train_embedder(data_dir, config, *, steps=2000, batch_size=64,
     return model, params
 
 
+def _override_batches(data_dir, feats, batch_size, seed, crop=200):
+    """Batch iterator over an in-memory {utt: (T, D)} dict with labels from
+    ``data_dir/utt2spk_id`` (random crop-or-pad to ``crop`` frames)."""
+    from pathlib import Path
+
+    utt2spk = {}
+    for line in open(Path(data_dir) / "utt2spk_id"):
+        u, s = line.split()
+        utt2spk[u] = int(s)
+    utts = [u for u in feats if u in utt2spk and len(feats[u]) > 0]
+    if not utts:
+        raise ValueError(f"no labeled utterances with voiced frames in "
+                         f"{data_dir}")
+    num_speakers = max(utt2spk[u] for u in utts) + 1
+    D = feats[utts[0]].shape[1]
+    batch_size = min(batch_size, len(utts))
+    rng = np.random.default_rng(seed)
+
+    def gen():
+        while True:
+            pick = rng.choice(len(utts), size=batch_size, replace=False)
+            x = np.zeros((batch_size, crop, D), np.float32)
+            y = np.zeros((batch_size,), np.int32)
+            for b, i in enumerate(pick):
+                mat, u = feats[utts[i]], utts[i]
+                if len(mat) > crop:
+                    t0 = rng.integers(0, len(mat) - crop + 1)
+                    x[b] = mat[t0:t0 + crop]
+                else:
+                    x[b, :len(mat)] = mat
+                y[b] = utt2spk[u]
+            yield x, y
+
+    return gen(), num_speakers, np.zeros((batch_size, crop, D), np.float32)
+
+
+def mfcc_vad_scp(wav_scp, fs=16000, *, mfcc_opts=None, vad_opts=None):
+    """Wav-domain front-end: wav.scp → {utt: voiced MFCC frames}.
+
+    The reference chain re-extracts 30-dim MFCC + energy VAD from the
+    converted/enrollment wavs before x-vector extraction
+    (evaluate_similarity.sh:82-104 with conf/mfcc.conf + conf/vad.conf);
+    non-16k sources are polyphase-resampled in-framework (no sox).
+    ``wav_scp``: a wav.scp path or an in-memory {utt: wav-path} dict."""
+    from ..data import kaldi_io
+    from ..data.mfcc import mfcc_vad
+
+    opts = dict(mfcc_opts or {})
+    opts.setdefault("high_freq", 7600.0)  # conf/mfcc.conf
+    entries = (wav_scp if isinstance(wav_scp, Mapping)
+               else kaldi_io.load_dict_data(wav_scp))
+    out = {}
+    for utt, entry in entries.items():
+        sr, x = kaldi_io.read_wav_scp_entry(entry)
+        if sr != fs:
+            import math
+
+            from scipy.signal import resample_poly
+
+            g = math.gcd(int(sr), fs)
+            x = resample_poly(x, fs // g, int(sr) // g).astype(np.float32)
+        # Kaldi computes features on int16-scale samples; the conf's VAD
+        # threshold (5.5) and the energy C0 are calibrated to that scale
+        out[utt] = mfcc_vad(x * 32768.0, fs, mfcc_opts=opts,
+                            vad_opts=vad_opts)
+    return out
+
+
 def embed_scp(model, params, scp_path, max_frames=800, batch_size=16,
               bucket=128):
     """Embed every utterance in a feats.scp → {utt: unit-norm embedding}.
@@ -104,15 +180,26 @@ def embed_scp(model, params, scp_path, max_frames=800, batch_size=16,
     per-utterance loop recompiles for every distinct length — pathological on
     remote backends).
     """
-    import jax
-    import jax.numpy as jnp
-
     from ..data import kaldi_io
-
-    embed_jit = jax.jit(lambda x, l: model.apply({"params": params}, x, l)[0])
 
     items = [(u, kaldi_io.load_mat(rx)[:max_frames])
              for u, rx in kaldi_io.read_scp(scp_path).items()]
+    return embed_feats(model, params, items, batch_size=batch_size,
+                       bucket=bucket)
+
+
+def embed_feats(model, params, items, batch_size=16, bucket=128,
+                max_frames=800):
+    """Embed [(utt, (T, D))] or {utt: (T, D)} → {utt: unit-norm embedding}."""
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(items, Mapping):
+        items = list(items.items())
+    items = [(u, np.asarray(m)[:max_frames]) for u, m in items]
+    items = [(u, m) for u, m in items if len(m) > 0]
+
+    embed_jit = jax.jit(lambda x, l: model.apply({"params": params}, x, l)[0])
     buckets: dict = {}
     for u, mat in items:
         T_pad = -(-mat.shape[0] // bucket) * bucket
