@@ -36,6 +36,13 @@ voc=GL                        # GL (Griffin-Lim) or PWG (needs the optional
 voc_expdir=exp/parallel_wavegan
 griffin_lim_iters=64
 asr_steps=3000                # CTC-proxy recognizer training steps (stage 7)
+asr_frontend=mel              # mel: score the converted mel features
+                              # directly; fbank_pitch: the reference chain —
+                              # re-extract 16 kHz fbank+pitch from the
+                              # synthesized wavs (make_fbank_pitch.sh analog,
+                              # reference evaluate.sh:110-115 + conf/pitch.conf)
+                              # and train/score the CTC proxy on those;
+                              # needs stage 6 (voc) output
 sim_steps=1000                # speaker-embedder training steps (stage 7)
 sim_frontend=mel              # mel: embed dump-dir mels directly; mfcc_vad:
                               # the reference's wav-domain chain (30-dim
@@ -215,12 +222,37 @@ EOF
         # CER/WER of converted speech, scored against the source-utterance
         # transcripts with the in-framework CTC proxy recognizer (the
         # reference downloads a pretrained ESPnet ASR, evaluate.sh:72-155)
+        asr_train_dir=${dumpdir}/${train_set}
+        asr_scp=${outdir}/${pair}/feats.scp
+        asr_ckpt=${expdir}/ctc_proxy.msgpack
+        if [ "${asr_frontend}" = "fbank_pitch" ] && [ -d "${outdir}_denorm/${pair}/wav" ]; then
+            # reference-chain mode: 16 kHz fbank+pitch re-extracted from the
+            # synthesized wavs (in-framework make_fbank_pitch.sh)
+            fpdir=fbank_pitch
+            if [ ! -f ${fpdir}/${train_set}/feats.scp ]; then
+                ${PY} vae_npvc_tpu.bin.make_fbank --fs 16000 --n_fft 512 \
+                    --n_shift 160 --n_mels 80 --fmin 20 --fmax 7600 --pitch \
+                    data/${train_set} ${fpdir}/${train_set}
+                cp ${dumpdir}/${train_set}/text ${fpdir}/${train_set}/text
+            fi
+            convdir=${fpdir}/${pair}_converted
+            mkdir -p ${convdir}
+            (cd ${outdir}_denorm/${pair}/wav && \
+                for f in *.wav; do echo "${f%.wav} $(pwd)/${f}"; done) \
+                > ${convdir}/wav.scp
+            ${PY} vae_npvc_tpu.bin.make_fbank --fs 16000 --n_fft 512 \
+                --n_shift 160 --n_mels 80 --fmin 20 --fmax 7600 --pitch \
+                ${convdir} ${convdir}
+            asr_train_dir=${fpdir}/${train_set}
+            asr_scp=${convdir}/feats.scp
+            asr_ckpt=${expdir}/ctc_proxy_fbank_pitch.msgpack
+        fi
         asr_line=$(${PY} vae_npvc_tpu.bin.eval_asr \
-            --train_dir ${dumpdir}/${train_set} \
-            --eval_scp ${outdir}/${pair}/feats.scp \
+            --train_dir ${asr_train_dir} \
+            --eval_scp ${asr_scp} \
             --ref_text data/${eval_set}/text \
             --output_dir ${obdir}/asr/${pair} --steps ${asr_steps} \
-            --recognizer_ckpt ${expdir}/ctc_proxy.msgpack | tail -1)
+            --recognizer_ckpt ${asr_ckpt} | tail -1)
         echo "${asr_line}"
         cer=$(echo "${asr_line}" | grep -oE 'CER: [0-9.]+' | cut -d' ' -f2)
         wer=$(echo "${asr_line}" | grep -oE 'WER: [0-9.]+' | cut -d' ' -f2)

@@ -20,7 +20,11 @@ import numpy as np
 
 def make_fbank(data_dir, out_dir, *, fs, n_fft, n_shift, n_mels=80,
                fmin=None, fmax=None, win_length=None, batch_frames=200000,
-               compress=False):
+               compress=False, pitch=False):
+    """``pitch=True`` appends the 3-dim Kaldi-style pitch features
+    [pov, normalized-log-pitch, delta-pitch] per frame — the in-framework
+    ``make_fbank_pitch.sh`` (reference eval-ASR feature chain,
+    evaluate.sh:110-115 + conf/pitch.conf; extractor in data/pitch.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -75,7 +79,15 @@ def make_fbank(data_dir, out_dir, *, fs, n_fft, n_shift, n_mels=80,
                 feats = np.asarray(extract(jnp.asarray(batch)))
                 for i, (utt, x) in enumerate(chunk):
                     T = num_frames(len(x), n_shift)
-                    w.write(utt, feats[i, :T].astype(np.float32))
+                    out = feats[i, :T].astype(np.float32)
+                    if pitch:
+                        from ..data.pitch import pitch_feats
+
+                        pf = pitch_feats(
+                            x, fs, n_frames=T,
+                            frame_shift_ms=1000.0 * n_shift / fs)
+                        out = np.concatenate([out, pf], axis=1)
+                    w.write(utt, out)
                     unf.write(f"{utt} {T}\n")
                     n_written += 1
     # propagate speaker files for downstream tools
@@ -97,6 +109,9 @@ def main():
     parser.add_argument("--fmax", type=float, default=None)
     parser.add_argument("--win_length", type=int, default=None)
     parser.add_argument("--compress", action="store_true")
+    parser.add_argument("--pitch", action="store_true",
+                        help="append 3-dim Kaldi-style pitch features "
+                             "(make_fbank_pitch.sh analog)")
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. cpu) for extraction")
     args = parser.parse_args()
@@ -106,7 +121,7 @@ def main():
     n = make_fbank(args.data_dir, args.out_dir, fs=args.fs, n_fft=args.n_fft,
                    n_shift=args.n_shift, n_mels=args.n_mels, fmin=args.fmin,
                    fmax=args.fmax, win_length=args.win_length,
-                   compress=args.compress)
+                   compress=args.compress, pitch=args.pitch)
     print(f"Wrote {n} utterances to {args.out_dir}")
 
 
