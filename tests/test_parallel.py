@@ -133,6 +133,30 @@ class TestTensorParallel:
                 jax.tree_util.tree_leaves(jax.device_get(t_tp.state.params))):
             np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-6)
 
+    def test_tp_step_matches_dp_hierarchical(self):
+        """The shape-generic TP rule also holds for the hierarchical
+        families (vqvae2 with GST top): same numerics as DP."""
+        from tests.test_model_vqvae2 import make_cfg
+        from vae_npvc_tpu.train.trainer import Trainer
+
+        cfg = {**make_cfg(use_gst=True, use_ema=False),
+               "optim_type": "Adam", "learning_rate": 1e-3,
+               "max_grad_norm": 10, "seed": 7}
+        rng = np.random.default_rng(0)
+        batch = (rng.normal(size=(8, 16, 10)).astype(np.float32),
+                 np.arange(8, dtype=np.int32) % 4)
+
+        t_dp = Trainer(cfg)
+        t_dp.init_state(batch)
+        t_tp = Trainer({**cfg, "tp_min_param_size": 64},
+                       mesh=make_mesh(n_data=4, n_model=2))
+        t_tp.init_state(batch)
+        for _ in range(2):
+            d_dp = t_dp.train_step(batch)
+            d_tp = t_tp.train_step(batch)
+        np.testing.assert_allclose(float(d_dp["Total"]),
+                                   float(d_tp["Total"]), rtol=2e-5)
+
     def test_tp_checkpoint_roundtrip(self):
         """Sharded-state save/load keeps values and layout."""
         import tempfile
