@@ -37,6 +37,11 @@ voc_expdir=exp/parallel_wavegan
 griffin_lim_iters=64
 asr_steps=3000                # CTC-proxy recognizer training steps (stage 7)
 sim_steps=1000                # speaker-embedder training steps (stage 7)
+asr_frontend=mel              # mel | fbank_pitch (re-extract 16 kHz
+                              # fbank+pitch from synthesized wavs — the
+                              # reference eval chain; see vae1/run.sh)
+sim_frontend=mel              # mel | mfcc_vad (wav-domain Kaldi-semantics
+                              # MFCC + energy VAD chain; see vae1/run.sh)
 mcd_gt_root=""                # target-speaker ground-truth wav root; when
                               # set, stage 7 computes wav-domain mcep MCD
                               # with the reference knob set (evaluate.sh:57-69)
@@ -214,12 +219,35 @@ EOF
         # CER/WER of converted speech, scored against the source-utterance
         # transcripts with the in-framework CTC proxy recognizer (the
         # reference downloads a pretrained ESPnet ASR, evaluate.sh:72-155)
+        asr_train_dir=${dumpdir}/${train_set}
+        asr_scp=${outdir}/${pair}/feats.scp
+        asr_ckpt=${expdir}/ctc_proxy.msgpack
+        if [ "${asr_frontend}" = "fbank_pitch" ] && [ -d "${outdir}_denorm/${pair}/wav" ]; then
+            fpdir=fbank_pitch
+            if [ ! -f ${fpdir}/${train_set}/feats.scp ]; then
+                ${PY} vae_npvc_tpu.bin.make_fbank --fs 16000 --n_fft 512 \
+                    --n_shift 160 --n_mels 80 --fmin 20 --fmax 7600 --pitch \
+                    data/${train_set} ${fpdir}/${train_set}
+                cp ${dumpdir}/${train_set}/text ${fpdir}/${train_set}/text
+            fi
+            convdir=${fpdir}/${pair}_converted
+            mkdir -p ${convdir}
+            (cd ${outdir}_denorm/${pair}/wav && \
+                for f in *.wav; do echo "${f%.wav} $(pwd)/${f}"; done) \
+                > ${convdir}/wav.scp
+            ${PY} vae_npvc_tpu.bin.make_fbank --fs 16000 --n_fft 512 \
+                --n_shift 160 --n_mels 80 --fmin 20 --fmax 7600 --pitch \
+                ${convdir} ${convdir}
+            asr_train_dir=${fpdir}/${train_set}
+            asr_scp=${convdir}/feats.scp
+            asr_ckpt=${expdir}/ctc_proxy_fbank_pitch.msgpack
+        fi
         asr_line=$(${PY} vae_npvc_tpu.bin.eval_asr \
-            --train_dir ${dumpdir}/${train_set} \
-            --eval_scp ${outdir}/${pair}/feats.scp \
+            --train_dir ${asr_train_dir} \
+            --eval_scp ${asr_scp} \
             --ref_text data/${eval_set}/text \
             --output_dir ${obdir}/asr/${pair} --steps ${asr_steps} \
-            --recognizer_ckpt ${expdir}/ctc_proxy.msgpack | tail -1)
+            --recognizer_ckpt ${asr_ckpt} | tail -1)
         echo "${asr_line}"
         cer=$(echo "${asr_line}" | grep -oE 'CER: [0-9.]+' | cut -d' ' -f2)
         wer=$(echo "${asr_line}" | grep -oE 'WER: [0-9.]+' | cut -d' ' -f2)
@@ -227,11 +255,18 @@ EOF
         echo "CER/WER skipped: no transcripts (set --transcriptions)"
     fi
 
+    sim_extra=""
+    if [ "${sim_frontend}" = "mfcc_vad" ] && [ -d "${outdir}_denorm/${pair}/wav" ]; then
+        sim_extra="--frontend mfcc_vad --converted_wav_dir ${outdir}_denorm/${pair}/wav"
+        sim_extra="${sim_extra} --train_wav_scp data/${train_set}/wav.scp"
+        sim_extra="${sim_extra} --enroll_wav_scp data/${train_set}/wav.scp"
+    fi
     sim_line=$(${PY} vae_npvc_tpu.bin.eval_similarity -c ${train_config} \
         --train_dir ${dumpdir}/${train_set} \
         --converted_scp ${outdir}/${pair}/feats.scp \
         --trials ${dumpdir}/${eval_set}/trials \
         --enroll_dir ${dumpdir}/${train_set} --steps ${sim_steps} \
+        ${sim_extra} \
         --output_dir ${obdir}/asv/${pair} | tail -1) || sim_line=""
     echo "${sim_line}"
     plda=$(echo "${sim_line}" | grep -oE 'PLDA: [-0-9.]+' | cut -d' ' -f2)
