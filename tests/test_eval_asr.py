@@ -163,6 +163,130 @@ class TestEvalAsrCLI:
         assert printed.splitlines()[-1] == printed2.splitlines()[-1]
 
 
+class TestCharNgramLM:
+    def test_distributions_normalize(self):
+        from vae_npvc_tpu.eval.lm import EOS, CharNgramLM
+
+        lm = CharNgramLM(["abab", "abba", "ba"], order=3)
+        symbols = lm.vocab + [EOS]
+        for ctx in ["", "a", "ab", "zz", "abab"]:
+            total = sum(lm.prob(list(ctx), c) for c in symbols)
+            assert total == pytest.approx(1.0, abs=1e-9), ctx
+
+    def test_seen_bigram_beats_unseen(self):
+        from vae_npvc_tpu.eval.lm import CharNgramLM
+
+        lm = CharNgramLM(["ab"] * 20 + ["ac"], order=2)
+        assert lm.prob(["a"], "b") > lm.prob(["a"], "c")
+        # EOS after a full training sentence is likely
+        assert lm.logp_eos(list("ab")) > lm.logp_eos(list("a"))
+
+
+def _exact_ctc_argmax(log_probs, blank=0):
+    """Brute-force exact CTC decode: enumerate all frame paths, sum
+    per collapsed output string (the oracle prefix beam search targets)."""
+    import itertools
+
+    T, V = log_probs.shape
+    post = {}
+    for path in itertools.product(range(V), repeat=T):
+        lp = sum(log_probs[t, c] for t, c in enumerate(path))
+        collapsed, prev = [], blank
+        for c in path:
+            if c != blank and c != prev:
+                collapsed.append(c)
+            prev = c
+        key = tuple(collapsed)
+        post[key] = np.logaddexp(post.get(key, -np.inf), lp)
+    return max(post, key=post.get), post
+
+
+class TestPrefixBeamSearch:
+    @staticmethod
+    def _rand_logprobs(T, V, seed):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(T, V)) * 2.0
+        return x - np.log(np.exp(x).sum(axis=1, keepdims=True))
+
+    def test_matches_exact_ctc_posterior_argmax(self):
+        """Wide beam == exact posterior argmax over collapsed strings."""
+        from vae_npvc_tpu.eval.asr import ctc_prefix_beam_search
+
+        for seed in range(6):
+            lp = self._rand_logprobs(T=5, V=3, seed=seed)
+            exact, _ = _exact_ctc_argmax(lp)
+            got = tuple(ctc_prefix_beam_search(lp, beam_size=200))
+            assert got == exact, f"seed {seed}: {got} vs {exact}"
+
+    def test_beats_greedy_on_ambiguous_frames(self):
+        """The classic CTC case: per-frame argmax is blank everywhere but
+        the summed non-blank mass wins — greedy returns empty, prefix
+        search returns the character."""
+        from vae_npvc_tpu.eval.asr import ctc_prefix_beam_search
+
+        # frame posteriors: blank 0.4, char-1 0.6 split over 2 frames is
+        # not ambiguous; make each frame argmax blank but path-sum favor 'a'
+        p = np.array([[0.4, 0.6], [0.4, 0.6]])
+        lp = np.log(p)
+        # greedy collapse of per-frame argmax: [1, 1] -> (1,), fine; instead
+        # use blank-max frames: blank 0.6 vs char 0.4 each frame, but the
+        # char string "a" collects mass from paths {a-}, {-a}, {aa}
+        p = np.array([[0.6, 0.4], [0.6, 0.4]])
+        lp = np.log(p)
+        exact, post = _exact_ctc_argmax(lp)
+        got = tuple(ctc_prefix_beam_search(lp, beam_size=50))
+        assert got == exact == (1,)   # P(a)=.4*.6+.6*.4+.4*.4 > P("")=.36
+        greedy = ()                    # per-frame argmax is all blanks
+        assert got != greedy
+
+    def test_lm_fusion_biases_decode(self):
+        """Shallow fusion flips an acoustically ambiguous decision toward
+        the LM-preferred continuation (reference lm-weight semantics)."""
+        from vae_npvc_tpu.eval.asr import ctc_prefix_beam_search
+        from vae_npvc_tpu.eval.lm import CharNgramLM
+
+        id2char = {1: "a", 2: "b", 3: "c"}
+        # acoustics: clear 'a', then b/c nearly tied with c slightly ahead
+        lp = np.log(np.array([
+            [0.05, 0.90, 0.025, 0.025],
+            [0.80, 0.10, 0.05, 0.05],
+            [0.10, 0.05, 0.41, 0.44],
+        ]))
+        plain = tuple(ctc_prefix_beam_search(lp, beam_size=20))
+        assert plain == (1, 3)  # "ac" without LM
+        lm = CharNgramLM(["ab"] * 50, order=2)
+        fused = tuple(ctc_prefix_beam_search(
+            lp, beam_size=20, lm=lm, lm_weight=0.6, id2char=id2char))
+        assert fused == (1, 2)  # "ab" with LM
+
+    def test_insertion_penalty_lengthens(self):
+        """A positive per-token bonus favors longer transcripts."""
+        from vae_npvc_tpu.eval.asr import ctc_prefix_beam_search
+
+        p = np.array([[0.6, 0.4], [0.6, 0.4]])
+        lp = np.log(p)
+        short = ctc_prefix_beam_search(lp, beam_size=50, penalty=-2.0)
+        long = ctc_prefix_beam_search(lp, beam_size=50, penalty=2.0)
+        assert len(short) == 0 and len(long) >= 1
+
+    def test_recognizer_beam_decode(self, tmp_path):
+        """End-to-end: beam+LM decode of the trained proxy is at least as
+        good as greedy on the template corpus."""
+        from vae_npvc_tpu.eval.asr import train_ctc
+        from vae_npvc_tpu.eval.lm import CharNgramLM
+
+        d, texts = _char_corpus(tmp_path)
+        rec = train_ctc(d, steps=400, batch_size=16, width=48, seed=0,
+                        log_every=0)
+        lm = CharNgramLM(texts.values(), order=3)
+        greedy = rec.transcribe_scp(d / "feats.scp", batch_size=8, bucket=64)
+        beam = rec.transcribe_scp(d / "feats.scp", batch_size=8, bucket=64,
+                                  beam_size=10, lm=lm, lm_weight=0.3)
+        g, _, _ = wer_mod.score(texts, greedy, "char")
+        b, _, _ = wer_mod.score(texts, beam, "char")
+        assert b.err_pct <= g.err_pct + 1e-9, (b.err_pct, g.err_pct)
+
+
 class TestSpecAugment:
     def test_masks_within_bounds(self):
         import jax

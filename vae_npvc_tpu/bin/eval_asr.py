@@ -42,6 +42,17 @@ def main():
     parser.add_argument("--specaug", action="store_true",
                         help="SpecAugment during CTC-proxy training (the "
                              "reference eval stack's specaug.yaml analog)")
+    # decode knobs mirroring the reference's conf/ob_eval/decode_asr.yaml
+    # (beam-size: 10, lm-weight: 0.6, penalty: 0.0; the RNNLM is replaced by
+    # a char n-gram trained on the experiment's own transcripts, eval/lm.py)
+    parser.add_argument("--beam_size", type=int, default=10,
+                        help="1 = greedy; >1 = CTC prefix beam search")
+    parser.add_argument("--lm_weight", type=float, default=0.6)
+    parser.add_argument("--penalty", type=float, default=0.0,
+                        help="per-token insertion bonus")
+    parser.add_argument("--lm_order", type=int, default=3)
+    parser.add_argument("--no_lm", action="store_true",
+                        help="disable LM fusion during beam search")
     parser.add_argument("--platform", type=str, default=None)
     args = parser.parse_args()
     if args.platform:
@@ -71,7 +82,18 @@ def main():
                                                     exist_ok=True)
             rec.save(args.recognizer_ckpt)
 
-    hyps = rec.transcribe_scp(args.eval_scp)
+    lm = None
+    if (args.beam_size > 1 and not args.no_lm and args.train_dir
+            and (Path(args.train_dir) / "text").exists()):
+        from ..eval.lm import CharNgramLM
+        texts = kaldi_io.load_dict_data(Path(args.train_dir) / "text")
+        lm = CharNgramLM(texts.values(), order=args.lm_order)
+        print(f"char {args.lm_order}-gram LM over {len(texts)} transcripts "
+              f"({len(lm.vocab)} chars), lm_weight {args.lm_weight}")
+
+    hyps = rec.transcribe_scp(args.eval_scp, beam_size=args.beam_size,
+                              lm=lm, lm_weight=args.lm_weight,
+                              penalty=args.penalty)
     refs_all = kaldi_io.load_dict_data(args.ref_text)
     # score only utterances present in the eval scp (hyps keys); converted
     # utterances keep their source utterance name => transcript lookup works

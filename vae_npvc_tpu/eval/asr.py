@@ -194,11 +194,95 @@ def train_ctc(data_dir, *, steps: int = 3000, batch_size: int = 16,
 
 
 # ---------------------------------------------------------------------------
+# decoding
+# ---------------------------------------------------------------------------
+
+def ctc_prefix_beam_search(log_probs: np.ndarray, *, beam_size: int = 10,
+                           blank: int = BLANK, lm=None,
+                           lm_weight: float = 0.6, penalty: float = 0.0,
+                           id2char: Mapping[int, str] | None = None):
+    """CTC prefix beam search with optional shallow LM fusion.
+
+    The reference's eval ASR decodes with beam search + a shallow-fused
+    RNNLM (reference: egs/vcc20/vae1/conf/ob_eval/decode_asr.yaml —
+    ``beam-size: 10, lm-weight: 0.6, penalty: 0.0``; evaluate.sh:150-152).
+    This is the CTC-only analog (Hannun-style prefix search): prefixes carry
+    separate blank/non-blank path masses so repeats merge exactly, and each
+    prefix extension adds ``lm_weight * log P_lm(c | prefix) + penalty``
+    (ESPnet's per-token insertion bonus). EOS is scored at finalization.
+
+    ``log_probs``: (T, V) log-softmaxed frame posteriors. Returns the best
+    prefix as a list of non-blank label ids.
+    """
+    neg_inf = -np.inf
+    T, V = log_probs.shape
+    if lm is not None and id2char is None:
+        raise ValueError("id2char required for LM fusion")
+
+    # prefix (tuple of ids) -> [log P(ending in blank), log P(non-blank)]
+    beams: Dict[tuple, List[float]] = {(): [0.0, neg_inf]}
+    lm_scores: Dict[tuple, float] = {(): 0.0}
+
+    def lm_score(prefix: tuple) -> float:
+        s = lm_scores.get(prefix)
+        if s is None:
+            parent = prefix[:-1]
+            s = lm_scores[parent] + penalty
+            if lm is not None:
+                ctx = [id2char[i] for i in parent]
+                s += lm_weight * lm.logp(ctx, id2char[prefix[-1]])
+            lm_scores[prefix] = s
+        return s
+
+    for t in range(T):
+        frame = log_probs[t]
+        nxt: Dict[tuple, List[float]] = {}
+
+        def acc(prefix, slot, val):
+            entry = nxt.setdefault(prefix, [neg_inf, neg_inf])
+            entry[slot] = np.logaddexp(entry[slot], val)
+
+        for prefix, (lp_b, lp_nb) in beams.items():
+            lp_tot = np.logaddexp(lp_b, lp_nb)
+            acc(prefix, 0, lp_tot + frame[blank])
+            if prefix:
+                acc(prefix, 1, lp_nb + frame[prefix[-1]])
+            for c in range(V):
+                if c == blank:
+                    continue
+                # a repeat char can only extend via the blank-ended path
+                base = lp_b if (prefix and c == prefix[-1]) else lp_tot
+                if base == neg_inf:
+                    continue
+                acc(prefix + (c,), 1, base + frame[c])
+
+        scored = sorted(
+            nxt.items(),
+            key=lambda kv: np.logaddexp(kv[1][0], kv[1][1]) + lm_score(kv[0]),
+            reverse=True)
+        beams = dict(scored[:beam_size])
+
+    def final_score(prefix, lps):
+        s = np.logaddexp(lps[0], lps[1]) + lm_score(prefix)
+        if lm is not None:
+            s += lm_weight * lm.logp_eos([id2char[i] for i in prefix])
+        return s
+
+    best = max(beams.items(), key=lambda kv: final_score(*kv))[0]
+    return list(best)
+
+
+# ---------------------------------------------------------------------------
 # recognizer interface
 # ---------------------------------------------------------------------------
 
 class CTCRecognizer:
-    """Greedy-decode CTC recognizer satisfying the recognizer interface."""
+    """CTC recognizer satisfying the recognizer interface.
+
+    Decoding is greedy collapse by default; ``beam_size > 1`` switches to
+    prefix beam search with optional character-n-gram shallow fusion
+    (the reference's decode_asr.yaml surface — see ctc_prefix_beam_search).
+    """
 
     def __init__(self, model, params, vocab: Mapping[str, int]):
         self.model = model
@@ -207,8 +291,9 @@ class CTCRecognizer:
         self.id2char = {i: c for c, i in self.vocab.items()}
 
     def transcribe_scp(self, scp, *, batch_size: int = 16,
-                       bucket: int = 256, max_frames: int = 3000
-                       ) -> Dict[str, str]:
+                       bucket: int = 256, max_frames: int = 3000,
+                       beam_size: int = 1, lm=None, lm_weight: float = 0.6,
+                       penalty: float = 0.0) -> Dict[str, str]:
         import jax
         import jax.numpy as jnp
 
@@ -236,10 +321,21 @@ class CTCRecognizer:
                     x[b, :mat.shape[0]] = mat
                     lens[b] = mat.shape[0]
                 logits, out_len = apply_jit(jnp.asarray(x), jnp.asarray(lens))
-                ids = np.asarray(jnp.argmax(logits, axis=-1))
                 out_len = np.asarray(out_len)
-                for b, (u, _) in enumerate(chunk):
-                    out[u] = self._collapse(ids[b, :out_len[b]])
+                if beam_size > 1:
+                    lp = np.asarray(jax.nn.log_softmax(logits, axis=-1),
+                                    np.float64)
+                    for b, (u, _) in enumerate(chunk):
+                        ids = ctc_prefix_beam_search(
+                            lp[b, :out_len[b]], beam_size=beam_size, lm=lm,
+                            lm_weight=lm_weight, penalty=penalty,
+                            id2char=self.id2char)
+                        out[u] = "".join(self.id2char.get(i, "")
+                                         for i in ids)
+                else:
+                    ids = np.asarray(jnp.argmax(logits, axis=-1))
+                    for b, (u, _) in enumerate(chunk):
+                        out[u] = self._collapse(ids[b, :out_len[b]])
         return out
 
     def _collapse(self, frame_ids) -> str:
