@@ -36,6 +36,8 @@ voc=GL                        # GL (Griffin-Lim) or PWG (needs the optional
 voc_expdir=exp/parallel_wavegan
 griffin_lim_iters=64
 asr_steps=3000                # CTC-proxy recognizer training steps (stage 7)
+asr_decode_config=conf/ob_eval/decode_asr.yaml  # beam/LM decode knobs
+                              # (reference evaluate.sh:134-136 decode yaml)
 asr_frontend=mel              # mel: score the converted mel features
                               # directly; fbank_pitch: the reference chain —
                               # re-extract 16 kHz fbank+pitch from the
@@ -247,11 +249,22 @@ EOF
             asr_scp=${convdir}/feats.scp
             asr_ckpt=${expdir}/ctc_proxy_fbank_pitch.msgpack
         fi
+        # decode knobs from the reference-shaped yaml (beam-size/lm-weight/
+        # lm-order/penalty; reference conf/ob_eval/decode_asr.yaml)
+        asr_decode_opts=""
+        if [ -f "${asr_decode_config}" ]; then
+            knob () { grep -E "^$1:" ${asr_decode_config} | head -1 \
+                      | sed -e 's/#.*//' | awk -F': *' '{print $2}'; }
+            asr_decode_opts="--beam_size $(knob beam-size) \
+                --lm_weight $(knob lm-weight) --lm_order $(knob lm-order) \
+                --penalty $(knob penalty)"
+        fi
         asr_line=$(${PY} vae_npvc_tpu.bin.eval_asr \
             --train_dir ${asr_train_dir} \
             --eval_scp ${asr_scp} \
             --ref_text data/${eval_set}/text \
             --output_dir ${obdir}/asr/${pair} --steps ${asr_steps} \
+            ${asr_decode_opts} \
             --recognizer_ckpt ${asr_ckpt} | tail -1)
         echo "${asr_line}"
         cer=$(echo "${asr_line}" | grep -oE 'CER: [0-9.]+' | cut -d' ' -f2)
