@@ -134,6 +134,90 @@ class TestVarianceAndPostnet:
         np.testing.assert_allclose(np.asarray(e), 5.0 / 8, rtol=1e-5)
 
 
+TRANSFORMER_CFG = dict(
+    CFG, block_type="transformer",
+    # reference key names (train_pytorch_transformer+spkemb.yaml)
+    adim=16, aheads=2, elayers=2, dlayers=2, eunits=32, dunits=32,
+)
+
+
+class TestTransformerBackbone:
+    def test_loss_decreases_and_infer(self, tmp_path):
+        d = make_data(tmp_path)
+        ds = TokenMelDataset(d, TRANSFORMER_CFG)
+        trainer = build_trainer(TRANSFORMER_CFG)
+        trainer.init_state(next(ds.batches(8, shuffle=False, epochs=1)))
+        losses = []
+        for i, batch in enumerate(ds.batches(8, shuffle=True, seed=1)):
+            losses.append(trainer.train_step(batch))
+            if i >= 60:
+                break
+        first = float(jax.device_get(losses[0]["Total"]))
+        last = float(np.mean([jax.device_get(l["Total"])
+                              for l in losses[-5:]]))
+        assert last < first * 0.7, (first, last)
+
+        model = trainer.model
+        v = {"params": jax.device_get(trainer.state.params)}
+        toks = jnp.asarray([[1, 2, 3, 0, 0, 0, 0, 0, 0, 0]], jnp.int32)
+        mel, lens = model.apply(v, toks, jnp.asarray([1], jnp.int32),
+                                jnp.asarray([3], jnp.int32), method="infer")
+        assert mel.shape == (1, 40, 6)
+        assert np.all(np.isfinite(np.asarray(mel)))
+
+    def test_padded_equals_unpadded(self, tmp_path):
+        """Key-padding masks make padded batches exactly equal unpadded
+        runs (the framework-wide masked-inference contract; attention must
+        exclude padded keys for this to hold)."""
+        model = build_model(TRANSFORMER_CFG)
+        rng = np.random.default_rng(0)
+        L, Lpad = 5, 10
+        toks = rng.integers(0, 8, (1, L)).astype(np.int32)
+        durs = rng.integers(2, 4, (1, L)).astype(np.int32)
+        T = int(durs.sum())
+        mel = rng.normal(size=(1, T, 6)).astype(np.float32)
+        y = np.array([1], np.int32)
+
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(toks), jnp.asarray(durs),
+            jnp.asarray(mel), jnp.asarray(y),
+            jnp.asarray([L], jnp.int32), jnp.asarray([T], jnp.int32),
+            train=True)
+
+        out_unpad, _, _ = model.apply(
+            variables, jnp.asarray(toks), jnp.asarray(durs),
+            jnp.asarray(mel), jnp.asarray(y),
+            jnp.asarray([L], jnp.int32), jnp.asarray([T], jnp.int32),
+            train=False)
+
+        toks_p = np.zeros((1, Lpad), np.int32)
+        toks_p[:, :L] = toks
+        durs_p = np.zeros((1, Lpad), np.int32)
+        durs_p[:, :L] = durs
+        mel_p = np.zeros((1, T + 16, 6), np.float32)
+        mel_p[:, :T] = mel
+        out_pad, _, _ = model.apply(
+            variables, jnp.asarray(toks_p), jnp.asarray(durs_p),
+            jnp.asarray(mel_p), jnp.asarray(y),
+            jnp.asarray([L], jnp.int32), jnp.asarray([T], jnp.int32),
+            train=False)
+        np.testing.assert_allclose(np.asarray(out_pad)[:, :T],
+                                   np.asarray(out_unpad)[:, :T],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_sinusoidal_positions_shape_and_range(self):
+        from vae_npvc_tpu.models.token_tts import sinusoidal_positions
+
+        for dim in (8, 7):   # even + odd dims
+            pe = np.asarray(sinusoidal_positions(12, dim))
+            assert pe.shape == (12, dim)
+            assert np.all(np.abs(pe) <= 1.0 + 1e-6)
+        # position 0: sin=0, cos=1 pattern
+        pe = np.asarray(sinusoidal_positions(4, 6))
+        np.testing.assert_allclose(pe[0, 0::2], 0.0, atol=1e-7)
+        np.testing.assert_allclose(pe[0, 1::2], 1.0, atol=1e-7)
+
+
 class TestSpeakerEmbeddingMode:
     def _embs(self, n=24, dim=12, seed=1):
         rng = np.random.default_rng(seed)

@@ -35,6 +35,18 @@ Config keys: ``token_num`` (VQ codebook size), ``token_dim``, ``y_num/y_dim``,
 postnet mel + pre-net mel + ``dur_weight``·MSE(log-durations) +
 ``var_weight``·(MSE(pitch) + MSE(energy)). Detail keys: {Total, X like,
 X pre like, DUR loss, PITCH loss, ENERGY loss}.
+
+Two backbone families, mirroring the reference's choice of Tacotron2 vs
+Transformer TTS configs (reference:
+egs/aishell3/vc2/conf/train_pytorch_{tacotron2,transformer}+spkemb.yaml):
+
+- ``block_type: conv`` (default) — dilated conv residual stacks;
+- ``block_type: transformer`` — pre-LN self-attention blocks with sinusoidal
+  positions and key-padding masks (= FastSpeech2 proper, the NAR analog of
+  the reference's e2e_tts_transformer). Accepts the reference's key names:
+  ``adim`` (model dim), ``aheads``, ``elayers``/``dlayers`` (block counts),
+  ``eunits``/``dunits`` (FFN widths); attention softmax runs fp32 (the
+  measured-bf16-NaN convention from the GST layer, nn/gst.py).
 """
 
 from __future__ import annotations
@@ -47,8 +59,54 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..nn.blocks import Conditions, ConvResStack, WNConv1d, length_mask
+from ..nn.gst import MultiHeadedAttention
 
 LOG_2PI = math.log(2.0 * math.pi)
+
+
+def sinusoidal_positions(length: int, dim: int) -> jnp.ndarray:
+    """(length, dim) fixed sinusoidal position table (Vaswani convention)."""
+    pos = jnp.arange(length, dtype=jnp.float32)[:, None]
+    div = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32)
+                  * (-math.log(10000.0) / dim))
+    angles = pos * div[None, :]
+    pe = jnp.zeros((length, dim), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(angles))
+    pe = pe.at[:, 1::2].set(jnp.cos(angles[:, : dim // 2]))
+    return pe
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN self-attention + FFN with key-padding masking.
+
+    The NAR-TTS analog of the reference's transformer encoder/decoder layers
+    (ESPnet e2e_tts_transformer, selected by the reference's
+    train_pytorch_transformer+spkemb.yaml). LayerNorm statistics and the
+    attention softmax run fp32 regardless of ``dtype`` (params/norm-stats
+    fp32 convention; bf16 softmax NaN hazard measured on the GST layer).
+    """
+    hidden: int
+    heads: int
+    ffn: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        # mask: (B, T, 1) — 1 for valid positions; padded keys are excluded
+        # from every softmax, so padded batches equal unpadded runs exactly
+        # (the framework-wide masked-inference contract).
+        key_mask = mask[:, None, :, 0] > 0               # (B, 1=q, T=k)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln_attn")(x) \
+            .astype(self.dtype)
+        h = MultiHeadedAttention(self.heads, self.hidden, dtype=self.dtype,
+                                 name="mha")(h, h, h, mask=key_mask)
+        x = x + h * mask.astype(h.dtype)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln_ffn")(x) \
+            .astype(self.dtype)
+        h = nn.Dense(self.ffn, dtype=self.dtype, name="ffn_in")(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.hidden, dtype=self.dtype, name="ffn_out")(h)
+        return x + h * mask.astype(h.dtype)
 
 
 def length_regulate(enc, durations, max_frames):
@@ -91,10 +149,22 @@ class Model(nn.Module):
         a = dict(self.arch)
         self.token_num = a.get("token_num", a.get("z_num", 128))
         self.token_dim = a.get("token_dim", 128)
-        self.hidden = a.get("hidden", 256)
+        self.block_type = a.get("block_type", "conv")
+        if self.block_type == "transformer":
+            # reference key names (train_pytorch_transformer+spkemb.yaml)
+            self.hidden = a.get("adim", a.get("hidden", 256))
+            self.heads = a.get("aheads", 4)
+            self.enc_stacks = a.get("elayers", a.get("enc_stacks", 4))
+            self.dec_stacks = a.get("dlayers", a.get("dec_stacks", 4))
+            self.eunits = a.get("eunits", 4 * self.hidden)
+            self.dunits = a.get("dunits", 4 * self.hidden)
+        elif self.block_type == "conv":
+            self.hidden = a.get("hidden", 256)
+            self.enc_stacks = a.get("enc_stacks", 4)
+            self.dec_stacks = a.get("dec_stacks", 4)
+        else:
+            raise ValueError(f"unknown block_type {self.block_type!r}")
         self.mel_dim = a.get("mel_dim", 80)
-        self.enc_stacks = a.get("enc_stacks", 4)
-        self.dec_stacks = a.get("dec_stacks", 4)
         self.postnet_layers = a.get("postnet_layers", 3)
         self.use_variance = a.get("variance_predictor", True)
         self.dur_weight = a.get("dur_weight", 0.1)
@@ -138,9 +208,18 @@ class Model(nn.Module):
         spk = self._speaker_vector(y)
         h = h + WNConv1d(self.hidden, 1, dtype=self.dtype,
                          name="spk_proj_enc")(spk[:, None, :])
-        for j in range(self.enc_stacks):
-            h = ConvResStack(self.hidden, 3, layers=1, dilation=2 ** (j % 3),
-                             dtype=self.dtype, name=f"enc_{j}")(h, tok_mask)
+        if self.block_type == "transformer":
+            h = (h + sinusoidal_positions(L, self.hidden)[None]
+                 .astype(h.dtype)) * tok_mask.astype(h.dtype)
+            for j in range(self.enc_stacks):
+                h = TransformerBlock(self.hidden, self.heads, self.eunits,
+                                     dtype=self.dtype,
+                                     name=f"enc_{j}")(h, tok_mask)
+        else:
+            for j in range(self.enc_stacks):
+                h = ConvResStack(self.hidden, 3, layers=1,
+                                 dilation=2 ** (j % 3), dtype=self.dtype,
+                                 name=f"enc_{j}")(h, tok_mask)
         enc = h
 
         # duration predictor on detached encodings (FastSpeech convention)
@@ -177,9 +256,18 @@ class Model(nn.Module):
 
         h = frames + WNConv1d(self.hidden, 1, dtype=self.dtype,
                               name="spk_proj")(spk[:, None, :])
-        for j in range(self.dec_stacks):
-            h = ConvResStack(self.hidden, 3, layers=1, dilation=2 ** (j % 3),
-                             dtype=self.dtype, name=f"dec_{j}")(h, mel_mask)
+        if self.block_type == "transformer":
+            h = (h + sinusoidal_positions(mel_frames, self.hidden)[None]
+                 .astype(h.dtype)) * mel_mask.astype(h.dtype)
+            for j in range(self.dec_stacks):
+                h = TransformerBlock(self.hidden, self.heads, self.dunits,
+                                     dtype=self.dtype,
+                                     name=f"dec_{j}")(h, mel_mask)
+        else:
+            for j in range(self.dec_stacks):
+                h = ConvResStack(self.hidden, 3, layers=1,
+                                 dilation=2 ** (j % 3), dtype=self.dtype,
+                                 name=f"dec_{j}")(h, mel_mask)
         mel_pre = WNConv1d(self.mel_dim, 1, dtype=self.dtype,
                            name="mel_out")(h).astype(jnp.float32) * mel_mask
 
