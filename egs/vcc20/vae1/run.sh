@@ -30,10 +30,14 @@ train_config=conf/train_vqvae.yaml
 tag=""
 srcspk=SEF1
 trgspk=TEF1
-voc=GL                        # GL (Griffin-Lim) or PWG (needs the optional
+voc=GL                        # GL (Griffin-Lim), PWG (external
                               # parallel_wavegan package + pretrained model,
-                              # reference run.sh:192-239)
+                              # reference run.sh:192-239), or JPWG (the
+                              # NATIVE in-framework JAX vocoder — trains on
+                              # this corpus, no downloads)
 voc_expdir=exp/parallel_wavegan
+jpwg_config=conf/train_jpwg.yaml
+jpwg_expdir=exp/jpwg
 griffin_lim_iters=64
 asr_steps=3000                # CTC-proxy recognizer training steps (stage 7)
 asr_decode_config=conf/ob_eval/decode_asr.yaml  # beam/LM decode knobs
@@ -170,6 +174,20 @@ from vae_npvc_tpu.infer.vocoder import pwg_decode_scp
 n = pwg_decode_scp("${denorm}/feats.scp", "${denorm}/pwg_wav",
                    "${voc_expdir}")
 print(f"PWG synthesized {n} wavs")
+EOF
+    elif [ "${voc}" = "JPWG" ]; then
+        # NATIVE neural vocoder: the in-framework JAX Parallel WaveGAN
+        # (models/pwg.py) — no external package or downloaded model; trains
+        # once on the experiment's own corpus, then vocodes batched
+        if [ ! -f ${jpwg_expdir}/model.final ]; then
+            ${PY} vae_npvc_tpu.bin.train_pwg -c ${jpwg_config} \
+                --train_dir data/${train_set} --output_dir ${jpwg_expdir}
+        fi
+        python - <<EOF
+from vae_npvc_tpu.infer.vocoder import jpwg_decode_scp
+n = jpwg_decode_scp("${denorm}/feats.scp", "${denorm}/wav",
+                    "${jpwg_config}", "${jpwg_expdir}/model.final")
+print(f"JPWG synthesized {n} wavs")
 EOF
     else
         ${PY} vae_npvc_tpu.bin.convert_fbank --fs ${fs} ${fmax:+--fmax ${fmax}} ${fmin:+--fmin ${fmin}} \

@@ -1,0 +1,100 @@
+"""Neural-vocoder (Parallel WaveGAN) training CLI.
+
+Trains the in-framework PWG-style vocoder (models/pwg.py, train/pwg.py) on a
+Kaldi data dir's ``wav.scp`` — the native replacement for the external
+``parallel_wavegan`` package the reference's ``voc=PWG`` path presumes
+(reference: egs/vcc20/vae1/run.sh:192-239). Mel features are extracted on
+the fly with the experiment's fbank parameters so training and the VC
+pipeline's denormalized decode mels share one definition.
+
+Usage:
+    python -m vae_npvc_tpu.bin.train_pwg -c conf/train_pwg.yaml \
+        --train_dir data/train --output_dir exp/pwg
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+from .train import get_logger
+
+
+def train(args):
+    import jax
+
+    from ..data.wav_mel import WavMelDataset
+    from ..train.pwg import PwgTrainer
+
+    config = yaml.safe_load(open(args.config))
+    max_iter = config.get("max_iter", 100000)
+    iters_per_checkpoint = config.get("iters_per_checkpoint", 10000)
+    iters_per_log = config.get("iters_per_log", 500)
+    batch_size = config.get("batch_size", 8)
+
+    output_dir = Path(args.output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    logger = get_logger(output_dir)
+
+    dataset = WavMelDataset(args.train_dir, config)
+    logger.info(f"PWG vocoder training: {len(dataset)} utterances, "
+                f"segment {dataset.max_frames} frames x hop {dataset.hop}")
+
+    trainer = PwgTrainer(config)
+    batches = dataset.batches(batch_size, seed=config.get("seed", 777))
+    first = next(batches)
+    trainer.init_state(first)
+
+    iteration = 0
+    if args.checkpoint:
+        iteration = trainer.load_checkpoint(args.checkpoint)
+        logger.info(f"Resumed from {args.checkpoint} (iteration {iteration})")
+
+    running: dict = {}
+    t0 = time.time()
+    detail = trainer.train_step(first)
+    iteration += 1
+    while iteration < max_iter:
+        detail = trainer.train_step(next(batches))
+        iteration += 1
+        for k, v in detail.items():
+            running.setdefault(k, []).append(v)
+        if iteration % iters_per_log == 0:
+            host = {k: float(np.mean([float(jax.device_get(x))
+                                      for x in vs]))
+                    for k, vs in running.items()}
+            running.clear()
+            msg = "  ".join(f"{k}: {v:.6f}" for k, v in sorted(host.items()))
+            logger.info(f"Iter {iteration}:  {msg}  |  "
+                        f"{time.time() - t0:.1f}s")
+            t0 = time.time()
+        if iteration % iters_per_checkpoint == 0:
+            path = output_dir / f"iter.{iteration}"
+            trainer.save_checkpoint(path)
+            logger.info(f"Saved checkpoint to {path}")
+    trainer.save_checkpoint(output_dir / "model.final")
+    logger.info("Finished")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True)
+    parser.add_argument("--train_dir", type=str, required=True,
+                        help="Kaldi data dir (or wav.scp) with the training "
+                             "waveforms")
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--platform", type=str, default=None)
+    args = parser.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    train(args)
+
+
+if __name__ == "__main__":
+    main()

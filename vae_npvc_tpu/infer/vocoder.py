@@ -13,7 +13,11 @@ this environment (and can't be downloaded), so this module provides:
   utterance's mel in-process (the library-API equivalent of the reference's
   two CLI calls, including the per-model mean/scale feature normalization);
   otherwise it raises ImportError with instructions, keeping the ``voc=PWG``
-  recipe flag wired rather than silently absent.
+  recipe flag wired rather than silently absent;
+- ``jpwg_decode_scp``: the NATIVE backend — the in-framework JAX
+  Parallel-WaveGAN generator (models/pwg.py) trained with
+  ``bin/train_pwg.py``; no external package, batched bucketed synthesis on
+  the device (recipe flag ``voc=JPWG``).
 """
 
 from __future__ import annotations
@@ -78,6 +82,71 @@ def pwg_decode_scp(feats_scp, out_dir, voc_expdir):
                 mel.astype(np.float32))).view(-1).cpu().numpy()
             _write_wav(out_dir / f"{utt}.wav", wav, fs)
             n += 1
+    return n
+
+
+def jpwg_decode_scp(feats_scp, out_dir, config, checkpoint, *,
+                    batch_size: int = 8, bucket: int = 64, seed: int = 0):
+    """Vocode a denormalized log-mel feats.scp with the native PWG generator.
+
+    ``config`` is the vocoder training YAML (dict or path); ``checkpoint`` a
+    ``bin/train_pwg.py`` msgpack. Utterances are bucketed by padded mel
+    length (few compiled shapes) and synthesized batched; padded frames are
+    dropped from the written wav (length = true_frames x hop).
+    """
+    import jax
+    import jax.numpy as jnp
+    import yaml
+    from flax import serialization
+
+    from ..data import kaldi_io
+    from ..models.pwg import PWGGenerator
+
+    if not isinstance(config, dict):
+        config = yaml.safe_load(open(config))
+    hop = int(np.prod(config.get("upsample_scales", (4, 4, 4, 4))))
+    fs = config.get("fs", 24000)
+    gen = PWGGenerator(arch=config)
+
+    with open(checkpoint, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+
+    items = [(u, kaldi_io.load_mat(rx))
+             for u, rx in kaldi_io.read_scp(feats_scp).items()]
+    if not items:
+        return 0
+    n_mels = items[0][1].shape[1]
+    # params template for from_state_dict tree structure
+    tpl = gen.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, bucket * hop, 1), jnp.float32),
+                   jnp.zeros((1, bucket, n_mels), jnp.float32))["params"]
+    params = serialization.from_state_dict(tpl, payload["generator"])
+
+    apply_jit = jax.jit(lambda z, c: gen.apply({"params": params}, z, c))
+
+    buckets: dict = {}
+    for u, mel in items:
+        T_pad = -(-mel.shape[0] // bucket) * bucket
+        buckets.setdefault(T_pad, []).append((u, mel))
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rng = jax.random.PRNGKey(seed)
+    n = 0
+    for T_pad in sorted(buckets):
+        group = buckets[T_pad]
+        for lo in range(0, len(group), batch_size):
+            chunk = group[lo:lo + batch_size]
+            c = np.zeros((batch_size, T_pad, n_mels), np.float32)
+            for b, (u, mel) in enumerate(chunk):
+                c[b, :mel.shape[0]] = mel
+            rng, zk = jax.random.split(rng)
+            z = jax.random.normal(zk, (batch_size, T_pad * hop, 1))
+            wav = np.asarray(apply_jit(z, jnp.asarray(c)))[..., 0]
+            for b, (u, mel) in enumerate(chunk):
+                _write_wav(out_dir / f"{u}.wav",
+                           wav[b, :mel.shape[0] * hop], fs)
+                n += 1
     return n
 
 

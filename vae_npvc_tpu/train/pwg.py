@@ -1,0 +1,228 @@
+"""Parallel-WaveGAN vocoder trainer (native replacement for the external
+``parallel_wavegan`` training the reference's ``voc=PWG`` path presumes;
+reference: egs/vcc20/vae1/run.sh:192-239 only *consumes* a pretrained model).
+
+Published training scheme (Yamamoto et al., ICASSP 2020), realized as one
+donated-jit SPMD step over a ``data`` mesh like the main Trainer:
+
+- generator loss = spectral convergence + log-STFT magnitude
+  (ops/stft_loss.py multi-resolution set) + ``lambda_adv · E[(D(x̂)−1)²]``
+  once ``discriminator_train_start_steps`` is reached (LSGAN objective);
+- discriminator loss = ``E[(D(x)−1)²] + E[D(x̂)²]`` on the stop-gradient
+  generator output, gated on the same start step (pre-start its gradients
+  are zeroed, keeping one compiled graph);
+- dual RAdam optimizers (1e-4 G / 5e-5 D, the published rates) via the
+  shared optimizer builder.
+
+Detail keys: {Total, spectral_convergence, log_stft_magnitude, adversarial,
+disc_real, disc_fake}. Checkpoints: msgpack {generator, discriminator,
+optimizer_G, optimizer_D, iteration}.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization, struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.pwg import PWGDiscriminator, PWGGenerator
+from ..ops.stft_loss import DEFAULT_RESOLUTIONS, multi_stft_loss
+from .optim import build_optimizer
+
+GEN_DEFAULTS = {"optim_type": "RAdam", "learning_rate": 1e-4,
+                "max_grad_norm": 10,
+                "lr_scheduler": {"step_size": 200000, "gamma": 0.5}}
+DISC_DEFAULTS = {"optim_type": "RAdam", "learning_rate": 5e-5,
+                 "max_grad_norm": 1,
+                 "lr_scheduler": {"step_size": 200000, "gamma": 0.5}}
+
+
+def _sub_optimizer(param):
+    cfg = {"optim_type": param.get("optim_type", "RAdam"),
+           "learning_rate": param.get("learning_rate", 1e-4),
+           "max_grad_norm": param.get("max_grad_norm", 0),
+           "lr_scheduler": "StepLR" if param.get("lr_scheduler") else None,
+           "lr_param": param.get("lr_scheduler", {})}
+    return build_optimizer(cfg)
+
+
+@struct.dataclass
+class PwgState:
+    step: jnp.ndarray
+    g_params: Any
+    g_opt_state: Any
+    d_params: Any
+    d_opt_state: Any
+
+
+class PwgTrainer:
+    """Owns the generator/discriminator and the compiled GAN step."""
+
+    def __init__(self, config, mesh: Mesh | None = None, seed=None):
+        self.config = dict(config)
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), ("data",))
+        self.mesh = mesh
+        self.repl = NamedSharding(mesh, P())
+        self.batch_sharding = NamedSharding(mesh, P("data"))
+
+        dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}.get(
+            self.config.get("compute_dtype", "float32"), jnp.float32)
+        self.generator = PWGGenerator(arch=self.config, dtype=dtype)
+        self.discriminator = PWGDiscriminator(arch=self.config, dtype=dtype)
+        self.tx_g = _sub_optimizer({**GEN_DEFAULTS,
+                                    **self.config.get("generator_param", {})})
+        self.tx_d = _sub_optimizer({**DISC_DEFAULTS,
+                                    **self.config.get(
+                                        "discriminator_param", {})})
+        scales = self.config.get("upsample_scales", (4, 4, 4, 4))
+        if "n_shift" in self.config:
+            assert int(np.prod(scales)) == int(self.config["n_shift"]), (
+                f"prod(upsample_scales)={int(np.prod(scales))} must equal "
+                f"the fbank hop n_shift={self.config['n_shift']}")
+        self.lambda_adv = self.config.get("lambda_adv", 4.0)
+        self.d_start = self.config.get("discriminator_train_start_steps",
+                                       100000)
+        self.resolutions = tuple(
+            tuple(r) for r in self.config.get("stft_loss_params",
+                                              DEFAULT_RESOLUTIONS))
+        self.seed = seed if seed is not None else self.config.get("seed", 777)
+        self.rng = jax.random.PRNGKey(self.seed)
+        self.state: PwgState | None = None
+        self._step_fn = None
+        self._host_step = 0   # rng folding without a per-step device sync
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, example_batch):
+        wav, mel = example_batch
+        z = jnp.zeros((wav.shape[0], wav.shape[1], 1), jnp.float32)
+        g_params = self.generator.init(jax.random.PRNGKey(self.seed), z,
+                                       jnp.asarray(mel))["params"]
+        d_params = self.discriminator.init(
+            jax.random.PRNGKey(self.seed + 1), z)["params"]
+        state = PwgState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params, g_opt_state=self.tx_g.init(g_params),
+            d_params=d_params, d_opt_state=self.tx_d.init(d_params))
+        self.state = jax.device_put(state, self.repl)
+        return self.state
+
+    # ------------------------------------------------------------------ step
+    def _build_step(self):
+        lambda_adv = self.lambda_adv
+        d_start = self.d_start
+        resolutions = self.resolutions
+        gen, disc = self.generator, self.discriminator
+        tx_g, tx_d = self.tx_g, self.tx_d
+
+        def step(state: PwgState, wav, mel, rng):
+            z = jax.random.normal(rng, (wav.shape[0], wav.shape[1], 1))
+            active = (state.step >= d_start).astype(jnp.float32)
+
+            def g_loss_fn(gp):
+                wav_hat = gen.apply({"params": gp}, z, mel)[..., 0]
+                sc, mag = multi_stft_loss(wav_hat, wav, resolutions)
+                logits = disc.apply({"params": state.d_params},
+                                    wav_hat[..., None])
+                adv = jnp.mean((logits - 1.0) ** 2)
+                loss = sc + mag + lambda_adv * active * adv
+                return loss, (sc, mag, adv, wav_hat)
+
+            (g_total, (sc, mag, adv, wav_hat)), g_grads = \
+                jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+            g_updates, g_opt_state = tx_g.update(g_grads, state.g_opt_state,
+                                                 state.g_params)
+            g_params = optax.apply_updates(state.g_params, g_updates)
+
+            wav_hat = jax.lax.stop_gradient(wav_hat)
+
+            def d_loss_fn(dp):
+                real = disc.apply({"params": dp}, wav[..., None])
+                fake = disc.apply({"params": dp}, wav_hat[..., None])
+                loss_real = jnp.mean((real - 1.0) ** 2)
+                loss_fake = jnp.mean(fake ** 2)
+                return loss_real + loss_fake, (loss_real, loss_fake)
+
+            (_, (d_real, d_fake)), d_grads = \
+                jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
+            # pre-start: zero the gradients so the compiled graph is static
+            d_grads = jax.tree_util.tree_map(lambda g: g * active, d_grads)
+            d_updates, d_opt_state = tx_d.update(d_grads, state.d_opt_state,
+                                                 state.d_params)
+            d_params = optax.apply_updates(state.d_params, d_updates)
+
+            detail = {"Total": g_total, "spectral_convergence": sc,
+                      "log_stft_magnitude": mag, "adversarial": adv,
+                      "disc_real": d_real, "disc_fake": d_fake}
+            new_state = PwgState(step=state.step + 1, g_params=g_params,
+                                 g_opt_state=g_opt_state, d_params=d_params,
+                                 d_opt_state=d_opt_state)
+            return new_state, detail
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def train_step(self, batch):
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        # batches not divisible by the mesh fall back to replicated inputs
+        # (GSPMD still computes correctly; the data-parallel speedup just
+        # doesn't apply to that batch)
+        n_dev = self.mesh.devices.size
+        sh = (self.batch_sharding
+              if np.asarray(batch[0]).shape[0] % n_dev == 0 else self.repl)
+        wav, mel = (jax.device_put(np.asarray(a), sh) for a in batch)
+        rng = jax.random.fold_in(self.rng, self._host_step)
+        self._host_step += 1
+        self.state, detail = self._step_fn(self.state, wav, mel, rng)
+        return detail
+
+    # ------------------------------------------------------------- synthesis
+    def synthesize(self, mel, rng=None):
+        """(B, T_mel, n_mels) log-mel → (B, T_mel·hop) waveform."""
+        hop = int(np.prod(self.config.get("upsample_scales", (4, 4, 4, 4))))
+        B, T = mel.shape[0], mel.shape[1]
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        z = jax.random.normal(rng, (B, T * hop, 1))
+        wav = self.generator.apply({"params": self.state.g_params}, z,
+                                   jnp.asarray(mel))
+        return np.asarray(wav)[..., 0]
+
+    # ------------------------------------------------------- checkpointing
+    def save_checkpoint(self, path):
+        state = jax.device_get(self.state)
+        payload = {
+            "generator": serialization.to_state_dict(state.g_params),
+            "discriminator": serialization.to_state_dict(state.d_params),
+            "optimizer_G": serialization.to_state_dict(state.g_opt_state),
+            "optimizer_D": serialization.to_state_dict(state.d_opt_state),
+            "iteration": int(state.step),
+        }
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(payload))
+
+    def load_checkpoint(self, path, example_batch=None):
+        if self.state is None:
+            if example_batch is None:
+                raise ValueError("call init_state first or pass example_batch")
+            self.init_state(example_batch)
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        state = jax.device_get(self.state)
+        new = PwgState(
+            step=jnp.asarray(payload["iteration"], jnp.int32),
+            g_params=serialization.from_state_dict(state.g_params,
+                                                   payload["generator"]),
+            g_opt_state=serialization.from_state_dict(state.g_opt_state,
+                                                      payload["optimizer_G"]),
+            d_params=serialization.from_state_dict(state.d_params,
+                                                   payload["discriminator"]),
+            d_opt_state=serialization.from_state_dict(state.d_opt_state,
+                                                      payload["optimizer_D"]))
+        self.state = jax.device_put(new, self.repl)
+        self._host_step = int(payload["iteration"])
+        return payload["iteration"]
