@@ -21,6 +21,17 @@ use_spk_embed=false   # condition the TTS on continuous speaker embeddings
                       # instead of the learned speaker-ID table
 spk_emb_steps=2000
 
+# stage-5 waveform synthesis (the reference synthesizes decoded TTS mels
+# with GL or its downloaded neural vocoder); fbank params = run_vae.sh
+voc=GL                # GL | JPWG (native in-framework Parallel WaveGAN)
+griffin_lim_iters=64
+jpwg_config=conf/train_jpwg.yaml
+jpwg_expdir=exp/jpwg
+fs=44100
+n_fft=2048
+n_shift=550
+n_mels=160
+
 . ../../utils/parse_flags.sh
 export PYTHONPATH="$(cd ../../.. && pwd):${PYTHONPATH:-}"
 
@@ -139,5 +150,33 @@ EOF
     cossim=$(echo "${sim_line}" | grep -oE 'COSSIM: [-0-9.]+' | cut -d' ' -f2)
     plda=$(echo "${sim_line}" | grep -oE 'PLDA: [-0-9.]+' | cut -d' ' -f2)
     echo "RESULT token_vc  PLDA: ${plda:-n/a}  COSSIM: ${cossim:-n/a}"
+fi
+
+if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then
+    echo "stage 5: Waveform synthesis (voc=${voc})"
+    for outdir in exp/token_tts/decode exp/token_tts/convert; do
+        [ -f ${outdir}/feats.scp ] || continue
+        denorm=${outdir}_denorm
+        ${PY} vae_npvc_tpu.bin.apply_cmvn apply --reverse data/cmvn.ark \
+            scp:${outdir}/feats.scp ${denorm}
+        if [ "${voc}" = "JPWG" ]; then
+            # native in-framework vocoder (models/pwg.py); trains once on
+            # the corpus wavs, upsample_scales product must equal ${n_shift}
+            if [ ! -f ${jpwg_expdir}/model.final ]; then
+                ${PY} vae_npvc_tpu.bin.train_pwg -c ${jpwg_config} \
+                    --train_dir data/all --output_dir ${jpwg_expdir}
+            fi
+            python - <<EOF
+from vae_npvc_tpu.infer.vocoder import jpwg_decode_scp
+n = jpwg_decode_scp("${denorm}/feats.scp", "${denorm}/wav",
+                    "${jpwg_config}", "${jpwg_expdir}/model.final")
+print(f"JPWG synthesized {n} wavs -> ${denorm}/wav")
+EOF
+        else
+            ${PY} vae_npvc_tpu.bin.convert_fbank --fs ${fs} \
+                --n_fft ${n_fft} --n_shift ${n_shift} --n_mels ${n_mels} \
+                --iters ${griffin_lim_iters} ${denorm}/feats.scp ${denorm}/wav
+        fi
+    done
 fi
 echo "Finished."
