@@ -266,11 +266,15 @@ EOF
         # lm-order/penalty; reference conf/ob_eval/decode_asr.yaml)
         asr_decode_opts=""
         if [ -f "${asr_decode_config}" ]; then
-            knob () { grep -E "^$1:" ${asr_decode_config} | head -1 \
-                      | sed -e 's/#.*//' | awk -F': *' '{print $2}'; }
-            asr_decode_opts="--beam_size $(knob beam-size) \
-                --lm_weight $(knob lm-weight) --lm_order $(knob lm-order) \
-                --penalty $(knob penalty)"
+            # missing keys fall back to defaults (the reference's actual
+            # decode_asr.yaml has no lm-order key)
+            knob () { v=$(grep -E "^$1:" ${asr_decode_config} | head -1 \
+                      | sed -e 's/#.*//' | awk -F': *' '{print $2}'); \
+                      echo "${v:-$2}"; }
+            asr_decode_opts="--beam_size $(knob beam-size 10) \
+                --lm_weight $(knob lm-weight 0.6) \
+                --lm_order $(knob lm-order 3) \
+                --penalty $(knob penalty 0.0)"
         fi
         asr_line=$(${PY} vae_npvc_tpu.bin.eval_asr \
             --train_dir ${asr_train_dir} \

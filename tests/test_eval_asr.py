@@ -129,6 +129,35 @@ class TestCTC:
         assert isinstance(rec, CTCRecognizer)
 
 
+class PlainRecognizer:
+    """Minimal external drop-in: the documented transcribe_scp(scp) shape
+    (no decode-knob kwargs) — the CLI must not pass beam/LM args to it."""
+
+    def transcribe_scp(self, scp):
+        from vae_npvc_tpu.data import kaldi_io
+
+        return {u: "abcd" for u in kaldi_io.read_scp(scp)}
+
+
+class TestPluggableRecognizerCLI:
+    def test_cli_with_plain_interface(self, tmp_path, monkeypatch, capsys):
+        """--recognizer with the documented minimal interface works even
+        though the CLI's default decode path uses beam/LM kwargs."""
+        import sys
+
+        from vae_npvc_tpu.bin.eval_asr import main
+
+        d, texts = _char_corpus(tmp_path, n_utts=10)
+        out = tmp_path / "res"
+        monkeypatch.setattr(sys, "argv", [
+            "eval_asr", "--recognizer", "test_eval_asr:PlainRecognizer",
+            "--eval_scp", str(d / "feats.scp"),
+            "--ref_text", str(d / "text"),
+            "--output_dir", str(out)])
+        main()
+        assert "CER:" in capsys.readouterr().out
+
+
 class TestEvalAsrCLI:
     def test_cli_end_to_end(self, tmp_path, monkeypatch, capsys):
         """Train → transcribe → result.txt/result.wrd.txt greppable."""

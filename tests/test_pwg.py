@@ -158,6 +158,60 @@ class TestPwgTraining:
         for a, b in zip(jax.tree_util.tree_leaves(d0),
                         jax.tree_util.tree_leaves(d1)):
             np.testing.assert_array_equal(a, b)
+        # the D optimizer state (incl. its schedule count) must not advance
+        # either — the published schedule is relative to the start step
+        o1 = jax.device_get(trainer.state.d_opt_state)
+        t2 = PwgTrainer(cfg)
+        t2.init_state(next(ds.batches(4, seed=9)))
+        o0 = jax.device_get(t2.state.d_opt_state)
+        for a, b in zip(jax.tree_util.tree_leaves(o0),
+                        jax.tree_util.tree_leaves(o1)):
+            np.testing.assert_array_equal(a, b)
+
+    def test_small_corpus_still_yields_batches(self, tmp_path):
+        """batch_size larger than the corpus clamps instead of spinning
+        forever in an empty epoch loop."""
+        from vae_npvc_tpu.data.wav_mel import WavMelDataset
+
+        root = sine_corpus(tmp_path, n=3)
+        ds = WavMelDataset(root, PWG_CFG)
+        wav, mel = next(ds.batches(8, seed=0))
+        assert wav.shape[0] == 3 and mel.shape[0] == 3
+
+    def test_lazy_loading_matches_preloaded(self, tmp_path):
+        """Above preload_limit the dataset loads per batch; crops are
+        identical to the preloaded path for the same seed."""
+        from vae_npvc_tpu.data.wav_mel import WavMelDataset
+
+        root = sine_corpus(tmp_path, n=5)
+        pre = WavMelDataset(root, PWG_CFG)
+        lazy = WavMelDataset(root, dict(PWG_CFG, preload_limit=2))
+        assert pre.preload and not lazy.preload and lazy.items is None
+        w1, m1 = next(pre.batches(4, seed=7))
+        w2, m2 = next(lazy.batches(4, seed=7))
+        np.testing.assert_array_equal(w1, w2)
+        np.testing.assert_allclose(m1, m2, rtol=1e-6, atol=1e-6)
+
+    def test_pwg_optimizers_use_published_betas(self):
+        """PWG uses RAdam betas (0.9, 0.999), not the VC trainer's 0.5."""
+        import optax
+
+        from vae_npvc_tpu.train.pwg import GEN_DEFAULTS, _sub_optimizer
+
+        tx = _sub_optimizer(dict(GEN_DEFAULTS, lr_scheduler=None,
+                                 max_grad_norm=0))
+        ref = optax.radam(GEN_DEFAULTS["learning_rate"], b1=0.9, b2=0.999)
+        wrong = optax.radam(GEN_DEFAULTS["learning_rate"], b1=0.5, b2=0.999)
+        p = {"w": jnp.ones((4,))}
+        g = {"w": jnp.full((4,), 0.3)}
+        # advance two steps so momentum (b1) affects the update
+        def two_steps(t):
+            s = t.init(p)
+            u1, s = t.update(g, s, p)
+            u2, _ = t.update({"w": jnp.full((4,), -0.1)}, s, p)
+            return np.asarray(u2["w"])
+        np.testing.assert_allclose(two_steps(tx), two_steps(ref), rtol=1e-6)
+        assert not np.allclose(two_steps(tx), two_steps(wrong))
 
     def test_checkpoint_roundtrip(self, tmp_path):
         from vae_npvc_tpu.data.wav_mel import WavMelDataset

@@ -91,9 +91,17 @@ def main():
         print(f"char {args.lm_order}-gram LM over {len(texts)} transcripts "
               f"({len(lm.vocab)} chars), lm_weight {args.lm_weight}")
 
-    hyps = rec.transcribe_scp(args.eval_scp, beam_size=args.beam_size,
-                              lm=lm, lm_weight=args.lm_weight,
-                              penalty=args.penalty)
+    # the documented pluggable interface is transcribe_scp(scp) -> {utt:
+    # text}; only pass decode knobs to recognizers that accept them (the
+    # in-framework CTC proxy does; an external drop-in need not)
+    import inspect
+    sig = inspect.signature(rec.transcribe_scp)
+    if "beam_size" in sig.parameters:
+        hyps = rec.transcribe_scp(args.eval_scp, beam_size=args.beam_size,
+                                  lm=lm, lm_weight=args.lm_weight,
+                                  penalty=args.penalty)
+    else:
+        hyps = rec.transcribe_scp(args.eval_scp)
     refs_all = kaldi_io.load_dict_data(args.ref_text)
     # score only utterances present in the eval scp (hyps keys); converted
     # utterances keep their source utterance name => transcript lookup works

@@ -54,11 +54,8 @@ def make_fbank(data_dir, out_dir, *, fs, n_fft, n_shift, n_mels=80,
         if sr != fs:
             # in-framework polyphase resample (the reference shells out to
             # sox pipes in wav.scp, generate_vctk_list.py:54; no sox needed)
-            from math import gcd
-
-            from scipy.signal import resample_poly
-            g = gcd(fs, sr)
-            x = resample_poly(x, fs // g, sr // g).astype(np.float32)
+            from ..data.features import resample
+            x = resample(x, sr, fs)
         items.append((utt, x))
 
     n_written = 0

@@ -49,10 +49,20 @@ def train(args):
     first = next(batches)
     trainer.init_state(first)
 
+    # auto-resume: with no explicit --checkpoint, pick up the newest iter.N
+    # in the output dir (preemption recovery, like the main trainer's
+    # --checkpoint auto) so an interrupted 400k-step run never restarts
+    # from scratch
+    ckpt = args.checkpoint
+    if not ckpt:
+        iters = sorted(output_dir.glob("iter.*"),
+                       key=lambda p: int(p.name.split(".")[1]))
+        if iters:
+            ckpt = str(iters[-1])
     iteration = 0
-    if args.checkpoint:
-        iteration = trainer.load_checkpoint(args.checkpoint)
-        logger.info(f"Resumed from {args.checkpoint} (iteration {iteration})")
+    if ckpt:
+        iteration = trainer.load_checkpoint(ckpt)
+        logger.info(f"Resumed from {ckpt} (iteration {iteration})")
 
     running: dict = {}
     t0 = time.time()

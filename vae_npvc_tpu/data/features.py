@@ -72,6 +72,22 @@ def mel_filterbank(sr, n_fft, n_mels, fmin=0.0, fmax=None):
 # device-side STFT / fbank
 # ---------------------------------------------------------------------------
 
+def resample(x, sr, fs):
+    """Polyphase-resample ``x`` from rate ``sr`` to ``fs`` (no-op if equal).
+
+    The in-framework replacement for the reference's sox resample pipes
+    (reference: egs/vcc20/vae1/local/generate_vctk_list.py:54); shared by
+    every wav-reading front-end.
+    """
+    sr, fs = int(sr), int(fs)
+    if sr == fs:
+        return np.asarray(x, np.float32)
+    from scipy.signal import resample_poly
+
+    g = math.gcd(fs, sr)
+    return resample_poly(x, fs // g, sr // g).astype(np.float32)
+
+
 def num_frames(n_samples, n_shift):
     """Frame count for centered STFT (matches librosa: 1 + n//hop)."""
     return 1 + n_samples // n_shift

@@ -3,20 +3,25 @@
 The external package the reference's ``voc=PWG`` path depends on trains on
 (raw audio, mel) pairs with random aligned windows; this is the in-framework
 equivalent over the Kaldi data-dir contract: reads ``wav.scp`` (plain paths
-or trailing-pipe commands), resamples in-framework when needed (scipy
-polyphase — no sox, the repo-wide convention from bin/make_fbank), extracts
-log-mel with the experiment's fbank parameters on the fly (device-batched,
+or trailing-pipe commands), resamples in-framework when needed
+(data/features.resample — no sox, the repo-wide convention), extracts
+log-mel with the experiment's fbank parameters (device-batched,
 data/features.py), and yields random segments where mel frames
 ``[m0, m0+M)`` align with waveform samples ``[m0·hop, (m0+M)·hop)``.
 
+Small corpora (≤ ``preload_limit`` utterances, default 4000) are decoded and
+mel-extracted once up front; larger ones are loaded lazily per batch so a
+full production corpus (e.g. AISHELL-3's 60k+ utterances at 44.1 kHz) never
+has to fit in host memory.
+
 Config keys: ``fs``, ``n_fft``, ``n_shift``, ``n_mels``, ``fmin``, ``fmax``
-(the fbank set) and ``batch_max_frames`` (mel frames per training segment;
-waveform segment = ``batch_max_frames · n_shift`` samples).
+(the fbank set), ``batch_max_frames`` (mel frames per training segment;
+waveform segment = ``batch_max_frames · n_shift`` samples), and
+``preload_limit``.
 """
 
 from __future__ import annotations
 
-from math import gcd
 from pathlib import Path
 
 import numpy as np
@@ -25,7 +30,6 @@ import numpy as np
 class WavMelDataset:
     def __init__(self, data_dir, config):
         from . import kaldi_io
-        from .features import logmelspectrogram
 
         cfg = dict(config)
         self.fs = cfg.get("fs", 24000)
@@ -38,43 +42,58 @@ class WavMelDataset:
 
         data_dir = Path(data_dir)
         scp = data_dir / "wav.scp" if data_dir.is_dir() else data_dir
-        self.items = []  # (utt, wav float32 (N,), mel float32 (T, n_mels))
+        self.entries = list(kaldi_io.read_scp(scp).items())
+        if not self.entries:
+            raise ValueError(f"no wav.scp entries under {scp}")
+        self.preload = len(self.entries) <= cfg.get("preload_limit", 4000)
+        self.items = None  # (utt, wav (N,), mel (T, n_mels)) when preloaded
+        if self.preload:
+            self.items = [self._load(u, e) for u, e in self.entries]
+
+    def _load(self, utt, entry):
+        from . import kaldi_io
+        from .features import logmelspectrogram, resample
+
+        sr, x = kaldi_io.read_wav_scp_entry(entry)
+        if x.ndim > 1:
+            x = x[:, 0]
+        x = resample(x, sr, self.fs)
         min_samples = (self.max_frames + 1) * self.hop
-        for utt, entry in kaldi_io.read_scp(scp).items():
-            sr, x = kaldi_io.read_wav_scp_entry(entry)
-            if x.ndim > 1:
-                x = x[:, 0]
-            if sr != self.fs:
-                from scipy.signal import resample_poly
-                g = gcd(int(self.fs), int(sr))
-                x = resample_poly(x, self.fs // g, sr // g).astype(np.float32)
-            if len(x) < min_samples:
-                x = np.pad(x, (0, min_samples - len(x)))
-            mel = np.asarray(logmelspectrogram(
-                x[None].astype(np.float32), fs=self.fs, n_fft=self.n_fft,
-                n_shift=self.hop, n_mels=self.n_mels, fmin=self.fmin,
-                fmax=self.fmax))[0]
-            self.items.append((utt, x.astype(np.float32), mel))
-        if not self.items:
-            raise ValueError(f"no usable wavs under {scp}")
+        if len(x) < min_samples:
+            x = np.pad(x, (0, min_samples - len(x)))
+        mel = np.asarray(logmelspectrogram(
+            x[None].astype(np.float32), fs=self.fs, n_fft=self.n_fft,
+            n_shift=self.hop, n_mels=self.n_mels, fmin=self.fmin,
+            fmax=self.fmax))[0]
+        return utt, x.astype(np.float32), mel
+
+    def _get(self, k):
+        if self.items is not None:
+            return self.items[k]
+        return self._load(*self.entries[k])
 
     def __len__(self):
-        return len(self.items)
+        return len(self.entries)
 
     def batches(self, batch_size, *, seed=0, epochs=None):
-        """Yield (wav (B, M·hop), mel (B, M, n_mels)) random aligned crops."""
+        """Yield (wav (B, M·hop), mel (B, M, n_mels)) random aligned crops.
+
+        ``batch_size`` is clamped to the corpus size so a small corpus still
+        yields batches every epoch (instead of an empty inner loop spinning
+        forever)."""
         rng = np.random.default_rng(seed)
+        batch_size = min(batch_size, len(self.entries))
         M = self.max_frames
         seg = M * self.hop
         epoch = 0
         while epochs is None or epoch < epochs:
             epoch += 1
-            order = rng.permutation(len(self.items))
+            order = rng.permutation(len(self.entries))
             for lo in range(0, len(order) - batch_size + 1, batch_size):
                 wavs = np.zeros((batch_size, seg), np.float32)
                 mels = np.zeros((batch_size, M, self.n_mels), np.float32)
                 for b, k in enumerate(order[lo:lo + batch_size]):
-                    _, x, mel = self.items[k]
+                    _, x, mel = self._get(k)
                     # mel frame t is centered at sample t·hop; usable frame
                     # range keeps the wav window inside the signal
                     m_hi = min(mel.shape[0], len(x) // self.hop) - M

@@ -159,12 +159,8 @@ def mfcc_vad_scp(wav_scp, fs=16000, *, mfcc_opts=None, vad_opts=None):
     for utt, entry in entries.items():
         sr, x = kaldi_io.read_wav_scp_entry(entry)
         if sr != fs:
-            import math
-
-            from scipy.signal import resample_poly
-
-            g = math.gcd(int(sr), fs)
-            x = resample_poly(x, fs // g, int(sr) // g).astype(np.float32)
+            from ..data.features import resample
+            x = resample(x, sr, fs)
         # Kaldi computes features on int16-scale samples; the conf's VAD
         # threshold (5.5) and the energy C0 are calibrated to that scale
         out[utt] = mfcc_vad(x * 32768.0, fs, mfcc_opts=opts,

@@ -82,8 +82,11 @@ class PWGGenerator(nn.Module):
                              name=f"cond_{i}")(c_up)
             ha, hb = jnp.split(h, 2, axis=-1)
             g = jnp.tanh(ha) * jax.nn.sigmoid(hb)
-            x = x + WNConv1d(res_ch, 1, dtype=self.dtype,
-                             name=f"res_{i}")(g)
+            # published residual blocks scale (x + residual) by sqrt(0.5) to
+            # keep trunk variance constant across the 30 layers
+            x = (x + WNConv1d(res_ch, 1, dtype=self.dtype,
+                              name=f"res_{i}")(g)) * jnp.asarray(
+                                  math.sqrt(0.5), x.dtype)
             skips = skips + WNConv1d(skip_ch, 1, dtype=self.dtype,
                                      name=f"skip_{i}")(g)
         h = nn.relu(skips * (1.0 / math.sqrt(layers)))

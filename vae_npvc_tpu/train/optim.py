@@ -57,10 +57,14 @@ def build_optimizer(config):
     warmup = config.get("warmup", extra.get("warmup", 0))
     weight_decay = config.get("weight_decay", extra.get("weight_decay", 0.0))
 
+    # the reference VC trainer uses betas (0.5, 0.999) (trainer/basic.py:32-41);
+    # other consumers (e.g. the PWG vocoder trainer, published betas
+    # (0.9, 0.999)) override via the `betas` key
+    b1, b2 = config.get("betas", extra.get("betas", (0.5, 0.999)))
     kind = optim_type.upper()
     if kind in ("RADAM", "PLAINRADAM"):
         # PlainRAdam = RAdam minus the step-size cache; same update values
-        opt = optax.radam(schedule, b1=0.5, b2=0.999)
+        opt = optax.radam(schedule, b1=b1, b2=b2)
     elif kind == "ADAMW":
         # reference warmup-AdamW: betas default (0.9, 0.999) there
         # (radam.py:147); warmup scales step size AND decoupled decay
@@ -70,7 +74,7 @@ def build_optimizer(config):
         opt = optax.adamw(sched, b1=0.9, b2=0.999,
                           weight_decay=weight_decay)
     else:
-        opt = optax.adam(schedule, b1=0.5, b2=0.999)
+        opt = optax.adam(schedule, b1=b1, b2=b2)
 
     chain = []
     if max_grad_norm and max_grad_norm > 0:

@@ -34,17 +34,20 @@ from ..models.pwg import PWGDiscriminator, PWGGenerator
 from ..ops.stft_loss import DEFAULT_RESOLUTIONS, multi_stft_loss
 from .optim import build_optimizer
 
+# published PWG betas are RAdam defaults (0.9, 0.999) — NOT the VC
+# trainer's (0.5, 0.999)
 GEN_DEFAULTS = {"optim_type": "RAdam", "learning_rate": 1e-4,
-                "max_grad_norm": 10,
+                "betas": (0.9, 0.999), "max_grad_norm": 10,
                 "lr_scheduler": {"step_size": 200000, "gamma": 0.5}}
 DISC_DEFAULTS = {"optim_type": "RAdam", "learning_rate": 5e-5,
-                 "max_grad_norm": 1,
+                 "betas": (0.9, 0.999), "max_grad_norm": 1,
                  "lr_scheduler": {"step_size": 200000, "gamma": 0.5}}
 
 
 def _sub_optimizer(param):
     cfg = {"optim_type": param.get("optim_type", "RAdam"),
            "learning_rate": param.get("learning_rate", 1e-4),
+           "betas": tuple(param.get("betas", (0.9, 0.999))),
            "max_grad_norm": param.get("max_grad_norm", 0),
            "lr_scheduler": "StepLR" if param.get("lr_scheduler") else None,
            "lr_param": param.get("lr_scheduler", {})}
@@ -150,11 +153,22 @@ class PwgTrainer:
 
             (_, (d_real, d_fake)), d_grads = \
                 jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
-            # pre-start: zero the gradients so the compiled graph is static
-            d_grads = jax.tree_util.tree_map(lambda g: g * active, d_grads)
-            d_updates, d_opt_state = tx_d.update(d_grads, state.d_opt_state,
+
+            # pre-start the discriminator's optimizer state (and its StepLR
+            # count) must NOT advance — the published trainer only steps D
+            # after discriminator_train_start_steps, so the D schedule is
+            # relative to when adversarial training actually begins
+            def d_update(_):
+                d_updates, new_opt = tx_d.update(d_grads, state.d_opt_state,
                                                  state.d_params)
-            d_params = optax.apply_updates(state.d_params, d_updates)
+                return (optax.apply_updates(state.d_params, d_updates),
+                        new_opt)
+
+            def d_freeze(_):
+                return state.d_params, state.d_opt_state
+
+            d_params, d_opt_state = jax.lax.cond(
+                state.step >= d_start, d_update, d_freeze, None)
 
             detail = {"Total": g_total, "spectral_convergence": sc,
                       "log_stft_magnitude": mag, "adversarial": adv,
