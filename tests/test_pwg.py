@@ -213,6 +213,40 @@ class TestPwgTraining:
         np.testing.assert_allclose(two_steps(tx), two_steps(ref), rtol=1e-6)
         assert not np.allclose(two_steps(tx), two_steps(wrong))
 
+    def test_multi_step_scan_matches_sequential(self, tmp_path):
+        """K steps in one lax.scan dispatch == K sequential train_step calls
+        (same data, same rng folding)."""
+        from vae_npvc_tpu.data.wav_mel import WavMelDataset
+        from vae_npvc_tpu.train.pwg import PwgTrainer
+
+        cfg = dict(PWG_CFG, discriminator_train_start_steps=2)
+        root = sine_corpus(tmp_path)
+        ds = WavMelDataset(root, cfg)
+        gen = ds.batches(4, seed=11)
+        first = next(gen)
+        data = [next(gen) for _ in range(6)]
+
+        t1 = PwgTrainer(cfg)
+        t1.init_state(first)
+        for b in data:
+            t1.train_step(b)
+
+        t2 = PwgTrainer(cfg)
+        t2.init_state(first)
+        t2.train_steps(data[:3])
+        t2.train_steps(data[3:])
+
+        for a, b in zip(jax.tree_util.tree_leaves(
+                            jax.device_get(t1.state.g_params)),
+                        jax.tree_util.tree_leaves(
+                            jax.device_get(t2.state.g_params))):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(
+                            jax.device_get(t1.state.d_params)),
+                        jax.tree_util.tree_leaves(
+                            jax.device_get(t2.state.d_params))):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
     def test_checkpoint_roundtrip(self, tmp_path):
         from vae_npvc_tpu.data.wav_mel import WavMelDataset
         from vae_npvc_tpu.train.pwg import PwgTrainer

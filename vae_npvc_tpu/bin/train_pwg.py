@@ -64,17 +64,26 @@ def train(args):
         iteration = trainer.load_checkpoint(ckpt)
         logger.info(f"Resumed from {ckpt} (iteration {iteration})")
 
+    # K optimizer steps per device dispatch (lax.scan inside one jit call);
+    # on a remote/tunneled backend the per-call round-trip dominates this
+    # small step's compute, so K>1 is the throughput lever
+    steps_per_call = max(1, config.get("steps_per_call", 1))
+
     running: dict = {}
     t0 = time.time()
     detail = trainer.train_step(first)
     iteration += 1
     while iteration < max_iter:
-        detail = trainer.train_step(next(batches))
-        iteration += 1
+        K = min(steps_per_call, max_iter - iteration)
+        chunk = [next(batches) for _ in range(K)]
+        detail = trainer.train_steps(chunk)
         for k, v in detail.items():
             running.setdefault(k, []).append(v)
-        if iteration % iters_per_log == 0:
-            host = {k: float(np.mean([float(jax.device_get(x))
+        logged = iteration // iters_per_log
+        saved = iteration // iters_per_checkpoint
+        iteration += K
+        if iteration // iters_per_log > logged:
+            host = {k: float(np.mean([np.mean(jax.device_get(x))
                                       for x in vs]))
                     for k, vs in running.items()}
             running.clear()
@@ -82,7 +91,7 @@ def train(args):
             logger.info(f"Iter {iteration}:  {msg}  |  "
                         f"{time.time() - t0:.1f}s")
             t0 = time.time()
-        if iteration % iters_per_checkpoint == 0:
+        if iteration // iters_per_checkpoint > saved:
             path = output_dir / f"iter.{iteration}"
             trainer.save_checkpoint(path)
             logger.info(f"Saved checkpoint to {path}")

@@ -178,21 +178,40 @@ class PwgTrainer:
                                  d_opt_state=d_opt_state)
             return new_state, detail
 
-        return jax.jit(step, donate_argnums=(0,))
+        def multi_step(state, wavs, mels, rngs):
+            # K steps per dispatch via lax.scan: on a tunneled/remote backend
+            # the per-call round-trip dominates this small step's compute, so
+            # amortizing K steps into one executable is the big lever
+            return jax.lax.scan(
+                lambda s, x: step(s, *x), state, (wavs, mels, rngs))
+
+        return jax.jit(multi_step, donate_argnums=(0,))
 
     def train_step(self, batch):
+        """One optimizer step; see train_steps for the batched-dispatch form."""
+        detail = self.train_steps([batch])
+        return {k: v[0] for k, v in detail.items()}
+
+    def train_steps(self, batches):
+        """Run ``len(batches)`` optimizer steps in ONE device dispatch.
+
+        Returns the detail dict with a leading (K,) axis per key."""
         if self._step_fn is None:
             self._step_fn = self._build_step()
+        K = len(batches)
+        wavs = np.stack([np.asarray(b[0]) for b in batches])
+        mels = np.stack([np.asarray(b[1]) for b in batches])
         # batches not divisible by the mesh fall back to replicated inputs
         # (GSPMD still computes correctly; the data-parallel speedup just
         # doesn't apply to that batch)
         n_dev = self.mesh.devices.size
-        sh = (self.batch_sharding
-              if np.asarray(batch[0]).shape[0] % n_dev == 0 else self.repl)
-        wav, mel = (jax.device_put(np.asarray(a), sh) for a in batch)
-        rng = jax.random.fold_in(self.rng, self._host_step)
-        self._host_step += 1
-        self.state, detail = self._step_fn(self.state, wav, mel, rng)
+        sh = (NamedSharding(self.mesh, P(None, "data"))
+              if wavs.shape[1] % n_dev == 0 else self.repl)
+        wavs, mels = (jax.device_put(a, sh) for a in (wavs, mels))
+        rngs = jnp.stack([jax.random.fold_in(self.rng, self._host_step + i)
+                          for i in range(K)])
+        self._host_step += K
+        self.state, detail = self._step_fn(self.state, wavs, mels, rngs)
         return detail
 
     # ------------------------------------------------------------- synthesis
