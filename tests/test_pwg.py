@@ -247,6 +247,49 @@ class TestPwgTraining:
                             jax.device_get(t2.state.d_params))):
             np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
 
+    def test_device_resident_training(self, tmp_path):
+        """HBM-staged corpus + in-scan crop sampling: steps advance, losses
+        finite, runs are deterministic for the same seed."""
+        from vae_npvc_tpu.data.wav_mel import WavMelDataset
+        from vae_npvc_tpu.train.pwg import PwgTrainer
+
+        cfg = dict(PWG_CFG, discriminator_train_start_steps=3)
+        root = sine_corpus(tmp_path)
+        ds = WavMelDataset(root, cfg)
+
+        def run():
+            tr = PwgTrainer(cfg)
+            tr.init_state(next(ds.batches(4, seed=0)))
+            tr.stage_dataset(ds, batch_size=4)
+            d = tr.train_steps_device(6)
+            return tr, d
+
+        t1, d1 = run()
+        assert int(t1.state.step) == 6
+        for k, v in d1.items():
+            assert np.all(np.isfinite(jax.device_get(v))), k
+        t2, d2 = run()
+        for a, b in zip(jax.tree_util.tree_leaves(
+                            jax.device_get(t1.state.g_params)),
+                        jax.tree_util.tree_leaves(
+                            jax.device_get(t2.state.g_params))):
+            np.testing.assert_array_equal(a, b)
+
+    def test_padded_arrays_bounds(self, tmp_path):
+        from vae_npvc_tpu.data.wav_mel import WavMelDataset
+
+        root = sine_corpus(tmp_path, n=4)
+        ds = WavMelDataset(root, PWG_CFG)
+        wavs, mels, m_hi = ds.padded_arrays()
+        M, hop = PWG_CFG["batch_max_frames"], 4
+        assert wavs.shape[0] == mels.shape[0] == m_hi.shape[0] == 4
+        for i, (_, x, mel) in enumerate(ds.items):
+            expect = max(min(mel.shape[0], len(x) // hop) - M, 0)
+            assert m_hi[i] == expect
+            # worst-case crop stays inside the padded arrays
+            assert (m_hi[i] + M) * hop <= wavs.shape[1]
+            assert m_hi[i] + M <= mels.shape[1]
+
     def test_checkpoint_roundtrip(self, tmp_path):
         from vae_npvc_tpu.data.wav_mel import WavMelDataset
         from vae_npvc_tpu.train.pwg import PwgTrainer

@@ -69,14 +69,31 @@ def train(args):
     # small step's compute, so K>1 is the throughput lever
     steps_per_call = max(1, config.get("steps_per_call", 1))
 
+    # device-resident corpus: stage all (wav, mel) arrays into HBM once and
+    # sample crops inside the jitted scan — zero per-step host->device
+    # traffic. auto = on when the corpus is preloaded and fits comfortably.
+    dev_res = config.get("device_resident", "auto")
+    use_dev = (dataset.preload and dev_res in ("auto", True, "true")
+               and steps_per_call > 0)
+    if use_dev and dev_res == "auto":
+        T_max = max(mel.shape[0] for _, _, mel in dataset.items)
+        est = len(dataset) * T_max * (dataset.hop + dataset.n_mels) * 4
+        use_dev = est < config.get("device_resident_limit_bytes", 4 << 30)
+    if use_dev:
+        nbytes = trainer.stage_dataset(dataset, batch_size)
+        logger.info(f"Device-resident corpus: {nbytes / 1e6:.0f} MB staged "
+                    f"to HBM; in-scan crop sampling")
+
     running: dict = {}
     t0 = time.time()
     detail = trainer.train_step(first)
     iteration += 1
     while iteration < max_iter:
         K = min(steps_per_call, max_iter - iteration)
-        chunk = [next(batches) for _ in range(K)]
-        detail = trainer.train_steps(chunk)
+        if use_dev:
+            detail = trainer.train_steps_device(K)
+        else:
+            detail = trainer.train_steps([next(batches) for _ in range(K)])
         for k, v in detail.items():
             running.setdefault(k, []).append(v)
         logged = iteration // iters_per_log

@@ -75,6 +75,33 @@ class WavMelDataset:
     def __len__(self):
         return len(self.entries)
 
+    def padded_arrays(self):
+        """Whole-corpus padded arrays for DEVICE-RESIDENT sampling.
+
+        Returns (wavs (N, S), mels (N, T, D), m_hi (N,)) where ``m_hi[i]`` is
+        the largest valid segment start (in mel frames) for utterance i.
+        Staged into HBM once by the vocoder trainer, random crops are then
+        gathered inside the jitted step — zero per-step host→device traffic
+        (the dominant cost of small-step training on a remote backend).
+        Requires the preloaded mode.
+        """
+        if not self.preload:
+            raise ValueError("padded_arrays() needs the preloaded mode "
+                             "(corpus <= preload_limit)")
+        M = self.max_frames
+        T_max = max(mel.shape[0] for _, _, mel in self.items)
+        S_max = T_max * self.hop
+        N = len(self.items)
+        wavs = np.zeros((N, S_max), np.float32)
+        mels = np.zeros((N, T_max, self.n_mels), np.float32)
+        m_hi = np.zeros((N,), np.int32)
+        for i, (_, x, mel) in enumerate(self.items):
+            s = min(len(x), S_max)
+            wavs[i, :s] = x[:s]
+            mels[i, :mel.shape[0]] = mel
+            m_hi[i] = max(min(mel.shape[0], len(x) // self.hop) - M, 0)
+        return wavs, mels, m_hi
+
     def batches(self, batch_size, *, seed=0, epochs=None):
         """Yield (wav (B, M·hop), mel (B, M, n_mels)) random aligned crops.
 

@@ -98,6 +98,9 @@ class PwgTrainer:
         self.rng = jax.random.PRNGKey(self.seed)
         self.state: PwgState | None = None
         self._step_fn = None
+        self._one_step_fn = None
+        self._dev_data = None
+        self._dev_step_fn = None
         self._host_step = 0   # rng folding without a per-step device sync
 
     # ------------------------------------------------------------------ init
@@ -116,7 +119,7 @@ class PwgTrainer:
         return self.state
 
     # ------------------------------------------------------------------ step
-    def _build_step(self):
+    def _make_one_step(self):
         lambda_adv = self.lambda_adv
         d_start = self.d_start
         resolutions = self.resolutions
@@ -178,6 +181,17 @@ class PwgTrainer:
                                  d_opt_state=d_opt_state)
             return new_state, detail
 
+        return step
+
+    @property
+    def _one_step(self):
+        if self._one_step_fn is None:
+            self._one_step_fn = self._make_one_step()
+        return self._one_step_fn
+
+    def _build_step(self):
+        step = self._one_step
+
         def multi_step(state, wavs, mels, rngs):
             # K steps per dispatch via lax.scan: on a tunneled/remote backend
             # the per-call round-trip dominates this small step's compute, so
@@ -186,6 +200,59 @@ class PwgTrainer:
                 lambda s, x: step(s, *x), state, (wavs, mels, rngs))
 
         return jax.jit(multi_step, donate_argnums=(0,))
+
+    # ------------------------------------------------- device-resident data
+    def stage_dataset(self, dataset, batch_size):
+        """Upload the whole corpus to HBM once (WavMelDataset.padded_arrays).
+
+        Subsequent train_steps_device(K) calls sample random aligned crops
+        INSIDE the jitted scan — zero per-step host→device traffic, the
+        dominant cost of small-step training on a remote/tunneled backend.
+        """
+        wavs, mels, m_hi = dataset.padded_arrays()
+        self._dev_data = tuple(jax.device_put(a, self.repl)
+                               for a in (wavs, mels, m_hi))
+        self._dev_batch = batch_size
+        self._dev_M = dataset.max_frames
+        self._dev_hop = dataset.hop
+        self._dev_step_fn = None
+        return wavs.nbytes + mels.nbytes
+
+    def _build_device_step(self):
+        step = self._one_step
+        B, M, hop = self._dev_batch, self._dev_M, self._dev_hop
+
+        def sample(rng, wavs, mels, m_hi):
+            k1, k2, k3 = jax.random.split(rng, 3)
+            idx = jax.random.randint(k1, (B,), 0, wavs.shape[0])
+            u = jax.random.uniform(k2, (B,))
+            m0 = (u * (m_hi[idx] + 1).astype(jnp.float32)).astype(jnp.int32)
+            mel = jax.vmap(lambda i, s: jax.lax.dynamic_slice(
+                mels[i], (s, 0), (M, mels.shape[2])))(idx, m0)
+            wav = jax.vmap(lambda i, s: jax.lax.dynamic_slice(
+                wavs[i], (s * hop,), (M * hop,)))(idx, m0)
+            return wav, mel, k3
+
+        def multi(state, wavs, mels, m_hi, rngs):
+            def body(s, rng):
+                wav, mel, step_rng = sample(rng, wavs, mels, m_hi)
+                return step(s, wav, mel, step_rng)
+            return jax.lax.scan(body, state, rngs)
+
+        return jax.jit(multi, donate_argnums=(0,))
+
+    def train_steps_device(self, K):
+        """K optimizer steps sampling from the HBM-staged corpus."""
+        if self._dev_data is None:
+            raise ValueError("call stage_dataset first")
+        if self._dev_step_fn is None:
+            self._dev_step_fn = self._build_device_step()
+        rngs = jnp.stack([jax.random.fold_in(self.rng, self._host_step + i)
+                          for i in range(K)])
+        self._host_step += K
+        self.state, detail = self._dev_step_fn(self.state, *self._dev_data,
+                                               rngs)
+        return detail
 
     def train_step(self, batch):
         """One optimizer step; see train_steps for the batched-dispatch form."""
