@@ -129,6 +129,22 @@ class TestCTC:
         assert isinstance(rec, CTCRecognizer)
 
 
+class TestCheckpointWidthInference:
+    def test_load_infers_width(self, tmp_path):
+        """A non-default-width checkpoint loads without the caller having
+        to remember --width (shape read from the stored conv kernels)."""
+        from vae_npvc_tpu.eval.asr import CTCRecognizer, train_ctc
+
+        d, texts = _char_corpus(tmp_path, n_utts=12)
+        rec = train_ctc(d, steps=50, batch_size=8, width=48, seed=0,
+                        log_every=0)
+        rec.save(tmp_path / "ctc.msgpack")
+        rec2 = CTCRecognizer.load(tmp_path / "ctc.msgpack")
+        h1 = rec.transcribe_scp(d / "feats.scp", batch_size=4, bucket=64)
+        h2 = rec2.transcribe_scp(d / "feats.scp", batch_size=4, bucket=64)
+        assert h1 == h2
+
+
 class PlainRecognizer:
     """Minimal external drop-in: the documented transcribe_scp(scp) shape
     (no decode-knob kwargs) — the CLI must not pass beam/LM args to it."""

@@ -38,7 +38,9 @@ def main():
     parser.add_argument("--recognizer_ckpt", type=str, default=None,
                         help="reuse/persist the trained CTC proxy here")
     parser.add_argument("--steps", type=int, default=3000)
-    parser.add_argument("--width", type=int, default=192)
+    parser.add_argument("--width", type=int, default=None,
+                        help="CTC-proxy conv width (train: default 192; "
+                             "load: inferred from the checkpoint)")
     parser.add_argument("--specaug", action="store_true",
                         help="SpecAugment during CTC-proxy training (the "
                              "reference eval stack's specaug.yaml analog)")
@@ -75,8 +77,8 @@ def main():
         if not args.train_dir:
             raise SystemExit("--train_dir required to train the CTC proxy "
                              "(or pass --recognizer/--recognizer_ckpt)")
-        rec = train_ctc(args.train_dir, steps=args.steps, width=args.width,
-                        specaug=args.specaug)
+        rec = train_ctc(args.train_dir, steps=args.steps,
+                        width=args.width or 192, specaug=args.specaug)
         if args.recognizer_ckpt:
             Path(args.recognizer_ckpt).parent.mkdir(parents=True,
                                                     exist_ok=True)

@@ -353,13 +353,15 @@ class CTCRecognizer:
 
         path = Path(path)
         payload = {"params": serialization.to_state_dict(self.params),
-                   "vocab": json.dumps(self.vocab),
-                   "width": self.model.__dict__.get("width", 0)}
+                   "vocab": json.dumps(self.vocab)}
         with open(path, "wb") as f:
             f.write(serialization.msgpack_serialize(payload))
 
     @classmethod
-    def load(cls, path, width: int = 192):
+    def load(cls, path, width: int | None = None):
+        """Restore a recognizer; the model width is read from the stored
+        conv shapes, so callers need not remember the training --width
+        (``width`` remains as an explicit override)."""
         import jax
         import jax.numpy as jnp
         from flax import serialization
@@ -367,6 +369,9 @@ class CTCRecognizer:
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
         vocab = json.loads(payload["vocab"])
+        if width is None:
+            width = int(np.asarray(
+                payload["params"]["sub"]["kernel"]).shape[-1])
         model = _ctc_model(len(vocab), width)
         # template params for the restore tree structure
         tpl = model.init(jax.random.PRNGKey(0),
