@@ -314,6 +314,38 @@ class TestPwgTraining:
             np.testing.assert_array_equal(a, b)
 
 
+class TestPwgDataParallel:
+    def test_mesh_matches_single_device(self, tmp_path):
+        """GSPMD batch sharding over 8 devices gives the same parameters as
+        the single-device run (state replicated, batch on 'data')."""
+        from jax.sharding import Mesh
+
+        from vae_npvc_tpu.data.wav_mel import WavMelDataset
+        from vae_npvc_tpu.train.pwg import PwgTrainer
+
+        cfg = dict(PWG_CFG, discriminator_train_start_steps=2)
+        root = sine_corpus(tmp_path, n=8)
+        ds = WavMelDataset(root, cfg)
+        gen = ds.batches(8, seed=4)
+        first = next(gen)
+        data = [next(gen) for _ in range(3)]
+
+        t1 = PwgTrainer(cfg, mesh=Mesh(np.array(jax.devices()[:1]),
+                                       ("data",)))
+        t8 = PwgTrainer(cfg, mesh=Mesh(np.array(jax.devices()), ("data",)))
+        for t in (t1, t8):
+            t.init_state(first)
+            for b in data:
+                t.train_step(b)
+        # cross-shard reductions reorder float sums, so equality is to
+        # accumulation noise, not bitwise (max ~6e-6 abs observed)
+        for a, b in zip(jax.tree_util.tree_leaves(
+                            jax.device_get(t1.state.g_params)),
+                        jax.tree_util.tree_leaves(
+                            jax.device_get(t8.state.g_params))):
+            np.testing.assert_allclose(a, b, rtol=5e-3, atol=2e-5)
+
+
 class TestJpwgDecode:
     def test_decode_scp_writes_wavs(self, tmp_path):
         import wave
