@@ -74,6 +74,23 @@ class TestPwgModel:
         assert wav.shape == (B, T * hop, 1)
         assert wav.dtype == jnp.float32
 
+    def test_generator_bf16_compute(self):
+        """compute_dtype bfloat16: fp32 params, bf16 conv path, finite fp32
+        output (the framework-wide mixed-precision convention)."""
+        import jax.numpy as jnp
+
+        from vae_npvc_tpu.models.pwg import PWGGenerator
+
+        gen = PWGGenerator(arch=PWG_CFG, dtype=jnp.bfloat16)
+        z = jnp.zeros((1, 32, 1), jnp.float32)
+        c = jnp.zeros((1, 8, PWG_CFG["n_mels"]), jnp.float32)
+        params = gen.init(jax.random.PRNGKey(0), z, c)["params"]
+        leaves = jax.tree_util.tree_leaves(params)
+        assert all(l.dtype == jnp.float32 for l in leaves)
+        wav = gen.apply({"params": params}, z, c)
+        assert wav.dtype == jnp.float32
+        assert np.all(np.isfinite(np.asarray(wav)))
+
     def test_discriminator_shapes(self):
         from vae_npvc_tpu.models.pwg import PWGDiscriminator
 
