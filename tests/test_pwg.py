@@ -331,6 +331,33 @@ class TestPwgTraining:
             np.testing.assert_array_equal(a, b)
 
 
+class TestTrainPwgCLI:
+    def test_finished_run_rerun_is_idempotent(self, tmp_path):
+        """Re-invoking a completed training (recipe-stage rerun) leaves
+        model.final byte-identical — no stray warm-up step."""
+        import argparse
+
+        import yaml
+
+        from vae_npvc_tpu.bin.train_pwg import train
+
+        root = sine_corpus(tmp_path)
+        cfg = dict(PWG_CFG, max_iter=4, iters_per_checkpoint=2,
+                   iters_per_log=2, steps_per_call=2,
+                   discriminator_train_start_steps=1)
+        conf = tmp_path / "pwg.yaml"
+        conf.write_text(yaml.safe_dump(
+            {k: list(v) if isinstance(v, tuple) else v
+             for k, v in cfg.items()}))
+        out = tmp_path / "exp"
+        args = argparse.Namespace(config=str(conf), train_dir=str(root),
+                                  output_dir=str(out), checkpoint=None)
+        train(args)
+        final = (out / "model.final").read_bytes()
+        train(args)  # auto-resumes at iter.4 == max_iter -> no-op
+        assert (out / "model.final").read_bytes() == final
+
+
 class TestPwgDataParallel:
     def test_mesh_matches_single_device(self, tmp_path):
         """GSPMD batch sharding over 8 devices gives the same parameters as

@@ -73,22 +73,34 @@ def train(args):
     # sample crops inside the jitted scan — zero per-step host->device
     # traffic. auto = on when the corpus is preloaded and fits comfortably.
     dev_res = config.get("device_resident", "auto")
-    use_dev = (dataset.preload and dev_res in ("auto", True, "true")
-               and steps_per_call > 0)
+    want_dev = dev_res in ("auto", True, "true")
+    use_dev = dataset.preload and want_dev
+    if want_dev and not dataset.preload:
+        logger.warning("device_resident requested but the corpus exceeds "
+                       "preload_limit (lazy mode) — falling back to the "
+                       "host-dispatch path")
     if use_dev and dev_res == "auto":
-        T_max = max(mel.shape[0] for _, _, mel in dataset.items)
-        est = len(dataset) * T_max * (dataset.hop + dataset.n_mels) * 4
-        use_dev = est < config.get("device_resident_limit_bytes", 4 << 30)
+        use_dev = (dataset.padded_nbytes()
+                   < config.get("device_resident_limit_bytes", 4 << 30))
     if use_dev:
         nbytes = trainer.stage_dataset(dataset, batch_size)
         logger.info(f"Device-resident corpus: {nbytes / 1e6:.0f} MB staged "
                     f"to HBM; in-scan crop sampling")
 
+    if iteration >= max_iter:
+        # finished run re-invoked (e.g. a recipe stage rerun): nothing to
+        # train, and model.final must stay byte-identical
+        logger.info(f"Already at iteration {iteration} >= max_iter "
+                    f"{max_iter}; nothing to do")
+        if not (output_dir / "model.final").exists():
+            trainer.save_checkpoint(output_dir / "model.final")
+        return
+
     running: dict = {}
     t0 = time.time()
-    detail = trainer.train_step(first)
-    iteration += 1
     while iteration < max_iter:
+        # full-K chunks compile ONE executable; only a trailing remainder
+        # (max_iter % K != 0) costs a second compile at the very end
         K = min(steps_per_call, max_iter - iteration)
         if use_dev:
             detail = trainer.train_steps_device(K)

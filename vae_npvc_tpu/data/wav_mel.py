@@ -75,6 +75,14 @@ class WavMelDataset:
     def __len__(self):
         return len(self.entries)
 
+    def padded_nbytes(self):
+        """Bytes padded_arrays() will stage (the device-resident 'auto'
+        size check uses this so the estimate can't drift from the layout)."""
+        if not self.preload:
+            raise ValueError("padded_nbytes() needs the preloaded mode")
+        T_max = max(mel.shape[0] for _, _, mel in self.items)
+        return len(self.items) * T_max * (self.hop + self.n_mels) * 4
+
     def padded_arrays(self):
         """Whole-corpus padded arrays for DEVICE-RESIDENT sampling.
 

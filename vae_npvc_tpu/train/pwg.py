@@ -72,7 +72,9 @@ class PwgTrainer:
             mesh = Mesh(np.array(jax.devices()), ("data",))
         self.mesh = mesh
         self.repl = NamedSharding(mesh, P())
-        self.batch_sharding = NamedSharding(mesh, P("data"))
+        # train_steps stacks K batches to (K, B, ...): axis 0 is the scan
+        # axis, the BATCH axis (1) is the one sharded over 'data'
+        self.batch_sharding = NamedSharding(mesh, P(None, "data"))
 
         dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}.get(
             self.config.get("compute_dtype", "float32"), jnp.float32)
@@ -191,13 +193,22 @@ class PwgTrainer:
 
     def _build_step(self):
         step = self._one_step
+        base = self.rng
 
-        def multi_step(state, wavs, mels, rngs):
+        def multi_step(state, wavs, mels, offset):
             # K steps per dispatch via lax.scan: on a tunneled/remote backend
             # the per-call round-trip dominates this small step's compute, so
-            # amortizing K steps into one executable is the big lever
-            return jax.lax.scan(
-                lambda s, x: step(s, *x), state, (wavs, mels, rngs))
+            # amortizing K steps into one executable is the big lever. The
+            # per-step rng is folded INSIDE the scan (one traced op, not K
+            # eager host-side fold_ins per call).
+            K = wavs.shape[0]
+
+            def body(s, x):
+                wav, mel, i = x
+                return step(s, wav, mel, jax.random.fold_in(base, offset + i))
+
+            return jax.lax.scan(body, state,
+                                (wavs, mels, jnp.arange(K)))
 
         return jax.jit(multi_step, donate_argnums=(0,))
 
@@ -220,6 +231,7 @@ class PwgTrainer:
 
     def _build_device_step(self):
         step = self._one_step
+        base = self.rng
         B, M, hop = self._dev_batch, self._dev_M, self._dev_hop
 
         def sample(rng, wavs, mels, m_hi):
@@ -233,11 +245,12 @@ class PwgTrainer:
                 wavs[i], (s * hop,), (M * hop,)))(idx, m0)
             return wav, mel, k3
 
-        def multi(state, wavs, mels, m_hi, rngs):
-            def body(s, rng):
+        def multi(state, wavs, mels, m_hi, offset, steps):
+            def body(s, i):
+                rng = jax.random.fold_in(base, offset + i)
                 wav, mel, step_rng = sample(rng, wavs, mels, m_hi)
                 return step(s, wav, mel, step_rng)
-            return jax.lax.scan(body, state, rngs)
+            return jax.lax.scan(body, state, steps)
 
         return jax.jit(multi, donate_argnums=(0,))
 
@@ -247,11 +260,10 @@ class PwgTrainer:
             raise ValueError("call stage_dataset first")
         if self._dev_step_fn is None:
             self._dev_step_fn = self._build_device_step()
-        rngs = jnp.stack([jax.random.fold_in(self.rng, self._host_step + i)
-                          for i in range(K)])
+        offset = jnp.asarray(self._host_step, jnp.int32)
         self._host_step += K
         self.state, detail = self._dev_step_fn(self.state, *self._dev_data,
-                                               rngs)
+                                               offset, jnp.arange(K))
         return detail
 
     def train_step(self, batch):
@@ -272,13 +284,12 @@ class PwgTrainer:
         # (GSPMD still computes correctly; the data-parallel speedup just
         # doesn't apply to that batch)
         n_dev = self.mesh.devices.size
-        sh = (NamedSharding(self.mesh, P(None, "data"))
-              if wavs.shape[1] % n_dev == 0 else self.repl)
+        sh = (self.batch_sharding if wavs.shape[1] % n_dev == 0
+              else self.repl)
         wavs, mels = (jax.device_put(a, sh) for a in (wavs, mels))
-        rngs = jnp.stack([jax.random.fold_in(self.rng, self._host_step + i)
-                          for i in range(K)])
+        offset = jnp.asarray(self._host_step, jnp.int32)
         self._host_step += K
-        self.state, detail = self._step_fn(self.state, wavs, mels, rngs)
+        self.state, detail = self._step_fn(self.state, wavs, mels, offset)
         return detail
 
     # ------------------------------------------------------------- synthesis
