@@ -423,6 +423,58 @@ class TestJpwgDecode:
                 assert wv.getframerate() == PWG_CFG["fs"]
                 assert wv.getnframes() == mel.shape[0] * 4  # hop
 
+    def test_chunked_synthesis_matches_full(self):
+        """Fixed-size chunked synthesis with receptive-field halos equals
+        the full-length pass exactly on every kept sample (conv locality —
+        the serving path for unbounded-length utterances)."""
+        import jax.numpy as jnp
+
+        from vae_npvc_tpu.infer.vocoder import (jpwg_receptive_frames,
+                                                jpwg_synthesize_chunked)
+        from vae_npvc_tpu.models.pwg import PWGGenerator
+
+        rng = np.random.default_rng(3)
+        T, hop, D = 60, 4, PWG_CFG["n_mels"]
+        mel = rng.normal(size=(T, D)).astype(np.float32)
+        z = rng.normal(size=(T * hop, 1)).astype(np.float32)
+        gen = PWGGenerator(arch=PWG_CFG)
+        params = gen.init(jax.random.PRNGKey(0), jnp.asarray(z[None]),
+                          jnp.asarray(mel[None]))["params"]
+        full = np.asarray(gen.apply({"params": params}, jnp.asarray(z[None]),
+                                    jnp.asarray(mel[None])))[0, :, 0]
+        halo = jpwg_receptive_frames(PWG_CFG)
+        chunked = jpwg_synthesize_chunked(gen, params, mel, z,
+                                          chunk_frames=16, halo_frames=halo,
+                                          hop=hop)
+        np.testing.assert_allclose(chunked, full, rtol=1e-5, atol=1e-5)
+
+    def test_decode_scp_chunked_long_utterance(self, tmp_path):
+        """chunk_frames routes long utterances through chunked synthesis
+        and still writes the right number of samples."""
+        import wave
+
+        from vae_npvc_tpu.data import kaldi_io
+        from vae_npvc_tpu.data.wav_mel import WavMelDataset
+        from vae_npvc_tpu.infer.vocoder import jpwg_decode_scp
+        from vae_npvc_tpu.train.pwg import PwgTrainer
+
+        root = sine_corpus(tmp_path, n=2, samples=2000)
+        ds = WavMelDataset(root, PWG_CFG)
+        trainer = PwgTrainer(PWG_CFG)
+        trainer.init_state(next(ds.batches(2, seed=0)))
+        trainer.save_checkpoint(tmp_path / "pwg.ckpt")
+        d = tmp_path / "mels"
+        d.mkdir()
+        with kaldi_io.ArkWriter(d / "feats.ark", d / "feats.scp") as w:
+            for utt, _, mel in ds.items:
+                w.write(utt, mel)
+        n = jpwg_decode_scp(d / "feats.scp", tmp_path / "out", PWG_CFG,
+                            tmp_path / "pwg.ckpt", chunk_frames=64)
+        assert n == 2
+        for utt, _, mel in ds.items:
+            with wave.open(str(tmp_path / "out" / f"{utt}.wav")) as wv:
+                assert wv.getnframes() == mel.shape[0] * 4
+
     def test_dataset_alignment_and_shapes(self, tmp_path):
         from vae_npvc_tpu.data.wav_mel import WavMelDataset
 

@@ -85,8 +85,66 @@ def pwg_decode_scp(feats_scp, out_dir, voc_expdir):
     return n
 
 
+def jpwg_receptive_frames(config) -> int:
+    """Generator receptive field in MEL FRAMES (conservative, rounded up).
+
+    Dilated stack: sum over layers of (k-1)·2^(i % cycle) samples each side,
+    plus the upsampler smoothing convs (kernel 2s+1 per stage, at growing
+    rates). Used as the chunk halo so chunked synthesis is exact.
+    """
+    layers = config.get("layers", 30)
+    stacks = config.get("stacks", 3)
+    k = config.get("kernel_size", 3)
+    cycle = layers // stacks
+    rf_samples = sum((k - 1) * 2 ** (i % cycle) for i in range(layers)) // 2
+    hop = int(np.prod(config.get("upsample_scales", (4, 4, 4, 4))))
+    # upsampler smoothing: each stage's half-kernel (scale s) at its rate
+    # amounts to ≤ 1 mel frame each; add one frame per stage
+    up_frames = len(config.get("upsample_scales", (4, 4, 4, 4)))
+    return -(-rf_samples // hop) + up_frames
+
+
+def jpwg_synthesize_chunked(gen, params, mel, z, *, chunk_frames: int,
+                            halo_frames: int, hop: int):
+    """Long-utterance synthesis in fixed-size chunks with halo overlap.
+
+    The generator is all local convs, so a chunk computed with
+    ``halo_frames`` ≥ the receptive field of context on each side equals the
+    full-length synthesis exactly on its kept interior (the conv-locality
+    analog of the framework's time-axis halo sharding, parallel/halo.py).
+    ``z`` is the FULL-length noise — each chunk sees its true slice, so
+    chunk boundaries are seamless. Bounded memory, one compiled shape.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    T = mel.shape[0]
+    step = chunk_frames
+    padded = chunk_frames + 2 * halo_frames
+    apply_jit = jax.jit(lambda zz, cc: gen.apply({"params": params}, zz, cc))
+    if T <= padded:
+        # shorter than one padded window: single full-length pass
+        return np.asarray(apply_jit(jnp.asarray(z[None]),
+                                    jnp.asarray(mel[None])))[0, :, 0]
+    out = np.zeros((T * hop,), np.float32)
+    for a in range(0, T, step):
+        b = min(a + step, T)
+        # the window is clamped INSIDE the utterance so every buffer edge is
+        # either >= halo away from the kept region or coincides with a TRUE
+        # utterance boundary (zeros appended past a fake interior edge would
+        # propagate bias through the conv stack and leak into kept samples)
+        lo = min(max(a - halo_frames, 0), T - padded)
+        hi = lo + padded
+        wav = np.asarray(apply_jit(
+            jnp.asarray(z[None, lo * hop:hi * hop]),
+            jnp.asarray(mel[None, lo:hi])))[0, :, 0]
+        out[a * hop:b * hop] = wav[(a - lo) * hop:(b - lo) * hop]
+    return out
+
+
 def jpwg_decode_scp(feats_scp, out_dir, config, checkpoint, *,
-                    batch_size: int = 8, bucket: int = 64, seed: int = 0):
+                    batch_size: int = 8, bucket: int = 64, seed: int = 0,
+                    chunk_frames: int | None = None):
     """Vocode a denormalized log-mel feats.scp with the native PWG generator.
 
     ``config`` is the vocoder training YAML (dict or path); ``checkpoint`` a
@@ -124,6 +182,13 @@ def jpwg_decode_scp(feats_scp, out_dir, config, checkpoint, *,
 
     apply_jit = jax.jit(lambda z, c: gen.apply({"params": params}, z, c))
 
+    # long utterances go through fixed-size chunked synthesis (bounded
+    # memory, one compiled shape, exact via receptive-field halos)
+    long_items: list = []
+    if chunk_frames:
+        long_items = [it for it in items if it[1].shape[0] > chunk_frames]
+        items = [it for it in items if it[1].shape[0] <= chunk_frames]
+
     buckets: dict = {}
     for u, mel in items:
         T_pad = -(-mel.shape[0] // bucket) * bucket
@@ -133,6 +198,16 @@ def jpwg_decode_scp(feats_scp, out_dir, config, checkpoint, *,
     out_dir.mkdir(parents=True, exist_ok=True)
     rng = jax.random.PRNGKey(seed)
     n = 0
+    for u, mel in long_items:
+        rng, zk = jax.random.split(rng)
+        z = np.asarray(jax.random.normal(zk, (mel.shape[0] * hop, 1)),
+                       np.float32)
+        wav = jpwg_synthesize_chunked(
+            gen, params, mel.astype(np.float32), z,
+            chunk_frames=chunk_frames,
+            halo_frames=jpwg_receptive_frames(config), hop=hop)
+        _write_wav(out_dir / f"{u}.wav", wav, fs)
+        n += 1
     for T_pad in sorted(buckets):
         group = buckets[T_pad]
         for lo in range(0, len(group), batch_size):
