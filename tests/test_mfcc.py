@@ -72,8 +72,9 @@ def test_frame_count_and_centering():
     t = 10
     start = t * 160 + 80 - 200
     np.testing.assert_array_equal(frames[t], x[start:start + 400])
-    # the first frame reflects at the left edge: index -k -> k
-    assert frames[0][0] == x[120]  # |0*160+80-200| = 120
+    # the first frame reflects at the left edge incl. the boundary sample
+    # (Kaldi ExtractWindow): index -k -> k-1
+    assert frames[0][0] == x[119]  # -(0*160+80-200)-1 = 119
 
 
 def test_mel_banks_htk_shape_and_partition():

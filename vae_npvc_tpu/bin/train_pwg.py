@@ -107,13 +107,16 @@ def train(args):
         else:
             detail = trainer.train_steps([next(batches) for _ in range(K)])
         for k, v in detail.items():
-            running.setdefault(k, []).append(v)
+            # keep K with each call's mean: the trailing remainder call is a
+            # smaller K, so the window mean must be K-weighted to be exact
+            running.setdefault(k, []).append((v, K))
         logged = iteration // iters_per_log
         saved = iteration // iters_per_checkpoint
         iteration += K
         if iteration // iters_per_log > logged:
-            host = {k: float(np.mean([np.mean(jax.device_get(x))
-                                      for x in vs]))
+            host = {k: float(sum(np.mean(jax.device_get(x)) * kk
+                                 for x, kk in vs)
+                             / sum(kk for _, kk in vs))
                     for k, vs in running.items()}
             running.clear()
             msg = "  ".join(f"{k}: {v:.6f}" for k, v in sorted(host.items()))

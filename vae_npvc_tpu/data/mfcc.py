@@ -79,10 +79,11 @@ def frame_signal(x, frame_length, frame_shift, snip_edges=False):
         centers = np.arange(T) * frame_shift + frame_shift // 2
         starts = centers - frame_length // 2
     idx = starts[:, None] + np.arange(frame_length)[None, :]
-    # reflect out-of-range indices (Kaldi: reflect around the edges)
-    idx = np.abs(idx)
-    over = idx > N - 1
-    idx = np.where(over, 2 * (N - 1) - idx, idx)
+    # reflect out-of-range indices: Kaldi ExtractWindow mirrors about the
+    # edge INCLUDING the boundary sample (x[-1]->x[0], x[N]->x[N-1]),
+    # i.e. s<0 -> -s-1 and s>=N -> 2N-1-s
+    idx = np.where(idx < 0, -idx - 1, idx)
+    idx = np.where(idx > N - 1, 2 * N - 1 - idx, idx)
     idx = np.clip(idx, 0, N - 1)
     return x[idx]
 

@@ -44,8 +44,10 @@ def _frames_centered(x, centers, length):
     N = len(x)
     starts = np.asarray(centers) - length // 2
     idx = starts[:, None] + np.arange(length)[None, :]
-    idx = np.abs(idx)
-    idx = np.where(idx > N - 1, 2 * (N - 1) - idx, idx)
+    # Kaldi edge reflection includes the boundary sample: s<0 -> -s-1,
+    # s>=N -> 2N-1-s (matches ExtractWindow semantics, see data/mfcc.py)
+    idx = np.where(idx < 0, -idx - 1, idx)
+    idx = np.where(idx > N - 1, 2 * N - 1 - idx, idx)
     return x[np.clip(idx, 0, N - 1)]
 
 

@@ -256,11 +256,20 @@ def ctc_prefix_beam_search(log_probs: np.ndarray, *, beam_size: int = 10,
                     continue
                 acc(prefix + (c,), 1, base + frame[c])
 
+        # LM-score only an acoustically-plausible shortlist: scoring every
+        # candidate is O(beam*V) LM calls per frame — cheap for English char
+        # vocabs, pathological for large token sets (e.g. aishell3 Mandarin)
+        cands = sorted(nxt.items(),
+                       key=lambda kv: np.logaddexp(kv[1][0], kv[1][1]),
+                       reverse=True)[:max(5 * beam_size, 30)]
         scored = sorted(
-            nxt.items(),
+            cands,
             key=lambda kv: np.logaddexp(kv[1][0], kv[1][1]) + lm_score(kv[0]),
             reverse=True)
         beams = dict(scored[:beam_size])
+        # drop cache entries for prefixes that fell out of the beam — future
+        # lm_score calls only ever look up a current beam as the parent
+        lm_scores = {p: lm_scores[p] for p in beams}
 
     def final_score(prefix, lps):
         s = np.logaddexp(lps[0], lps[1]) + lm_score(prefix)

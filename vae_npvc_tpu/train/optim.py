@@ -21,7 +21,31 @@ The reference also ships two optimizer variants no shipped config uses
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import optax
+
+
+def clip_by_global_norm_torch(max_norm):
+    """Global-norm clip with torch semantics.
+
+    torch.nn.utils.clip_grad_norm_ (the reference's clip, basic.py:62-67)
+    scales by ``min(1, max_norm / (total_norm + 1e-6))`` — the 1e-6 in the
+    denominator is the only difference from optax.clip_by_global_norm, kept
+    so the lockstep training-dynamics study (tools/lockstep_parity.py)
+    matches the reference exactly when clipping is active.
+    """
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        norm = optax.global_norm(updates)
+        scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+        return jax.tree_util.tree_map(lambda g: g * scale, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def build_schedule(config):
@@ -67,17 +91,20 @@ def build_optimizer(config):
         opt = optax.radam(schedule, b1=b1, b2=b2)
     elif kind == "ADAMW":
         # reference warmup-AdamW: betas default (0.9, 0.999) there
-        # (radam.py:147); warmup scales step size AND decoupled decay
+        # (radam.py:147); warmup scales step size AND decoupled decay.
+        # An explicit `betas` key is honored here too (it used to be a
+        # silently dead knob on this branch).
+        wb1, wb2 = config.get("betas", extra.get("betas", (0.9, 0.999)))
         lr = config.get("learning_rate", 1e-3)
         sched = (_warmup_schedule(lr, warmup)
                  if config.get("lr_scheduler") is None else schedule)
-        opt = optax.adamw(sched, b1=0.9, b2=0.999,
+        opt = optax.adamw(sched, b1=wb1, b2=wb2,
                           weight_decay=weight_decay)
     else:
         opt = optax.adam(schedule, b1=b1, b2=b2)
 
     chain = []
     if max_grad_norm and max_grad_norm > 0:
-        chain.append(optax.clip_by_global_norm(max_grad_norm))
+        chain.append(clip_by_global_norm_torch(max_grad_norm))
     chain.append(opt)
     return optax.chain(*chain)

@@ -27,7 +27,7 @@ import numpy as np
 from flax import serialization, struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models import build_model
+from ..models import build_model, codebook_renorm_fn
 from .optim import build_optimizer
 
 
@@ -64,6 +64,10 @@ class Trainer:
         self.tp_min_param_size = config.get("tp_min_param_size", 1024)
 
         self.state: TrainState | None = None
+        # reference training dynamics: normalized plain-VQ codebooks are
+        # renormalized to unit rows at the top of every step (the functional
+        # analog of the reference's in-place embed_norm, layers_vq.py:96-97)
+        self._renorm = codebook_renorm_fn(config)
         self._compiled = {}
         self._warned_shard = False
         self.skip_nonfinite = config.get("skip_nonfinite_updates", True)
@@ -85,9 +89,16 @@ class Trainer:
             n_local = (len(self.mesh.local_devices) * self.mesh.shape["data"]
                        // self.mesh.size)
             if batch[0].shape[0] % n_local != 0:
-                raise ValueError(
-                    f"multi-host local batch size {batch[0].shape[0]} must "
-                    f"divide the {n_local} local devices on the data axis")
+                # indivisible local batch (e.g. a partial validation tail):
+                # fall back to replication like the single-process path —
+                # assemble the global batch on every host and replicate it
+                from jax.experimental import multihost_utils
+                return tuple(
+                    jax.device_put(
+                        multihost_utils.process_allgather(np.asarray(a),
+                                                          tiled=True),
+                        self.repl)
+                    for a in batch)
             return tuple(
                 jax.make_array_from_process_local_data(self.batch_sharding,
                                                        np.asarray(a))
@@ -144,6 +155,11 @@ class Trainer:
     # ------------------------------------------------------------------ steps
     def _train_step(self, state: TrainState, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
+        if self._renorm is not None:
+            # renorm first, take gradients at the renormed point, apply the
+            # optimizer update to the renormed value — exactly the reference's
+            # in-forward param mutation sequence
+            state = state.replace(params=self._renorm(state.params))
         mutable = list(state.ema.keys())
 
         def loss_fn(params):
@@ -220,6 +236,12 @@ class Trainer:
         """
         step = self._get_compiled("valid", self._valid_step)
         n = self.mesh.shape["data"]
+        if jax.process_count() > 1:
+            # batches here are per-process local rows: the sharded path
+            # needs divisibility by the *local* device count on the data
+            # axis, not the global axis size
+            n = (len(self.mesh.local_devices) * self.mesh.shape["data"]
+                 // self.mesh.size)
         acc: dict[str, list] = {}
         for batch in batches:
             B = np.asarray(batch[0]).shape[0]
