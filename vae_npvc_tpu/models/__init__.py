@@ -46,6 +46,56 @@ def build_model(config, dtype=None):
     return cls(arch=config, **kw)
 
 
+def codebook_renorm_fn(config):
+    """Per-step codebook renormalization matching reference *training dynamics*.
+
+    The reference's normalized plain VQ renormalizes its codebook param
+    **in place** at the top of every forward (reference:
+    vae_npvc/model/layers_vq.py:28-33 ``embed_norm`` called at :96-97), so the
+    stored param always has unit-norm rows at gradient time. Our lookup-time
+    normalization computes the same *forward* function, but lets the stored
+    rows drift off unit norm, which scales the weight-norm-style projected
+    gradient by 1/||row|| — a slow training-dynamics divergence from the
+    reference (measured in tools/lockstep_parity.py).
+
+    Returns a ``params -> params`` function that snaps each normalized
+    plain-VQ codebook to unit rows (the functional analog of the in-place
+    mutation: renorm first, take gradients at the renormed point, apply the
+    update to the renormed value), or ``None`` when the model has no such
+    codebook (EMA path, GST levels, normalize=False).
+    """
+    import jax.numpy as jnp
+
+    short = (config.get("model_type", "vae_npvc.model.vqvae")
+             .split(":")[0].rsplit(".", 1)[-1])
+    names = []
+    if short == "vqvae":
+        if not config.get("use_ema", False) and config.get("embed_norm", True):
+            names.append("quantizer_embedding")
+    elif short in ("vqvae2", "vqvae2a", "vqvae2b"):
+        if not config.get("use_ema", False):
+            if dict(config.get("quantizer", {})).get("normalize", False):
+                names.append("quantizer_embedding")  # vqvae2a shared quantizer
+            for i in range(config.get("levels", 3)):
+                if dict(config.get(f"quantizer.{i}", {})).get("normalize",
+                                                              False):
+                    names.append(f"quantizer_embedding_{i}")
+    if not names:
+        return None
+
+    def renorm(params):
+        params = dict(params)
+        for n in names:
+            if n in params:  # GST top level has no codebook param
+                emb = params[n]
+                norm = jnp.maximum(
+                    jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+                params[n] = emb / norm
+        return params
+
+    return renorm
+
+
 from . import vqvae as _vqvae  # noqa: E402
 
 register("vae_npvc.model.vqvae", "vqvae")(_vqvae.Model)

@@ -155,7 +155,10 @@ class Decoder(nn.Module):
         for i, (out_ch, us, n_stack) in enumerate(
                 zip(out_channels, upsample_scales, stacks)):
             if us == 1:
+                # reference up layers are ConvTranspose1d even at stride 1
+                # (vqvae.py:245-265) — weight-normed over the input axis
                 h = WNConv1d(out_ch, kernel_size, use_weight_norm=use_wn,
+                             wn_dim="in",
                              dtype=self.dtype, seq_axis=self.seq_axis,
                              name=f"up_{i}")(h)
             else:
@@ -209,6 +212,8 @@ class Model(nn.Module):
 
     def setup(self):
         a = dict(self.arch)
+        # config key overrides the dataclass default (YAML-driven parity runs)
+        self._legacy_no_ste = a.get("legacy_no_ste", self.legacy_no_ste)
         seq_axis = a.get("seq_axis", None)
         # rematerialization: recompute encoder/decoder activations in the
         # backward pass, trading FLOPs for HBM (config key: remat)
@@ -256,7 +261,7 @@ class Model(nn.Module):
             z_vq, qut, enc, new_state, detail = vq_ops.ema_vq_forward(
                 self.ema_state.value, z, rng, mu=self.mu,
                 reduction="frame_mean", training=train, update=train,
-                legacy_no_ste=self.legacy_no_ste,
+                legacy_no_ste=self._legacy_no_ste,
                 use_pallas=self.use_pallas_vq, axis_name=self.dp_axis)
             if train and not self.is_initializing():
                 self.ema_state.value = new_state

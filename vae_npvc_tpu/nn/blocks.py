@@ -130,9 +130,21 @@ def _torch_bias_init(fan_in):
 class WNConv1d(nn.Module):
     """Weight-normalized 1D conv, (B, T, C) -> (B, T', C').
 
-    Param layout: ``v`` (K, in, out) direction, ``g`` (out,) magnitude,
-    ``b`` (out,) bias. Effective weight ``w = g * v / ||v||_{K,in}``, computed
-    fp32 then cast to the compute dtype.
+    Param layout: ``v`` (K, in, out) direction, ``g`` magnitude, ``b`` (out,)
+    bias. Effective weight ``w = g * v / ||v||``, computed fp32 then cast to
+    the compute dtype.
+
+    ``wn_dim`` selects the normalization axis — torch's ``weight_norm``
+    normalizes over all dims except dim 0, and dim 0 of a ``Conv1d`` weight is
+    the *output* channel while dim 0 of a ``ConvTranspose1d`` weight is the
+    *input* channel. Layers that stand in for the reference's stride-1
+    transposed convs (decoder up layers, GLU ``conv_in`` — reference
+    vae_npvc/model/layers.py:199, vqvae.py:245-265) therefore use
+    ``wn_dim='in'``: g is (in,), the norm runs over (K, out), and the scale is
+    applied to the *input* channels (equivalent by linearity). Matching the
+    axis matters for training dynamics, not just the forward function — the
+    projected weight-norm gradient lives in a different subspace per axis
+    (measured: tools/lockstep_parity.py).
     """
     features: int
     kernel_size: int
@@ -140,8 +152,19 @@ class WNConv1d(nn.Module):
     dilation: int = 1
     padding: Any = "SAME_TORCH"   # symmetric torch padding, or explicit (lo, hi)
     use_weight_norm: bool = True
+    wn_dim: str = "out"           # 'out' (torch Conv1d) | 'in' (torch ConvT)
     dtype: Dtype = jnp.float32
     seq_axis: Any = None          # mesh axis: time-sharded conv (halo exchange)
+
+    def _wn(self, v):
+        """(g param, per-channel scale, which-side flag) for the chosen axis."""
+        if self.wn_dim == "in":
+            norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 2)))          # (in,)
+            g = self.param("g", lambda _k: norm)
+            return g / norm
+        norm = jnp.linalg.norm(v.reshape(-1, v.shape[-1]), axis=0)  # (out,)
+        g = self.param("g", lambda _k: norm)
+        return g / norm
 
     @nn.compact
     def __call__(self, x):
@@ -160,15 +183,16 @@ class WNConv1d(nn.Module):
                            (self.features,), jnp.float32)
             scale = None
             if self.use_weight_norm:
-                g = self.param("g", lambda _k: jnp.linalg.norm(
-                    v.reshape(-1, v.shape[-1]), axis=0))
-                # weight norm as OUTPUT scaling: conv(x, g·v/||v||) ==
-                # conv(x, v)·(g/||v||) per output channel (linearity) — the
+                # weight norm as channel scaling outside the conv:
+                # conv(x, g·v/||v||) == conv(x, v)·(g/||v||) for wn_dim='out',
+                # == conv(x·(g/||v||), v) for wn_dim='in' (linearity) — the
                 # per-step normalized-kernel rewrite was ~550 us/conv on the
-                # v5e (measured, tools/profile_step.py); the output scale is
+                # v5e (measured, tools/profile_step.py); the channel scale is
                 # a fused multiply
-                scale = g / jnp.linalg.norm(v.reshape(-1, v.shape[-1]),
-                                            axis=0)
+                scale = self._wn(v)
+                if self.wn_dim == "in":
+                    xh = xh * scale.astype(xh.dtype)
+                    scale = None
             pet = jnp.float32 if self.dtype == jnp.float32 else None
             y = jax.lax.conv_general_dilated(
                 xh.astype(self.dtype), v.astype(self.dtype),
@@ -184,15 +208,16 @@ class WNConv1d(nn.Module):
                        jnp.float32)
         scale = None
         if self.use_weight_norm:
-            g = self.param("g", lambda _k: jnp.linalg.norm(
-                v.reshape(-1, v.shape[-1]), axis=0))
-            # weight norm as OUTPUT scaling: conv(x, g·v/||v||) ==
-            # conv(x, v)·(g/||v||) per output channel (linearity). The
+            # weight norm as channel scaling outside the conv (see above):
+            # output-side for wn_dim='out', input-side for wn_dim='in'. The
             # normalized-kernel rewrite materialized a full second kernel
             # every step (~550 us/conv on the v5e at flagship sizes,
-            # tools/profile_step.py); the output scale fuses into the conv
+            # tools/profile_step.py); the channel scale fuses into the conv
             # epilogue instead. Same params, same function of (v, g).
-            scale = g / jnp.linalg.norm(v.reshape(-1, v.shape[-1]), axis=0)
+            scale = self._wn(v)
+            if self.wn_dim == "in":
+                x = x * scale.astype(x.dtype)
+                scale = None
         if self.padding == "SAME_TORCH":
             p = (k - 1) // 2 * self.dilation
             pad = [(p, p)]
@@ -224,6 +249,7 @@ class WNConvTranspose1d(nn.Module):
     features: int
     scale: int
     use_weight_norm: bool = True
+    wn_dim: str = "in"   # torch ConvTranspose1d weight_norm dim 0 = input ch
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -236,10 +262,16 @@ class WNConvTranspose1d(nn.Module):
                        jnp.float32)
         scale = None
         if self.use_weight_norm:
-            g = self.param("g", lambda _k: jnp.linalg.norm(
-                v.reshape(-1, v.shape[-1]), axis=0))
-            # output-scaled weight norm (see WNConv1d)
-            scale = g / jnp.linalg.norm(v.reshape(-1, v.shape[-1]), axis=0)
+            # channel-scaled weight norm (see WNConv1d); default 'in' matches
+            # torch's ConvTranspose1d weight_norm axis for training dynamics
+            if self.wn_dim == "in":
+                norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 2)))
+                g = self.param("g", lambda _k: norm)
+                x = x * (g / norm).astype(x.dtype)
+            else:
+                norm = jnp.linalg.norm(v.reshape(-1, v.shape[-1]), axis=0)
+                g = self.param("g", lambda _k: norm)
+                scale = g / norm
         w = v
         p_torch = s // 2 + s % 2
         out_pad = s % 2
@@ -315,8 +347,11 @@ class GLUResSkip(nn.Module):
     @nn.compact
     def __call__(self, x, c, mask=None):
         C = self.channels
+        # the reference's conv_in is a stride-1 ConvTranspose1d
+        # (layers.py:199) — weight-normed over the input-channel axis
         h = WNConv1d(2 * C, self.kernel_size, dilation=self.dilation,
-                     use_weight_norm=self.use_weight_norm, dtype=self.dtype,
+                     use_weight_norm=self.use_weight_norm, wn_dim="in",
+                     dtype=self.dtype,
                      seq_axis=self.seq_axis, name="conv_in")(x)
         if self.cond_channels and self.cond_channels > 0:
             hc = WNConv1d(2 * C, 1, use_weight_norm=self.use_weight_norm,

@@ -42,7 +42,19 @@ def _wn_effective(sd, prefix):
 
 
 def _conv_params(sd, prefix):
-    """torch Conv1d (out, in, k) → our WNConv1d {v (k,in,out), g, b}."""
+    """torch Conv1d (out, in, k) → our WNConv1d {v (k,in,out), g (out,), b}.
+
+    When the checkpoint carries torch weight-norm params, (g, v) are mapped
+    DIRECTLY (same parameterization point, so fine-tuning a converted
+    checkpoint reproduces the reference's weight-norm gradient geometry, not
+    just its forward); otherwise g is re-derived as the per-out-channel norm
+    (then g·v/||v|| == w, the same forward function)."""
+    if f"{prefix}.weight_v" in sd:
+        v = np.transpose(np.asarray(sd[f"{prefix}.weight_v"], np.float32),
+                         (2, 1, 0)).copy()
+        g = np.asarray(sd[f"{prefix}.weight_g"], np.float32).reshape(-1)
+        return {"v": v, "g": g,
+                "b": np.asarray(sd[f"{prefix}.bias"], np.float32)}
     w, b = _wn_effective(sd, prefix)
     v = np.transpose(w, (2, 1, 0)).astype(np.float32)
     g = np.linalg.norm(v.reshape(-1, v.shape[-1]), axis=0).astype(np.float32)
@@ -50,21 +62,36 @@ def _conv_params(sd, prefix):
 
 
 def _deconv1_params(sd, prefix):
-    """Stride-1 torch ConvTranspose1d (in, out, k) → our forward WNConv1d.
+    """Stride-1 torch ConvTranspose1d (in, out, k) → our forward WNConv1d
+    with ``wn_dim='in'`` (g indexed by input channel — torch weight_norm dim 0
+    of a ConvT weight is the INPUT axis).
 
-    ConvT(x; W) ≡ conv(x; W') with W'[k-1-j, i, o] = W[i, o, j]."""
+    ConvT(x; W) ≡ conv(x; W') with W'[k-1-j, i, o] = W[i, o, j]; the flip is
+    norm-invariant so (g, v) map directly when present."""
+    if f"{prefix}.weight_v" in sd:
+        wv = np.asarray(sd[f"{prefix}.weight_v"], np.float32)
+        v = np.transpose(wv, (2, 0, 1))[::-1].copy()
+        g = np.asarray(sd[f"{prefix}.weight_g"], np.float32).reshape(-1)
+        return {"v": v, "g": g,
+                "b": np.asarray(sd[f"{prefix}.bias"], np.float32)}
     w, b = _wn_effective(sd, prefix)
     v = np.transpose(w, (2, 0, 1))[::-1].copy().astype(np.float32)
-    g = np.linalg.norm(v.reshape(-1, v.shape[-1]), axis=0).astype(np.float32)
+    g = np.sqrt(np.sum(v * v, axis=(0, 2))).astype(np.float32)  # (in,)
     return {"v": v, "g": g, "b": b}
 
 
 def _deconvs_params(sd, prefix):
     """Strided torch ConvTranspose1d → our WNConvTranspose1d (v[j,i,o]=W[i,o,j],
-    the flip happens inside our layer)."""
+    the flip happens inside our layer; g per input channel, wn_dim='in')."""
+    if f"{prefix}.weight_v" in sd:
+        wv = np.asarray(sd[f"{prefix}.weight_v"], np.float32)
+        v = np.transpose(wv, (2, 0, 1)).copy()
+        g = np.asarray(sd[f"{prefix}.weight_g"], np.float32).reshape(-1)
+        return {"v": v, "g": g,
+                "b": np.asarray(sd[f"{prefix}.bias"], np.float32)}
     w, b = _wn_effective(sd, prefix)
     v = np.transpose(w, (2, 0, 1)).copy().astype(np.float32)
-    g = np.linalg.norm(v.reshape(-1, v.shape[-1]), axis=0).astype(np.float32)
+    g = np.sqrt(np.sum(v * v, axis=(0, 2))).astype(np.float32)  # (in,)
     return {"v": v, "g": g, "b": b}
 
 
