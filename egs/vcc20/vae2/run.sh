@@ -273,8 +273,10 @@ EOF
                       echo "${v:-$2}"; }
             asr_decode_opts="--beam_size $(knob beam-size 10) \
                 --lm_weight $(knob lm-weight 0.6) \
+                --lm_type $(knob lm-type ngram) \
                 --lm_order $(knob lm-order 3) \
-                --penalty $(knob penalty 0.0)"
+                --penalty $(knob penalty 0.0) \
+                --lm_ckpt ${expdir}/char_lm.msgpack"
         fi
         asr_line=$(${PY} vae_npvc_tpu.bin.eval_asr \
             --train_dir ${asr_train_dir} \

@@ -358,3 +358,51 @@ class TestSpecAugment:
         hyps = rec.transcribe_scp(d / "feats.scp", batch_size=8, bucket=64)
         total, _, _ = wer_mod.score(texts, hyps, "char")
         assert total.err_pct < 20.0, f"CER {total.err_pct}%"
+
+
+class TestNeuralCharLM:
+    """Neural char-LSTM LM (eval/neural_lm.py) — the reference RNNLM analog
+    (reference: egs/vcc20/vae1/local/ob_eval/evaluate.sh:84-91 downloads a
+    pretrained RNNLM; here it is trained in-framework on corpus text)."""
+
+    def _train(self, texts, steps=250):
+        from vae_npvc_tpu.eval.neural_lm import train_char_lm
+        return train_char_lm(texts, steps=steps, embed=24, hidden=48,
+                             layers=1, seed=0)
+
+    def test_distribution_normalizes_and_learns(self):
+        import numpy as np
+        lm = self._train(["abab", "ababab", "abababab"] * 4)
+        _, logps = lm._state(tuple("aba"))
+        assert abs(float(np.exp(logps).sum()) - 1.0) < 1e-4
+        # after "aba" the corpus always continues with "b"
+        assert lm.logp("aba", "b") > lm.logp("aba", "a") + 0.5
+
+    def test_save_load_roundtrip(self, tmp_path):
+        from vae_npvc_tpu.eval.neural_lm import CharLstmLM
+        lm = self._train(["hello world", "hello there"] * 4)
+        p = tmp_path / "lm.msgpack"
+        lm.save(p)
+        lm2 = CharLstmLM.load(p)
+        for ctx, c in [("hel", "l"), ("hello ", "w"), ("", "h")]:
+            assert abs(lm.logp(ctx, c) - lm2.logp(ctx, c)) < 1e-5
+        assert abs(lm.logp_eos("hello world") -
+                   lm2.logp_eos("hello world")) < 1e-5
+
+    def test_neural_fusion_biases_decode(self):
+        """Same shallow-fusion contract as the n-gram: the neural LM flips
+        an acoustically ambiguous decision toward its preferred string."""
+        import numpy as np
+        from vae_npvc_tpu.eval.asr import ctc_prefix_beam_search
+        id2char = {1: "a", 2: "b", 3: "c"}
+        lp = np.log(np.array([
+            [0.05, 0.90, 0.025, 0.025],
+            [0.80, 0.10, 0.05, 0.05],
+            [0.10, 0.05, 0.41, 0.44],
+        ]))
+        plain = tuple(ctc_prefix_beam_search(lp, beam_size=20))
+        assert plain == (1, 3)  # "ac" without LM
+        lm = self._train(["ab"] * 12, steps=300)
+        fused = tuple(ctc_prefix_beam_search(
+            lp, beam_size=20, lm=lm, lm_weight=1.0, id2char=id2char))
+        assert fused == (1, 2)  # "ab" with the neural LM

@@ -45,14 +45,25 @@ def main():
                         help="SpecAugment during CTC-proxy training (the "
                              "reference eval stack's specaug.yaml analog)")
     # decode knobs mirroring the reference's conf/ob_eval/decode_asr.yaml
-    # (beam-size: 10, lm-weight: 0.6, penalty: 0.0; the RNNLM is replaced by
-    # a char n-gram trained on the experiment's own transcripts, eval/lm.py)
+    # (beam-size: 10, lm-weight: 0.6, penalty: 0.0; the reference's
+    # downloaded RNNLM maps to --lm_type neural — a char LSTM trained on the
+    # experiment's own transcripts, eval/neural_lm.py — while --lm_type
+    # ngram keeps the Witten-Bell char n-gram stand-in, eval/lm.py)
     parser.add_argument("--beam_size", type=int, default=10,
                         help="1 = greedy; >1 = CTC prefix beam search")
     parser.add_argument("--lm_weight", type=float, default=0.6)
     parser.add_argument("--penalty", type=float, default=0.0,
                         help="per-token insertion bonus")
     parser.add_argument("--lm_order", type=int, default=3)
+    parser.add_argument("--lm_type", type=str, default="ngram",
+                        choices=["ngram", "neural"],
+                        help="shallow-fusion LM: Witten-Bell char n-gram or "
+                             "neural char-LSTM (the reference's RNNLM analog)")
+    parser.add_argument("--lm_ckpt", type=str, default=None,
+                        help="neural-LM checkpoint path (loaded if it "
+                             "exists, else trained and saved there)")
+    parser.add_argument("--lm_steps", type=int, default=600,
+                        help="neural-LM training steps")
     parser.add_argument("--no_lm", action="store_true",
                         help="disable LM fusion during beam search")
     parser.add_argument("--platform", type=str, default=None)
@@ -87,11 +98,27 @@ def main():
     lm = None
     if (args.beam_size > 1 and not args.no_lm and args.train_dir
             and (Path(args.train_dir) / "text").exists()):
-        from ..eval.lm import CharNgramLM
         texts = kaldi_io.load_dict_data(Path(args.train_dir) / "text")
-        lm = CharNgramLM(texts.values(), order=args.lm_order)
-        print(f"char {args.lm_order}-gram LM over {len(texts)} transcripts "
-              f"({len(lm.vocab)} chars), lm_weight {args.lm_weight}")
+        if args.lm_type == "neural":
+            from ..eval.neural_lm import CharLstmLM, train_char_lm
+            if args.lm_ckpt and Path(args.lm_ckpt).exists():
+                lm = CharLstmLM.load(args.lm_ckpt)
+                print(f"loaded neural char LM from {args.lm_ckpt}")
+            else:
+                lm = train_char_lm(texts.values(), steps=args.lm_steps,
+                                   log_every=max(args.lm_steps // 3, 1))
+                if args.lm_ckpt:
+                    Path(args.lm_ckpt).parent.mkdir(parents=True,
+                                                    exist_ok=True)
+                    lm.save(args.lm_ckpt)
+            print(f"neural char-LSTM LM over {len(texts)} transcripts "
+                  f"({len(lm.vocab)} chars), lm_weight {args.lm_weight}")
+        else:
+            from ..eval.lm import CharNgramLM
+            lm = CharNgramLM(texts.values(), order=args.lm_order)
+            print(f"char {args.lm_order}-gram LM over {len(texts)} "
+                  f"transcripts ({len(lm.vocab)} chars), "
+                  f"lm_weight {args.lm_weight}")
 
     # the documented pluggable interface is transcribe_scp(scp) -> {utt:
     # text}; only pass decode knobs to recognizers that accept them (the

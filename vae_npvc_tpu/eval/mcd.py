@@ -11,13 +11,16 @@ Two modes here:
   are NOT comparable to reference-published WORLD-mcep MCDs (different
   envelope estimator and frequency warping).
 - **wav-domain mcep** (``mcd_wav``/``mcd_from_wavdirs``): from-scratch
-  mel-cepstra with the reference's knob set — STFT power envelope,
-  first-order all-pass frequency warping with ``mcep_alpha`` (0.466 @ 24 kHz,
-  the VCC2020 setting), ``mcep_dim`` coefficients at ``shiftms`` frame shift,
+  mel-cepstra with the reference's knob set — CheapTrick-style f0-adaptive
+  spectral envelope by default (:func:`cheaptrick_envelope`; ``envelope=
+  "stft"`` selects the plain |STFT| magnitude), first-order all-pass
+  frequency warping with ``mcep_alpha`` (0.466 @ 24 kHz, the VCC2020
+  setting), ``mcep_dim`` coefficients at ``shiftms`` frame shift,
   autocorrelation f0 with the per-speaker ``f0min``/``f0max`` range used to
   restrict scoring to frames voiced in both signals (WORLD/pysptk are not in
-  this environment; the warping matches SPTK's mcep frequency axis, the
-  envelope is |STFT| rather than CheapTrick — a documented deviation).
+  this environment; the warping matches SPTK's mcep frequency axis, and the
+  envelope's residual deviations from WORLD proper are implementation-level,
+  documented on cheaptrick_envelope).
 
 MCD formula both modes: 10/ln10 · sqrt(2 · Σ_{d≥1} (c1_d − c2_d)²) over
 DTW-aligned frames, excluding c0 (energy).
@@ -46,15 +49,27 @@ def mel_to_cepstra(log_mel, n_cep=25):
 
 
 def dtw_path(cost):
-    """Classic DTW over a (T1, T2) local-cost matrix → list of (i, j)."""
+    """Classic DTW over a (T1, T2) local-cost matrix → list of (i, j).
+
+    Vectorized anti-diagonal sweep: every cell on diagonal ``i+j = d`` depends
+    only on diagonals d-1 (up/left) and d-2 (diagonal), so each diagonal is one
+    numpy gather+min — O(T1+T2) python iterations instead of the former
+    O(T1·T2) per-cell loop (~100× at 1k×1k, making stage-7 eval of
+    thousand-utterance sets feasible). Identical accumulation and backtrack
+    tie-breaking (diag < up < left) to the scalar recurrence.
+    """
     T1, T2 = cost.shape
     acc = np.full((T1 + 1, T2 + 1), np.inf)
     acc[0, 0] = 0.0
-    for i in range(1, T1 + 1):
-        c = cost[i - 1]
-        for j in range(1, T2 + 1):
-            acc[i, j] = c[j - 1] + min(acc[i - 1, j], acc[i, j - 1],
-                                       acc[i - 1, j - 1])
+    for d in range(2, T1 + T2 + 1):
+        i_lo, i_hi = max(1, d - T2), min(T1, d - 1)
+        if i_lo > i_hi:
+            continue
+        i = np.arange(i_lo, i_hi + 1)
+        j = d - i
+        best = np.minimum(np.minimum(acc[i - 1, j], acc[i, j - 1]),
+                          acc[i - 1, j - 1])
+        acc[i, j] = cost[i - 1, j - 1] + best
     path = []
     i, j = T1, T2
     while i > 0 and j > 0:
@@ -71,13 +86,19 @@ def dtw_path(cost):
     return path
 
 
+def _pair_cost(ca, cb):
+    """Euclidean cost matrix via one matmul (no (T1,T2,D) broadcast)."""
+    sq = (np.sum(ca * ca, axis=1)[:, None] + np.sum(cb * cb, axis=1)[None, :]
+          - 2.0 * (ca @ cb.T))
+    return np.sqrt(np.maximum(sq, 0.0))
+
+
 def mcd(log_mel_a, log_mel_b, n_cep=25, use_dtw=True):
     """MCD (dB) between two (T, M) log10-mel matrices."""
     ca = mel_to_cepstra(np.asarray(log_mel_a, np.float64), n_cep)[:, 1:]
     cb = mel_to_cepstra(np.asarray(log_mel_b, np.float64), n_cep)[:, 1:]
     if use_dtw and ca.shape[0] != cb.shape[0]:
-        diff = ca[:, None, :] - cb[None, :, :]
-        cost = np.sqrt(np.sum(diff ** 2, axis=-1))
+        cost = _pair_cost(ca, cb)
         path = dtw_path(cost)
         d = np.array([cost[i, j] for i, j in path])
     else:
@@ -124,6 +145,8 @@ def estimate_f0(x, fs, f0min=70.0, f0max=400.0, shiftms=5.0,
 
     Stand-in for WORLD harvest bounded by the per-speaker range
     (reference evaluate.sh:58-59 reads the range from conf/<spk>.f0).
+    Batched: all frames' autocorrelations come from one FFT-based
+    correlation (|rfft|² → irfft), no per-frame python work.
     """
     x = np.asarray(x, np.float64)
     hop = int(fs * shiftms / 1000.0)
@@ -131,23 +154,22 @@ def estimate_f0(x, fs, f0min=70.0, f0max=400.0, shiftms=5.0,
     lag_min = max(int(fs / f0max), 2)
     lag_max = min(int(fs / f0min), win - 1)
     n_frames = max(1 + (len(x) - win) // hop, 0)
-    f0 = np.zeros(n_frames)
-    for t in range(n_frames):
-        fr = x[t * hop:t * hop + win]
-        fr = fr - fr.mean()
-        e0 = float(np.dot(fr, fr))
-        if e0 < 1e-8:
-            continue
-        # normalized autocorrelation over the allowed lag range
-        ac = np.correlate(fr, fr, mode="full")[len(fr) - 1:]
-        with np.errstate(invalid="ignore", divide="ignore"):
-            nac = ac / e0
-        seg = nac[lag_min:lag_max + 1]
-        if seg.size == 0:
-            continue
-        k = int(np.argmax(seg))
-        if seg[k] > voicing_threshold:
-            f0[t] = fs / (lag_min + k)
+    if n_frames == 0 or lag_max < lag_min:
+        return np.zeros(n_frames)
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(win)[None, :]
+    frames = x[idx]
+    frames = frames - frames.mean(axis=1, keepdims=True)
+    e0 = np.sum(frames * frames, axis=1)                       # (T,)
+    nfft = 1 << int(np.ceil(np.log2(2 * win)))
+    spec = np.fft.rfft(frames, nfft, axis=1)
+    ac = np.fft.irfft(spec * np.conj(spec), nfft, axis=1)[:, :win]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        nac = ac / np.maximum(e0[:, None], 1e-12)
+    seg = nac[:, lag_min:lag_max + 1]                          # (T, L)
+    k = np.argmax(seg, axis=1)
+    peak = seg[np.arange(n_frames), k]
+    f0 = np.where((peak > voicing_threshold) & (e0 >= 1e-8),
+                  fs / (lag_min + k), 0.0)
     return f0
 
 
@@ -157,27 +179,120 @@ def _warp_frequencies(omega, alpha):
                                     1.0 - alpha * np.cos(omega))
 
 
+def cheaptrick_envelope(x, fs, f0, shiftms=5.0, n_fft=1024,
+                        default_f0=500.0, q1=-0.15):
+    """CheapTrick-style spectral envelope (T, n_fft//2+1), power domain.
+
+    From-scratch implementation of the WORLD CheapTrick algorithm (Morise
+    2015) — the envelope estimator behind the reference's mcep MCD stage
+    (reference: egs/vcc20/vae1/local/ob_eval/evaluate.sh:57-69 calls an
+    mcd_calculate.py that extracts WORLD mceps; WORLD itself is not in this
+    environment). Steps per frame:
+
+      1. f0-adaptive Hanning window of length ``3·fs/f0`` centered on the
+         frame, power spectrum (unvoiced frames use ``default_f0`` = 500 Hz,
+         WORLD's kDefaultF0);
+      2. rectangular smoothing of the power spectrum with width ``2·f0/3``
+         (via the cumulative integral — exact boxcar of per-frame width);
+      3. quefrency liftering of the log spectrum with
+         ``sinc(f0·τ)·(1 + 2·q1·(1 - cos(2π·f0·τ)))``-style smoothing +
+         compensation lifter (q1 = −0.15, WORLD's value; the 2015 paper
+         prints −0.09 — documented deviation source).
+
+    Remaining deviations from WORLD proper: no DC-component correction below
+    f0 (step 1's add-noise/DC replacement) and f0 comes from the
+    autocorrelation tracker, not DIO/Harvest.
+    """
+    x = np.asarray(x, np.float64)
+    hop = int(fs * shiftms / 1000.0)
+    K = n_fft // 2 + 1
+    T = len(f0)
+    f0_use = np.where(f0 > 0, f0, default_f0)
+    # clamp so the 3·T0 window fits the FFT
+    f0_use = np.maximum(f0_use, 3.0 * fs / n_fft)
+
+    # 1. f0-adaptive windowed power spectra (zero-padded into one batch FFT)
+    frames = np.zeros((T, n_fft))
+    centers = np.arange(T) * hop + hop // 2
+    for t in range(T):  # windows have per-frame lengths; placement only
+        half = int(1.5 * fs / f0_use[t])
+        n = np.arange(-half, half + 1)
+        w = 0.5 + 0.5 * np.cos(np.pi * n / (half + 1))   # Hanning, len 3·T0
+        seg_idx = np.clip(centers[t] + n, 0, len(x) - 1)
+        seg = np.where((centers[t] + n >= 0) & (centers[t] + n < len(x)),
+                       x[seg_idx], 0.0)
+        m = min(len(seg), n_fft)
+        frames[t, :m] = (seg * w)[:m]
+    power = np.abs(np.fft.rfft(frames, n_fft, axis=1)) ** 2 + 1e-30
+
+    # 2. boxcar smoothing, width 2/3·f0 per frame, by cumulative integral
+    freqs = np.arange(K) * fs / n_fft
+    cum = np.concatenate([np.zeros((T, 1)), np.cumsum(power, axis=1)], axis=1)
+    width = (2.0 / 3.0) * f0_use                          # Hz, per frame
+    half_bins = width[:, None] / 2.0 / (fs / n_fft)       # fractional bins
+    pos_hi = np.clip(np.arange(K)[None, :] + half_bins, 0, K - 1)
+    pos_lo = np.clip(np.arange(K)[None, :] - half_bins, 0, K - 1)
+
+    def frac_cum(pos):
+        lo = np.floor(pos).astype(int)
+        wfrac = pos - lo
+        hi = np.minimum(lo + 1, K - 1)
+        r = np.arange(T)[:, None]
+        # integral of power from bin 0 to fractional bin `pos`
+        return cum[r, lo] + power[r, np.minimum(lo, K - 1)] * wfrac
+
+    smoothed = (frac_cum(pos_hi) - frac_cum(pos_lo)) / np.maximum(
+        pos_hi - pos_lo, 1e-9)
+
+    # 3. cepstral liftering of the log spectrum
+    logp = np.log(smoothed)
+    cep = np.fft.irfft(logp, n_fft, axis=1)[:, :K]        # real cepstrum half
+    tau = np.arange(K) / fs
+    ft = f0_use[:, None] * tau[None, :]
+    smoothing = np.sinc(ft)                               # sin(πfτ)/(πfτ)
+    # WORLD: (1 - 2q1) + 2q1·cos(2πf0τ)  ==  1 - 2q1·(1 - cos(2πf0τ))
+    compensation = 1.0 - 2.0 * q1 * (1.0 - np.cos(2.0 * np.pi * ft))
+    lifted = cep * smoothing * compensation
+    # rebuild the even-symmetric cepstrum and return to the log spectrum
+    full = np.concatenate([lifted, lifted[:, -2:0:-1]], axis=1)
+    return np.exp(np.real(np.fft.rfft(full, axis=1))[:, :K])
+
+
 def mcep_from_wav(x, fs, mcep_dim=34, mcep_alpha=None, shiftms=5.0,
-                  n_fft=1024):
+                  n_fft=1024, envelope="cheaptrick", f0=None,
+                  f0min=70.0, f0max=400.0):
     """(samples,) → (T, mcep_dim+1) warped cepstra (c0..c_dim).
 
-    Log |STFT| envelope resampled onto the alpha-warped frequency axis, then
+    Log spectral envelope resampled onto the alpha-warped frequency axis, then
     an inverse-DCT-style projection to ``mcep_dim+1`` cepstral coefficients —
-    the same frequency warping as SPTK mcep (the reference's extractor),
-    with a spectrum envelope from the STFT magnitude instead of CheapTrick.
+    the same frequency warping as SPTK mcep (the reference's extractor).
+    ``envelope`` selects the estimator:
+
+    - ``"cheaptrick"`` (default): f0-adaptive CheapTrick-style envelope
+      (:func:`cheaptrick_envelope`) — the WORLD algorithm the reference's
+      mcd_calculate.py uses, making MCD values directly comparable to
+      reference-published numbers up to the documented implementation-level
+      deviations;
+    - ``"stft"``: plain log |STFT| magnitude (the pre-round-3 behavior).
     """
     if mcep_alpha is None:
         mcep_alpha = default_mcep_alpha(fs)
     x = np.asarray(x, np.float64)
     hop = int(fs * shiftms / 1000.0)
-    win = np.hanning(n_fft)
-    n_frames = max(1 + (len(x) - n_fft) // hop, 0)
     K = n_fft // 2 + 1
-    frames = np.stack([x[t * hop:t * hop + n_fft] * win
-                       for t in range(n_frames)]) if n_frames else \
-        np.zeros((0, n_fft))
-    spec = np.abs(np.fft.rfft(frames, n_fft, axis=-1))
-    logs = np.log(np.maximum(spec, 1e-10))
+    if envelope == "cheaptrick":
+        if f0 is None:
+            f0 = estimate_f0(x, fs, f0min, f0max, shiftms)
+        env = cheaptrick_envelope(x, fs, f0, shiftms, n_fft)  # power
+        logs = 0.5 * np.log(np.maximum(env, 1e-20))           # log amplitude
+    else:
+        win = np.hanning(n_fft)
+        n_frames = max(1 + (len(x) - n_fft) // hop, 0)
+        frames = np.stack([x[t * hop:t * hop + n_fft] * win
+                           for t in range(n_frames)]) if n_frames else \
+            np.zeros((0, n_fft))
+        spec = np.abs(np.fft.rfft(frames, n_fft, axis=-1))
+        logs = np.log(np.maximum(spec, 1e-10))
 
     # sample the log envelope on the UNwarped axis at positions whose warped
     # image is uniform: invert the warp by interpolation
@@ -202,23 +317,26 @@ def mcep_from_wav(x, fs, mcep_dim=34, mcep_alpha=None, shiftms=5.0,
 
 
 def mcd_wav(x_a, x_b, fs, *, mcep_dim=34, mcep_alpha=None, shiftms=5.0,
-            f0min=70.0, f0max=400.0, voiced_only=True, n_fft=1024):
+            f0min=70.0, f0max=400.0, voiced_only=True, n_fft=1024,
+            envelope="cheaptrick"):
     """Reference-knob MCD between two waveforms (converted vs ground truth).
 
     DTW over warped mceps excluding c0; with ``voiced_only`` the reported
     mean runs over aligned frame pairs voiced in both signals (f0 search
     bounded by the per-speaker range, reference conf/<spk>.f0).
     """
-    ca = mcep_from_wav(x_a, fs, mcep_dim, mcep_alpha, shiftms, n_fft)[:, 1:]
-    cb = mcep_from_wav(x_b, fs, mcep_dim, mcep_alpha, shiftms, n_fft)[:, 1:]
+    f0a = estimate_f0(x_a, fs, f0min, f0max, shiftms)
+    f0b = estimate_f0(x_b, fs, f0min, f0max, shiftms)
+    ca = mcep_from_wav(x_a, fs, mcep_dim, mcep_alpha, shiftms, n_fft,
+                       envelope=envelope, f0=f0a)[:, 1:]
+    cb = mcep_from_wav(x_b, fs, mcep_dim, mcep_alpha, shiftms, n_fft,
+                       envelope=envelope, f0=f0b)[:, 1:]
     if min(len(ca), len(cb)) == 0:
         raise ValueError("empty mcep sequence")
-    diff = ca[:, None, :] - cb[None, :, :]
-    cost = np.sqrt(np.sum(diff ** 2, axis=-1))
+    cost = _pair_cost(ca, cb)
     path = dtw_path(cost)
     if voiced_only:
-        va = estimate_f0(x_a, fs, f0min, f0max, shiftms) > 0
-        vb = estimate_f0(x_b, fs, f0min, f0max, shiftms) > 0
+        va, vb = f0a > 0, f0b > 0
         sel = [(i, j) for i, j in path
                if i < len(va) and j < len(vb) and va[i] and vb[j]]
         if sel:
@@ -229,7 +347,7 @@ def mcd_wav(x_a, x_b, fs, *, mcep_dim=34, mcep_alpha=None, shiftms=5.0,
 
 def mcd_from_wavdirs(wavdir, gtwavdir, *, f0_conf=None, mcep_dim=34,
                      mcep_alpha=None, shiftms=5.0, f0min=70.0, f0max=400.0,
-                     voiced_only=True):
+                     voiced_only=True, envelope="cheaptrick"):
     """Mean MCD between converted wavs and target ground-truth wavs.
 
     Pairing: a converted ``<src>_<stem>.wav`` matches a GT file whose name
@@ -265,7 +383,7 @@ def mcd_from_wavdirs(wavdir, gtwavdir, *, f0_conf=None, mcep_dim=34,
         per_utt[p.stem] = mcd_wav(xa, xb, fs_a, mcep_dim=mcep_dim,
                                   mcep_alpha=mcep_alpha, shiftms=shiftms,
                                   f0min=f0min, f0max=f0max,
-                                  voiced_only=voiced_only)
+                                  voiced_only=voiced_only, envelope=envelope)
     if not per_utt:
         raise ValueError("no (converted, ground-truth) wav pairs matched")
     return float(np.mean(list(per_utt.values()))), per_utt
