@@ -80,3 +80,39 @@ def test_plda_similarity_report(spk_data):
     tail = (root / "plda_scores").read_text().splitlines()[-1].split()
     assert tail[1] == "Mean" and float(tail[2]) == pytest.approx(m_good,
                                                                  abs=1e-4)
+
+
+def test_tdnn_arch_and_ckpt_roundtrip(spk_data, tmp_path):
+    """Default embedder is the SITW-architecture TDNN (5 dilated frame
+    layers + stats pooling + 2 segment layers, reference
+    evaluate_similarity.sh:54-64 downloads exactly this net shape); the
+    checkpoint cache reloads to identical embeddings."""
+    import jax
+
+    from vae_npvc_tpu.eval.similarity import load_embedder
+
+    root, _ = spk_data
+    cfg = {"crop_length": 24, "use_native_loader": False}
+    ckpt = tmp_path / "emb.msgpack"
+    model, params = train_embedder(root, cfg, steps=60, batch_size=16,
+                                   log_every=0, width=32, ckpt=str(ckpt))
+    # frame stack present, with the 3x-width frame5 layer
+    names = set(params.keys())
+    assert {"tdnn_0", "tdnn_1", "tdnn_2", "tdnn_3", "tdnn_4",
+            "embed", "segment7", "classify"} <= names
+    assert params["tdnn_4"]["kernel"].shape[-1] == 96  # 3 * width
+
+    embs = embed_scp(model, params, root / "feats.scp")
+    model2, params2 = train_embedder(root, cfg, steps=60, batch_size=16,
+                                     log_every=0, width=32, ckpt=str(ckpt))
+    embs2 = embed_scp(model2, params2, root / "feats.scp")
+    for u in embs:
+        np.testing.assert_allclose(embs[u], embs2[u], atol=1e-6)
+
+
+def test_legacy_conv3_arch_still_available(spk_data):
+    root, _ = spk_data
+    cfg = {"crop_length": 24, "use_native_loader": False}
+    model, params = train_embedder(root, cfg, steps=40, batch_size=16,
+                                   log_every=0, arch="conv3")
+    assert "conv_0" in params and "tdnn_0" not in params

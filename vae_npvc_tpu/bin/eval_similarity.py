@@ -32,6 +32,17 @@ def main():
                         help="data dir with feats.scp + utt2spk(_id) of real "
                              "target-speaker utterances")
     parser.add_argument("--steps", type=int, default=2000)
+    parser.add_argument("--embedder", choices=("tdnn", "conv3"),
+                        default="tdnn",
+                        help="tdnn: SITW x-vector TDNN (the architecture "
+                             "the reference downloads); conv3: legacy "
+                             "3-conv stand-in")
+    parser.add_argument("--embedder_width", type=int, default=128,
+                        help="TDNN frame-layer width (512 = SITW size)")
+    parser.add_argument("--embedder_ckpt", type=str, default=None,
+                        help="embedder checkpoint: loaded if it exists, "
+                             "else trained and saved there (reused across "
+                             "per-pair eval invocations)")
     parser.add_argument("--frontend", choices=("mel", "mfcc_vad"),
                         default="mel",
                         help="mel: embed the dump-dir mel features directly; "
@@ -80,7 +91,10 @@ def main():
         train_feats = mfcc_vad_scp(
             args.train_wav_scp or Path(args.train_dir) / "wav.scp")
         model, params = train_embedder(args.train_dir, config,
-                                       steps=args.steps, feats=train_feats)
+                                       steps=args.steps, feats=train_feats,
+                                       arch=args.embedder,
+                                       width=args.embedder_width,
+                                       ckpt=args.embedder_ckpt)
         wavs = sorted(Path(args.converted_wav_dir).glob("*.wav"))
         conv_embs = embed_feats(model, params, mfcc_vad_scp(
             {w.stem: str(w) for w in wavs}))
@@ -89,7 +103,10 @@ def main():
         train_embs = embed_feats(model, params, train_feats)
     else:
         model, params = train_embedder(args.train_dir, config,
-                                       steps=args.steps)
+                                       steps=args.steps,
+                                       arch=args.embedder,
+                                       width=args.embedder_width,
+                                       ckpt=args.embedder_ckpt)
         conv_embs = embed_scp(model, params, args.converted_scp)
         enroll_embs = embed_scp(model, params, enroll_dir / "feats.scp")
         train_embs = None

@@ -22,12 +22,61 @@ import numpy as np
 # model
 # ---------------------------------------------------------------------------
 
-def _embedder(num_speakers, emb_dim=64, width=128):
+def _stats_pool(h, lengths):
+    import jax.numpy as jnp
+    if lengths is not None:
+        t = jnp.arange(h.shape[1])[None, :, None]
+        m = (t < lengths[:, None, None]).astype(h.dtype)
+        cnt = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+        mean = jnp.sum(h * m, axis=1) / cnt
+        var = jnp.sum(jnp.square(h - mean[:, None, :]) * m, axis=1) / cnt
+    else:
+        mean = jnp.mean(h, axis=1)
+        var = jnp.var(h, axis=1)
+    return jnp.concatenate([mean, jnp.sqrt(var + 1e-6)], axis=-1)
+
+
+def _embedder(num_speakers, emb_dim=64, width=128, arch="tdnn"):
     import jax.numpy as jnp
     from flax import linen as nn
 
+    class XVectorTDNN(nn.Module):
+        """SITW x-vector TDNN (the architecture the reference downloads:
+        egs/vcc20/vae1/local/ob_eval/evaluate_similarity.sh:54-64 fetches the
+        Kaldi SITW 0003 x-vector nnet3 model — a 5-layer dilated TDNN
+        frame stack, statistics pooling, and two segment-level layers, per
+        Snyder et al. 2018). The x-vector is the first segment affine's
+        pre-activation output, as in Kaldi's tdnn6.affine extraction point.
+
+        Deviations from the Kaldi net: LayerNorm instead of batchnorm
+        (stateless; equivalent stabilization role) and configurable widths —
+        ``width=512`` reproduces the SITW sizes (frame5 = 3*width = 1536 vs
+        Kaldi's 1500); the default 128 keeps in-recipe training fast on the
+        experiment-scale corpora this environment allows.
+
+        Mel (B, T, D) -> (x-vector (B, E), softmax logits (B, S))."""
+
+        @nn.compact
+        def __call__(self, x, lengths=None):
+            h = x
+            # (kernel, dilation, out) per frame-level layer: contexts
+            # {t-2..t+2}, {t-2,t,t+2}, {t-3,t,t+3}, {t}, {t}
+            specs = [(5, 1, width), (3, 2, width), (3, 3, width),
+                     (1, 1, width), (1, 1, 3 * width)]
+            for i, (k, d, w) in enumerate(specs):
+                h = nn.Conv(w, (k,), kernel_dilation=d, name=f"tdnn_{i}")(h)
+                h = nn.relu(h)
+                h = nn.LayerNorm(name=f"norm_{i}")(h)
+            stats = _stats_pool(h, lengths)
+            emb = nn.Dense(emb_dim, name="embed")(stats)      # the x-vector
+            h2 = nn.LayerNorm(name="seg6_norm")(nn.relu(emb))
+            h2 = nn.Dense(emb_dim, name="segment7")(h2)
+            h2 = nn.LayerNorm(name="seg7_norm")(nn.relu(h2))
+            logits = nn.Dense(num_speakers, name="classify")(h2)
+            return emb, logits
+
     class SpeakerEmbedder(nn.Module):
-        """Mel (B, T, D) → (embedding (B, E), logits (B, S))."""
+        """Legacy round-2 embedder: 3 plain convs + stats pooling."""
 
         @nn.compact
         def __call__(self, x, lengths=None):
@@ -36,35 +85,61 @@ def _embedder(num_speakers, emb_dim=64, width=128):
                 h = nn.Conv(width, (5,), kernel_dilation=dil,
                             name=f"conv_{i}")(h)
                 h = nn.relu(h)
-            if lengths is not None:
-                t = jnp.arange(h.shape[1])[None, :, None]
-                m = (t < lengths[:, None, None]).astype(h.dtype)
-                cnt = jnp.maximum(jnp.sum(m, axis=1), 1.0)
-                mean = jnp.sum(h * m, axis=1) / cnt
-                var = jnp.sum(jnp.square(h - mean[:, None, :]) * m,
-                              axis=1) / cnt
-            else:
-                mean = jnp.mean(h, axis=1)
-                var = jnp.var(h, axis=1)
-            stats = jnp.concatenate([mean, jnp.sqrt(var + 1e-6)], axis=-1)
+            stats = _stats_pool(h, lengths)
             emb = nn.Dense(emb_dim, name="embed")(stats)
             logits = nn.Dense(num_speakers, name="classify")(nn.relu(emb))
             return emb, logits
 
-    return SpeakerEmbedder()
+    return XVectorTDNN() if arch == "tdnn" else SpeakerEmbedder()
+
+
+def save_embedder(path, model_meta, params):
+    """Persist the trained embedder (meta + params) for reuse across the
+    per-pair eval invocations of run.sh stage 7."""
+    from flax import serialization
+    payload = {"meta": dict(model_meta),
+               "params": serialization.to_state_dict(params)}
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+
+def load_embedder(path):
+    """→ (model, params, meta). Rebuilds the net from the stored meta."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    meta = payload["meta"]
+    model = _embedder(int(meta["num_speakers"]), int(meta["emb_dim"]),
+                      int(meta["width"]), meta.get("arch", "tdnn"))
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 8, int(meta["feat_dim"]))))["params"]
+    params = serialization.from_state_dict(template, payload["params"])
+    return model, params, meta
 
 
 def train_embedder(data_dir, config, *, steps=2000, batch_size=64,
-                   emb_dim=64, lr=1e-3, seed=0, log_every=500, feats=None):
+                   emb_dim=64, lr=1e-3, seed=0, log_every=500, feats=None,
+                   arch="tdnn", width=128, ckpt=None):
     """Train the speaker classifier on a dump dir; returns (model, params).
 
     ``feats``: optional {utt: (T, D)} override — the wav-domain MFCC+VAD
     front-end (``mfcc_vad_scp``) instead of the dump dir's mels; speaker
     labels still come from the dir's ``utt2spk_id``.
+    ``arch``: 'tdnn' (SITW x-vector TDNN, default) or 'conv3' (the legacy
+    3-conv stand-in). ``ckpt``: load-if-exists-else-train-and-save path.
     """
     import jax
     import jax.numpy as jnp
     import optax
+
+    if ckpt is not None:
+        from pathlib import Path
+        if Path(ckpt).exists():
+            model, params, _ = load_embedder(ckpt)
+            print(f"loaded speaker embedder from {ckpt}")
+            return model, params
 
     if feats is not None:
         it, num_speakers, feats0 = _override_batches(
@@ -78,7 +153,7 @@ def train_embedder(data_dir, config, *, steps=2000, batch_size=64,
         it = batch_iterator(ds, batch_size, shuffle=True, drop_last=True,
                             seed=seed, num_workers=4)
         feats0, _ = next(it)
-    model = _embedder(num_speakers, emb_dim)
+    model = _embedder(num_speakers, emb_dim, width, arch)
     params = model.init(jax.random.PRNGKey(seed),
                         jnp.zeros_like(feats0))["params"]
     tx = optax.adam(lr)
@@ -101,6 +176,12 @@ def train_embedder(data_dir, config, *, steps=2000, batch_size=64,
             print(f"spk-embedder step {i}: loss {float(loss):.4f}")
         if i + 1 >= steps:
             break
+    if ckpt is not None:
+        save_embedder(ckpt, {"arch": arch, "width": width,
+                             "emb_dim": emb_dim,
+                             "num_speakers": num_speakers,
+                             "feat_dim": int(feats0.shape[-1])}, params)
+        print(f"saved speaker embedder to {ckpt}")
     return model, params
 
 
