@@ -30,16 +30,20 @@ train_config=conf/train_vqvae.yaml
 tag=""
 srcspk=SEF1
 trgspk=TEF1
-voc=GL                        # GL (Griffin-Lim), PWG (external
-                              # parallel_wavegan package + pretrained model,
+voc=GL                        # GL (Griffin-Lim), PWG / MG (external
+                              # parallel_wavegan package + pretrained
+                              # ParallelWaveGAN / Multi-Band-MelGAN model,
                               # reference run.sh:192-239), or JPWG (the
                               # NATIVE in-framework JAX vocoder — trains on
                               # this corpus, no downloads)
 voc_expdir=exp/parallel_wavegan
+mg_expdir=exp/multiband_melgan
 jpwg_config=conf/train_jpwg.yaml
 jpwg_expdir=exp/jpwg
 griffin_lim_iters=64
 asr_steps=3000                # CTC-proxy recognizer training steps (stage 7)
+asr_arch=conv                 # CTC-proxy encoder: conv | transformer (the
+                              # reference eval ASR's architecture family)
 asr_decode_config=conf/ob_eval/decode_asr.yaml  # beam/LM decode knobs
                               # (reference evaluate.sh:134-136 decode yaml)
 asr_frontend=mel              # mel: score the converted mel features
@@ -166,14 +170,15 @@ if [ "${stage}" -le 6 ] && [ "${stop_stage}" -ge 6 ]; then
     denorm=${outdir}_denorm/${srcspk}_${trgspk}
     ${PY} vae_npvc_tpu.bin.apply_cmvn apply --reverse data/${train_set}_cmvn.ark \
         scp:${outdir}/${srcspk}_${trgspk}/feats.scp ${denorm}
-    if [ "${voc}" = "PWG" ]; then
-        # optional Parallel WaveGAN backend (reference run.sh:192-239);
-        # needs the parallel_wavegan package + pretrained ${voc_expdir}
+    if [ "${voc}" = "PWG" ] || [ "${voc}" = "MG" ]; then
+        # optional external backends (reference run.sh:192-239); need the
+        # parallel_wavegan package + a pretrained model dir
+        if [ "${voc}" = "MG" ]; then voc_expdir=${mg_expdir}; fi
         python - <<EOF
-from vae_npvc_tpu.infer.vocoder import pwg_decode_scp
-n = pwg_decode_scp("${denorm}/feats.scp", "${denorm}/pwg_wav",
-                   "${voc_expdir}")
-print(f"PWG synthesized {n} wavs")
+from vae_npvc_tpu.infer.vocoder import external_decode_scp
+n = external_decode_scp("${denorm}/feats.scp", "${denorm}/pwg_wav",
+                        "${voc_expdir}")
+print(f"${voc} synthesized {n} wavs")
 EOF
     elif [ "${voc}" = "JPWG" ]; then
         # NATIVE neural vocoder: the in-framework JAX Parallel WaveGAN
@@ -288,6 +293,7 @@ EOF
             --eval_scp ${asr_scp} \
             --ref_text data/${eval_set}/text \
             --output_dir ${obdir}/asr/${pair} --steps ${asr_steps} \
+            --arch ${asr_arch} \
             ${asr_decode_opts} \
             --recognizer_ckpt ${asr_ckpt} | tail -1)
         echo "${asr_line}"
@@ -308,6 +314,7 @@ EOF
         --converted_scp ${outdir}/${pair}/feats.scp \
         --trials ${dumpdir}/${eval_set}/trials \
         --enroll_dir ${dumpdir}/${train_set} --steps ${sim_steps} \
+        --embedder_ckpt ${expdir}/spk_embedder_${sim_frontend}.msgpack \
         ${sim_extra} \
         --output_dir ${obdir}/asv/${pair} | tail -1) || sim_line=""
     echo "${sim_line}"

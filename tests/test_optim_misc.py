@@ -87,3 +87,125 @@ class TestVocoderShim:
             pwg_decode_scp(tmp_path / "feats.scp", tmp_path / "wav",
                            tmp_path / "pwg")
         assert "parallel_wavegan" in str(ei.value) or "pkl" in str(ei.value)
+
+
+def _fake_exp_dir(tmp_path, name, generator_type, out_bands=1):
+    """Reference-layout vocoder exp dir: newest *.pkl, config.yml, stats.h5
+    (reference run.sh:206-209). The pkl/h5 are placeholders — the fake
+    package below never opens them."""
+    d = tmp_path / name
+    d.mkdir()
+    (d / "checkpoint-400000steps.pkl").write_bytes(b"fake")
+    (d / "config.yml").write_text(
+        f"generator_type: {generator_type}\n"
+        f"sampling_rate: 8000\n"
+        f"generator_params:\n  out_channels: {out_bands}\n")
+    (d / "stats.h5").write_bytes(b"fake")
+    return d
+
+
+def _install_fake_pwg_package(monkeypatch, n_mels, hop=4, bands=1):
+    """Inject a minimal parallel_wavegan.utils with load_model/read_hdf5.
+
+    load_model dispatches on the config's generator_type, like the real
+    package; the fake models record what they were asked to do so the shim's
+    PWG-vs-MG behavior is assertable."""
+    import sys
+    import types
+
+    import torch
+
+    calls = {}
+
+    class FakePQMF:
+        def synthesis(self, x):  # (1, bands, T) -> (1, 1, T*bands)
+            calls["pqmf"] = tuple(x.shape)
+            b, c, t = x.shape
+            return x.transpose(1, 2).reshape(b, 1, t * c)
+
+    class FakeModel(torch.nn.Module):
+        def __init__(self, gtype, bands):
+            super().__init__()
+            self.gtype, self.bands = gtype, bands
+            if bands > 1:
+                self.pqmf = FakePQMF()
+
+        def remove_weight_norm(self):
+            calls["removed_wn"] = True
+
+        def inference(self, c):  # mel (T, D) -> (T*hop[, bands])
+            calls["model"] = self.gtype
+            t = c.shape[0] * hop
+            if self.bands > 1:
+                return torch.zeros(t // self.bands, self.bands) + 0.25
+            return torch.zeros(t, 1) + 0.25
+
+    utils = types.ModuleType("parallel_wavegan.utils")
+
+    def load_model(ckpt, config):
+        calls["ckpt"] = ckpt
+        return FakeModel(config["generator_type"],
+                         config["generator_params"]["out_channels"])
+
+    def read_hdf5(path, key):
+        return np.zeros(n_mels) if key == "mean" else np.ones(n_mels)
+
+    utils.load_model = load_model
+    utils.read_hdf5 = read_hdf5
+    pkg = types.ModuleType("parallel_wavegan")
+    pkg.utils = utils
+    monkeypatch.setitem(sys.modules, "parallel_wavegan", pkg)
+    monkeypatch.setitem(sys.modules, "parallel_wavegan.utils", utils)
+    return calls
+
+
+class TestExternalVocoderDispatch:
+    """voc=PWG and voc=MG ride one shim that dispatches on the exp dir's
+    config (reference run.sh:192-239 swaps exp/parallel_wavegan for
+    exp/multiband_melgan; both go through parallel-wavegan-decode)."""
+
+    def _feats(self, tmp_path, n_mels=10, frames=20):
+        from vae_npvc_tpu.data import kaldi_io
+        d = tmp_path / "mels"
+        d.mkdir()
+        rng = np.random.default_rng(0)
+        with kaldi_io.ArkWriter(d / "f.ark", d / "feats.scp") as w:
+            w.write("utt1", rng.normal(size=(frames, n_mels))
+                    .astype(np.float32))
+        return d / "feats.scp"
+
+    def test_pwg_exp_dir(self, tmp_path, monkeypatch):
+        import wave
+
+        from vae_npvc_tpu.infer.vocoder import external_decode_scp
+
+        calls = _install_fake_pwg_package(monkeypatch, n_mels=10)
+        exp = _fake_exp_dir(tmp_path, "parallel_wavegan",
+                            "ParallelWaveGANGenerator")
+        scp = self._feats(tmp_path)
+        n = external_decode_scp(scp, tmp_path / "out", exp)
+        assert n == 1 and calls["model"] == "ParallelWaveGANGenerator"
+        assert calls["removed_wn"] and "pqmf" not in calls
+        with wave.open(str(tmp_path / "out" / "utt1.wav")) as wv:
+            assert wv.getframerate() == 8000
+            assert wv.getnframes() == 20 * 4
+
+    def test_melgan_exp_dir_pqmf_resolved(self, tmp_path, monkeypatch):
+        import wave
+
+        from vae_npvc_tpu.infer.vocoder import external_decode_scp
+
+        calls = _install_fake_pwg_package(monkeypatch, n_mels=10, bands=4)
+        exp = _fake_exp_dir(tmp_path, "multiband_melgan",
+                            "MelGANGenerator", out_bands=4)
+        scp = self._feats(tmp_path)
+        n = external_decode_scp(scp, tmp_path / "out", exp)
+        assert n == 1 and calls["model"] == "MelGANGenerator"
+        # sub-band output went through the PQMF synthesis filter
+        assert calls["pqmf"] == (1, 4, 20)
+        with wave.open(str(tmp_path / "out" / "utt1.wav")) as wv:
+            assert wv.getnframes() == 20 * 4  # full-band length restored
+
+    def test_legacy_alias(self):
+        from vae_npvc_tpu.infer import vocoder
+        assert vocoder.pwg_decode_scp is vocoder.external_decode_scp

@@ -8,12 +8,18 @@ this environment (and can't be downloaded), so this module provides:
 
 - ``griffin_lim_scp``: the always-available backend (wraps
   data/features.griffin_lim over a denormalized feats.scp);
-- ``pwg_decode_scp``: an optional-import shim — if ``parallel_wavegan`` IS
-  installed (a real deployment), it loads the checkpoint and vocodes each
+- ``external_decode_scp``: an optional-import shim — if ``parallel_wavegan``
+  IS installed (a real deployment), it loads the checkpoint and vocodes each
   utterance's mel in-process (the library-API equivalent of the reference's
   two CLI calls, including the per-model mean/scale feature normalization);
-  otherwise it raises ImportError with instructions, keeping the ``voc=PWG``
-  recipe flag wired rather than silently absent;
+  otherwise it raises ImportError with instructions, keeping the recipe flags
+  wired rather than silently absent. It serves BOTH reference exp-dir styles
+  — ``voc=PWG`` (exp/parallel_wavegan) and ``voc=MG``
+  (exp/multiband_melgan): the package's ``load_model`` dispatches on the
+  config's ``generator_type``, and multi-band generators are resolved to
+  full-band audio through the model's PQMF synthesis filter when
+  ``inference`` returns sub-band channels. ``pwg_decode_scp`` is kept as a
+  compatibility alias;
 - ``jpwg_decode_scp``: the NATIVE backend — the in-framework JAX
   Parallel-WaveGAN generator (models/pwg.py) trained with
   ``bin/train_pwg.py``; no external package, batched bucketed synthesis on
@@ -37,11 +43,19 @@ def griffin_lim_scp(feats_scp, out_dir, *, fs, n_fft, n_shift, n_mels,
                          fmax=fmax, n_iter=iters)
 
 
-def pwg_decode_scp(feats_scp, out_dir, voc_expdir):
-    """Parallel WaveGAN decode (optional dependency).
+def external_decode_scp(feats_scp, out_dir, voc_expdir):
+    """External-vocoder decode (optional ``parallel_wavegan`` dependency).
 
     ``voc_expdir`` follows the reference layout: newest ``*.pkl`` checkpoint,
-    ``config.yml``, ``stats.h5`` (run.sh:206-209).
+    ``config.yml``, ``stats.h5`` (reference run.sh:206-209). Both reference
+    model dirs load through this one entry point (run.sh:192-239):
+
+    - ``voc=PWG`` → exp/parallel_wavegan (ParallelWaveGANGenerator);
+    - ``voc=MG``  → exp/multiband_melgan ((MB-)MelGANGenerator) — the
+      package's ``load_model`` picks the class from the config's
+      ``generator_type``; if ``inference`` yields sub-band channels
+      (out_channels > 1) they are resolved with the model's PQMF synthesis
+      filter, mirroring the package decoder's multi-band branch.
     """
     try:
         import torch
@@ -49,10 +63,11 @@ def pwg_decode_scp(feats_scp, out_dir, voc_expdir):
         from parallel_wavegan.utils import load_model, read_hdf5
     except ImportError as e:  # pragma: no cover - optional dependency
         raise ImportError(
-            "the voc=PWG path needs the 'parallel_wavegan' package and a "
-            "pretrained model directory (reference run.sh:192-239); install "
-            "parallel_wavegan and place the model under exp/parallel_wavegan "
-            "or use the Griffin-Lim backend (voc=GL)") from e
+            "the voc=PWG/voc=MG paths need the 'parallel_wavegan' package "
+            "and a pretrained model directory (reference run.sh:192-239); "
+            "install parallel_wavegan and place the model under "
+            "exp/parallel_wavegan (PWG) or exp/multiband_melgan (MG), or "
+            "use an in-framework backend (voc=GL / voc=JPWG)") from e
 
     from ..data import kaldi_io
 
@@ -66,7 +81,8 @@ def pwg_decode_scp(feats_scp, out_dir, voc_expdir):
             f"{voc_expdir} must hold *.pkl, config.yml, stats.h5")
     config = yaml.safe_load(open(confs[0]))
     model = load_model(str(ckpts[-1]), config)
-    model.remove_weight_norm()
+    if hasattr(model, "remove_weight_norm"):  # MelGAN variants may lack it
+        model.remove_weight_norm()
     model.eval()
     mean = read_hdf5(str(stats[0]), "mean")
     scale = read_hdf5(str(stats[0]), "scale")
@@ -78,11 +94,24 @@ def pwg_decode_scp(feats_scp, out_dir, voc_expdir):
     with torch.no_grad():
         for utt, rx in kaldi_io.read_scp(feats_scp).items():
             mel = (kaldi_io.load_mat(rx) - mean) / scale
-            wav = model.inference(torch.from_numpy(
-                mel.astype(np.float32))).view(-1).cpu().numpy()
+            wav = model.inference(torch.from_numpy(mel.astype(np.float32)))
+            if wav.dim() == 2 and wav.shape[-1] > 1:
+                # multi-band generator: (T//bands, bands) sub-band signal →
+                # PQMF synthesis to full band, as the package decoder does
+                pqmf = getattr(model, "pqmf", None)
+                if pqmf is None:
+                    raise ValueError(
+                        "multi-band generator output but the loaded model "
+                        "has no PQMF synthesis filter")
+                wav = pqmf.synthesis(wav.transpose(1, 0).unsqueeze(0))
+            wav = wav.reshape(-1).cpu().numpy()
             _write_wav(out_dir / f"{utt}.wav", wav, fs)
             n += 1
     return n
+
+
+# backwards-compatible name (pre-MG shim)
+pwg_decode_scp = external_decode_scp
 
 
 def jpwg_receptive_frames(config) -> int:
