@@ -218,6 +218,148 @@ class TestTransformerBackbone:
         np.testing.assert_allclose(pe[0, 1::2], 1.0, atol=1e-7)
 
 
+TACOTRON2_CFG = dict(
+    CFG, block_type="tacotron2",
+    # reference key names (train_pytorch_tacotron2+spkemb.yaml), toy sizes
+    **{"embed-dim": 16, "econv-layers": 2, "econv-chans": 16,
+       "econv-filts": 5, "elayers": 1, "eunits": 16, "dlayers": 2,
+       "dunits": 24, "prenet-layers": 2, "prenet-units": 8,
+       "postnet-layers": 2, "postnet-chans": 8, "postnet-filts": 5,
+       "adim": 8, "aconv-chans": 4, "aconv-filts": 3,
+       "cumulate-att-w": True, "use-concate": True, "bce-pos-weight": 3.0,
+       "reduction-factor": 2, "zoneout-rate": 0.1, "dropout-rate": 0.5},
+)
+
+
+class TestTacotron2Backbone:
+    """AR prenet + location-sensitive attention + stop token — the
+    reference's default second-stage family (reference:
+    egs/aishell3/vc2/conf/train_pytorch_tacotron2+spkemb.yaml)."""
+
+    def test_loss_decreases_and_infer(self, tmp_path):
+        d = make_data(tmp_path)
+        ds = TokenMelDataset(d, TACOTRON2_CFG)
+        trainer = build_trainer(TACOTRON2_CFG)
+        trainer.init_state(next(ds.batches(8, shuffle=False, epochs=1)))
+        losses = []
+        for i, batch in enumerate(ds.batches(8, shuffle=True, seed=1)):
+            losses.append(trainer.train_step(batch))
+            if i >= 80:
+                break
+        first = float(jax.device_get(losses[0]["Total"]))
+        last = float(np.mean([jax.device_get(l["Total"])
+                              for l in losses[-5:]]))
+        assert last < first * 0.8, (first, last)
+        for k in ("X like", "X pre like", "STOP loss"):
+            assert k in losses[-1], k
+
+        # free-running AR inference with stop-token lengths
+        model = trainer.model
+        v = {"params": jax.device_get(trainer.state.params)}
+        toks = jnp.asarray([[1, 2, 3, 0, 0, 0, 0, 0, 0, 0]], jnp.int32)
+        mel, lens = model.apply(v, toks, jnp.asarray([1], jnp.int32),
+                                jnp.asarray([3], jnp.int32), method="infer")
+        assert mel.shape == (1, 40, 6)
+        assert np.all(np.isfinite(np.asarray(mel)))
+        assert 1 <= int(lens[0]) <= 40
+        # frames past the stop-predicted length are masked to zero
+        assert np.all(np.asarray(mel)[0, int(lens[0]):] == 0.0)
+
+    def test_padded_equals_unpadded(self, tmp_path):
+        """Teacher-forced AR loss path: masked attention keys, index-flipped
+        BiLSTM, and the masked postnet make padded batches exactly equal
+        unpadded runs (framework-wide contract); the scan's extra padded
+        steps are causal and cannot reach valid frames."""
+        model = build_model(TACOTRON2_CFG)
+        rng = np.random.default_rng(0)
+        L, Lpad = 5, 10
+        toks = rng.integers(0, 8, (1, L)).astype(np.int32)
+        durs = rng.integers(2, 4, (1, L)).astype(np.int32)
+        T = int(durs.sum())
+        mel = rng.normal(size=(1, T, 6)).astype(np.float32)
+        y = np.array([1], np.int32)
+
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(toks), jnp.asarray(durs),
+            jnp.asarray(mel), jnp.asarray(y),
+            jnp.asarray([L], jnp.int32), jnp.asarray([T], jnp.int32),
+            train=True)
+        out_unpad, loss_u, _ = model.apply(
+            variables, jnp.asarray(toks), jnp.asarray(durs),
+            jnp.asarray(mel), jnp.asarray(y),
+            jnp.asarray([L], jnp.int32), jnp.asarray([T], jnp.int32),
+            train=False)
+
+        toks_p = np.zeros((1, Lpad), np.int32)
+        toks_p[:, :L] = toks
+        durs_p = np.zeros((1, Lpad), np.int32)
+        durs_p[:, :L] = durs
+        mel_p = np.zeros((1, T + 16, 6), np.float32)
+        mel_p[:, :T] = mel
+        out_pad, loss_p, _ = model.apply(
+            variables, jnp.asarray(toks_p), jnp.asarray(durs_p),
+            jnp.asarray(mel_p), jnp.asarray(y),
+            jnp.asarray([L], jnp.int32), jnp.asarray([T], jnp.int32),
+            train=False)
+        np.testing.assert_allclose(np.asarray(out_pad)[:, :T],
+                                   np.asarray(out_unpad)[:, :T],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(float(loss_p), float(loss_u), rtol=1e-5)
+
+    def test_reduction_factor_groups(self, tmp_path):
+        """r frames per decoder step: T not divisible by r is padded
+        internally and the output still covers exactly T frames."""
+        cfg = dict(TACOTRON2_CFG, **{"reduction-factor": 3})
+        model = build_model(cfg)
+        rng = np.random.default_rng(1)
+        toks = rng.integers(0, 8, (2, 6)).astype(np.int32)
+        durs = np.full((2, 6), 2, np.int32)
+        T = 11  # not divisible by r=3
+        mel = rng.normal(size=(2, T, 6)).astype(np.float32)
+        v = model.init(jax.random.PRNGKey(0), jnp.asarray(toks),
+                       jnp.asarray(durs), jnp.asarray(mel),
+                       jnp.asarray([0, 1], jnp.int32),
+                       jnp.asarray([6, 6], jnp.int32),
+                       jnp.asarray([T, T], jnp.int32), train=True)
+        out, loss, detail = model.apply(
+            v, jnp.asarray(toks), jnp.asarray(durs), jnp.asarray(mel),
+            jnp.asarray([0, 1], jnp.int32), jnp.asarray([6, 6], jnp.int32),
+            jnp.asarray([T, T], jnp.int32), train=False)
+        assert out.shape == (2, T, 6)
+        assert np.isfinite(float(loss))
+
+    def test_bf16_compute_and_spk_embed(self):
+        """bf16 compute dtype + continuous speaker embeddings: the scan
+        carry must be dtype-stable (regression: the attention context was
+        initialized in compute dtype but produced in the BiLSTM's fp32,
+        breaking lax.scan's carry-type invariant under bfloat16)."""
+        cfg = dict(TACOTRON2_CFG, compute_dtype="bfloat16",
+                   use_spk_embed=True, spk_embed_dim=8)
+        model = build_model(cfg)
+        rng = np.random.default_rng(2)
+        toks = rng.integers(0, 8, (2, 6)).astype(np.int32)
+        durs = np.full((2, 6), 2, np.int32)
+        T = 12
+        mel = rng.normal(size=(2, T, 6)).astype(np.float32)
+        y = rng.normal(size=(2, 8)).astype(np.float32)
+        v = model.init({"params": jax.random.PRNGKey(0),
+                        "vq": jax.random.PRNGKey(1)},
+                       jnp.asarray(toks), jnp.asarray(durs),
+                       jnp.asarray(mel), jnp.asarray(y),
+                       jnp.asarray([6, 4], jnp.int32),
+                       jnp.asarray([T, 9], jnp.int32), train=True)
+        out, loss, _ = model.apply(
+            v, jnp.asarray(toks), jnp.asarray(durs), jnp.asarray(mel),
+            jnp.asarray(y), jnp.asarray([6, 4], jnp.int32),
+            jnp.asarray([T, 9], jnp.int32), train=True,
+            rngs={"vq": jax.random.PRNGKey(2)})
+        assert np.isfinite(float(loss))
+        mel_o, lens = model.apply(
+            {"params": v["params"]}, jnp.asarray(toks), jnp.asarray(y),
+            jnp.asarray([6, 4], jnp.int32), method="infer")
+        assert np.all(np.isfinite(np.asarray(mel_o, np.float32)))
+
+
 class TestSpeakerEmbeddingMode:
     def _embs(self, n=24, dim=12, seed=1):
         rng = np.random.default_rng(seed)

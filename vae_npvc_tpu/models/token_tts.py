@@ -36,8 +36,8 @@ postnet mel + pre-net mel + ``dur_weight``·MSE(log-durations) +
 ``var_weight``·(MSE(pitch) + MSE(energy)). Detail keys: {Total, X like,
 X pre like, DUR loss, PITCH loss, ENERGY loss}.
 
-Two backbone families, mirroring the reference's choice of Tacotron2 vs
-Transformer TTS configs (reference:
+Three backbone families, covering the reference's Tacotron2/Transformer
+config pair (reference:
 egs/aishell3/vc2/conf/train_pytorch_{tacotron2,transformer}+spkemb.yaml):
 
 - ``block_type: conv`` (default) — dilated conv residual stacks;
@@ -46,7 +46,12 @@ egs/aishell3/vc2/conf/train_pytorch_{tacotron2,transformer}+spkemb.yaml):
   the reference's e2e_tts_transformer). Accepts the reference's key names:
   ``adim`` (model dim), ``aheads``, ``elayers``/``dlayers`` (block counts),
   ``eunits``/``dunits`` (FFN widths); attention softmax runs fp32 (the
-  measured-bf16-NaN convention from the GST layer, nn/gst.py).
+  measured-bf16-NaN convention from the GST layer, nn/gst.py);
+- ``block_type: tacotron2`` — the reference's DEFAULT family: autoregressive
+  prenet + location-sensitive-attention + stop-token decoder (Tacotron2Net
+  below), scanned over static T/r steps; losses become
+  {X like, X pre like, STOP loss} and durations are unused (alignment is
+  learned). The NAR families remain the recommended TPU-first default.
 """
 
 from __future__ import annotations
@@ -109,6 +114,284 @@ class TransformerBlock(nn.Module):
         return x + h * mask.astype(h.dtype)
 
 
+class Tacotron2Net(nn.Module):
+    """Tacotron2-style autoregressive token→mel network.
+
+    The reference's *default* second-stage config is ESPnet Tacotron2 with a
+    location-sensitive-attention AR decoder (reference:
+    egs/aishell3/vc2/conf/train_pytorch_tacotron2+spkemb.yaml,
+    run_tts.sh:201-217); this realizes that architecture family in-framework
+    with the reference's key names: ``embed-dim``, ``econv-layers/chans/
+    filts``, ``elayers``/``eunits`` (BiLSTM), ``dlayers``/``dunits`` (decoder
+    LSTM), ``prenet-layers/units``, ``postnet-layers/chans/filts``, ``adim``/
+    ``aconv-chans``/``aconv-filts`` (location attention),
+    ``cumulate-att-w``, ``use-concate``, ``bce-pos-weight``,
+    ``reduction-factor``, ``zoneout-rate``, ``dropout-rate``.
+
+    TPU-first realization: the decoder recurrence is one ``nn.scan`` over
+    static ``T/r`` steps (teacher-forced at train time; free-running with
+    parameter sharing at inference), so the whole AR loop is a single XLA
+    while-free compiled program — no per-step Python dispatch, no dynamic
+    shapes. Semantics follow ESPnet's decoder ordering: the attention query
+    is the FIRST decoder-LSTM layer's hidden state from the previous step;
+    the context is concatenated with the prenet output before the LSTM
+    stack; the frame/stop projections read ``concat([top hidden, context])``
+    when ``use-concate`` (ESPnet e2e_tts_tacotron2 decoder conventions).
+
+    Documented deviations (stateless-TPU choices): LayerNorm replaces
+    batchnorm in the encoder convs (``use-batch-norm``; same stabilization
+    role, no cross-batch state); prenet dropout and LSTM zoneout draw from
+    the ``vq`` rng collection and are active whenever that rng is provided
+    (the trainer provides it at train time) — at inference the prenet is
+    deterministic unless the caller passes an rng, where ESPnet keeps
+    dropout always-on.
+    """
+    cfg: Mapping[str, Any]
+    mel_dim: int
+    y_num: int
+    y_dim: int
+    dtype: Any = jnp.float32
+
+    def _k(self, name, default):
+        """Reference keys are dashed (tacotron2+spkemb.yaml); accept both."""
+        a = self.cfg
+        return a.get(name, a.get(name.replace("-", "_"), default))
+
+    @nn.compact
+    def __call__(self, tokens, y, tok_lens, mels=None, mel_lens=None,
+                 max_frames=None, train: bool = True,
+                 free_run: bool = False):
+        """→ (mel (B, T, D), mel_pre, stop_logits (B, T)).
+
+        Teacher-forced when ``free_run=False`` (``mels`` required);
+        free-running AR generation over ``max_frames`` otherwise. Both paths
+        trace the same submodules, so parameters are shared."""
+        a = self._k
+        embed_dim = a("embed-dim", 512)
+        econv_layers = a("econv-layers", 3)
+        econv_chans = a("econv-chans", 512)
+        econv_filts = a("econv-filts", 5)
+        eunits = a("eunits", 512)
+        dlayers = a("dlayers", 2)
+        dunits = a("dunits", 1024)
+        prenet_layers = a("prenet-layers", 2)
+        prenet_units = a("prenet-units", 256)
+        postnet_layers = a("postnet-layers", 5)
+        postnet_chans = a("postnet-chans", 512)
+        postnet_filts = a("postnet-filts", 5)
+        adim = a("adim", 128)
+        aconv_chans = a("aconv-chans", 32)
+        aconv_filts = a("aconv-filts", 15)
+        cumulate = a("cumulate-att-w", True)
+        use_concate = a("use-concate", True)
+        r = a("reduction-factor", 2)
+        zoneout = a("zoneout-rate", 0.1)
+        dropout = a("dropout-rate", 0.5)
+        use_rng = self.has_rng("vq")
+
+        B, L = tokens.shape
+        tok_mask = length_mask(tok_lens, L)                   # (B, L, 1)
+
+        # ----------------------------------------------------------- encoder
+        h = nn.Embed(a("token_num", 128), embed_dim,
+                     name="tok_embed")(tokens).astype(self.dtype) * tok_mask
+        for j in range(econv_layers):
+            h = nn.Conv(econv_chans, (econv_filts,), dtype=self.dtype,
+                        name=f"econv_{j}")(h * tok_mask.astype(h.dtype))
+            h = nn.LayerNorm(dtype=jnp.float32,
+                             name=f"enorm_{j}")(h).astype(self.dtype)
+            h = nn.relu(h)
+            if use_rng and train and dropout > 0:
+                keep = jax.random.bernoulli(self.make_rng("vq"),
+                                            1.0 - dropout, h.shape)
+                h = jnp.where(keep, h / (1.0 - dropout), 0.0)
+        # BiLSTM: forward pass + an index-flipped backward pass so padded
+        # batches equal unpadded runs exactly (the masked-inference contract)
+        half = eunits // 2
+        fwd = nn.RNN(nn.OptimizedLSTMCell(half), name="blstm_fwd")(h)
+        t_idx = jnp.arange(L)[None, :]
+        flip = jnp.clip(tok_lens[:, None] - 1 - t_idx, 0, L - 1)
+        h_rev = jnp.take_along_axis(h, flip[..., None], axis=1)
+        bwd = nn.RNN(nn.OptimizedLSTMCell(half), name="blstm_bwd")(h_rev)
+        bwd = jnp.take_along_axis(bwd, flip[..., None], axis=1)
+        hs = jnp.concatenate([fwd, bwd], axis=-1) * tok_mask.astype(fwd.dtype)
+
+        # speaker conditioning: projected vector added to encoder outputs
+        # (the spkemb integration point; run_tts.sh conditions on x-vectors)
+        if jnp.issubdtype(y.dtype, jnp.floating):
+            spk = nn.Dense(eunits, name="spk_proj")(
+                y.reshape(B, -1).astype(hs.dtype))
+        else:
+            spk = nn.Embed(self.y_num, eunits, name="spk_embed")(
+                y.reshape(B, -1)[:, 0]).astype(hs.dtype)
+        hs = (hs + spk[:, None, :]) * tok_mask.astype(hs.dtype)
+
+        # precomputed attention key projection W_h·hs (shared by every step)
+        keys_proj = nn.Dense(adim, use_bias=False, name="att_enc_proj")(hs)
+        kmask = tok_mask[..., 0] > 0                          # (B, L) bool
+
+        # ------------------------------------------------- scanned decoder
+        if free_run:
+            T = int(max_frames)
+        else:
+            T = mels.shape[1]
+        pad = (-T) % r
+        Tr = (T + pad) // r
+
+        if free_run:
+            teacher = jnp.zeros((Tr, B, self.mel_dim), jnp.float32)
+        else:
+            mels_p = jnp.pad(mels, ((0, 0), (0, pad), (0, 0)))
+            last = mels_p[:, r - 1::r, :]                     # (B, Tr, D)
+            teacher = jnp.concatenate(
+                [jnp.zeros((B, 1, self.mel_dim)), last[:, :-1]],
+                axis=1).transpose(1, 0, 2)                    # (Tr, B, D)
+
+        cell = nn.scan(
+            _Tacotron2Cell, variable_broadcast="params",
+            split_rngs={"params": False, "vq": True},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, 0),
+            out_axes=0)(
+                dunits=dunits, dlayers=dlayers,
+                prenet_layers=prenet_layers, prenet_units=prenet_units,
+                adim=adim, aconv_chans=aconv_chans, aconv_filts=aconv_filts,
+                mel_dim=self.mel_dim, r=r, cumulate=cumulate,
+                use_concate=use_concate, zoneout=zoneout, dropout=dropout,
+                free_run=free_run, train=train, dtype=self.dtype,
+                name="dec_cell")
+
+        # initial state: uniform attention over valid keys, zero LSTM/context
+        w0 = (kmask.astype(jnp.float32)
+              / jnp.maximum(jnp.sum(kmask, axis=1, keepdims=True), 1))
+        carry0 = {
+            "att_w": w0, "att_w_cum": w0,
+            "context": jnp.zeros((B, hs.shape[-1]), hs.dtype),
+            "c": tuple(jnp.zeros((B, dunits), jnp.float32)
+                       for _ in range(dlayers)),
+            "h": tuple(jnp.zeros((B, dunits), jnp.float32)
+                       for _ in range(dlayers)),
+            "prev": jnp.zeros((B, self.mel_dim), jnp.float32),
+        }
+        _, (groups, stops) = cell(carry0, hs, keys_proj, kmask, teacher)
+        # groups (Tr, B, r*D) → (B, T, D); stops (Tr, B, r) → (B, T)
+        mel_pre = groups.transpose(1, 0, 2).reshape(B, Tr * r, self.mel_dim)
+        mel_pre = mel_pre[:, :T].astype(jnp.float32)
+        stop_logits = stops.transpose(1, 0, 2).reshape(B, Tr * r)[:, :T] \
+            .astype(jnp.float32)
+
+        # ------------------------------------------------------- postnet
+        # masked first: the decoder free-runs over padded steps, and the
+        # postnet's receptive field would otherwise leak padded-region
+        # output into the last valid frames (breaking padded == unpadded)
+        if mel_lens is not None:
+            mel_mask = length_mask(mel_lens, T)
+            mel_pre = mel_pre * mel_mask
+            stop_logits = stop_logits * mel_mask[..., 0]
+        p = mel_pre.astype(self.dtype)
+        for j in range(postnet_layers):
+            p = nn.Conv(postnet_chans if j < postnet_layers - 1
+                        else self.mel_dim, (postnet_filts,),
+                        dtype=self.dtype, name=f"postnet_{j}")(p)
+            if j < postnet_layers - 1:
+                p = jnp.tanh(p)
+                if mel_lens is not None:
+                    p = p * mel_mask.astype(p.dtype)
+        mel = mel_pre + p.astype(jnp.float32)
+        if mel_lens is not None:
+            mel = mel * mel_mask
+        return mel, mel_pre, stop_logits
+
+
+class _Tacotron2Cell(nn.Module):
+    """One decoder step: prenet → LSTM stack → location attention → frame/stop.
+
+    Scanned over time by ``Tacotron2Net``; ``free_run`` feeds back the last
+    predicted frame of the previous group instead of the teacher frame
+    (same parameters either way)."""
+    dunits: int
+    dlayers: int
+    prenet_layers: int
+    prenet_units: int
+    adim: int
+    aconv_chans: int
+    aconv_filts: int
+    mel_dim: int
+    r: int
+    cumulate: bool
+    use_concate: bool
+    zoneout: float
+    dropout: float
+    free_run: bool
+    train: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, hs, keys_proj, kmask, teacher_t):
+        use_rng = self.has_rng("vq")
+        prev = carry["prev"] if self.free_run else teacher_t
+
+        # prenet (dropout active whenever an rng is available — the
+        # tacotron2 convention keeps it on at inference too if one is given)
+        p = prev.astype(self.dtype)
+        for j in range(self.prenet_layers):
+            p = nn.Dense(self.prenet_units, name=f"prenet_{j}")(p)
+            p = nn.relu(p)
+            if use_rng and self.dropout > 0:
+                keep = jax.random.bernoulli(self.make_rng("vq"),
+                                            1.0 - self.dropout, p.shape)
+                p = jnp.where(keep, p / (1.0 - self.dropout), 0.0)
+
+        # location-sensitive attention; query = first LSTM layer's hidden
+        # from the PREVIOUS step (ESPnet decoder ordering)
+        att_prev = carry["att_w_cum"] if self.cumulate else carry["att_w"]
+        f = nn.Conv(self.aconv_chans, (2 * self.aconv_filts + 1,),
+                    use_bias=False, dtype=self.dtype,
+                    name="loc_conv")(att_prev[..., None].astype(self.dtype))
+        f = nn.Dense(self.adim, use_bias=False, name="att_loc_proj")(f)
+        q = nn.Dense(self.adim, use_bias=False, name="att_query_proj")(
+            carry["h"][0].astype(self.dtype))[:, None, :]
+        e = nn.Dense(1, use_bias=False, name="att_v")(
+            jnp.tanh(q + keys_proj + f))[..., 0]
+        e = jnp.where(kmask, e.astype(jnp.float32), -1e9)
+        att_w = jax.nn.softmax(e, axis=-1) * kmask            # fp32, exact-0
+        context = jnp.einsum("bl,blc->bc", att_w.astype(hs.dtype), hs)
+
+        # LSTM stack with zoneout (train only)
+        x = jnp.concatenate([context.astype(jnp.float32),
+                             p.astype(jnp.float32)], axis=-1)
+        cs, hs_new = [], []
+        for l in range(self.dlayers):
+            cell = nn.OptimizedLSTMCell(self.dunits, name=f"lstm_{l}")
+            (c_new, h_new), _ = cell((carry["c"][l], carry["h"][l]), x)
+            if self.train and use_rng and self.zoneout > 0:
+                kc = jax.random.bernoulli(self.make_rng("vq"), self.zoneout,
+                                          c_new.shape)
+                kh = jax.random.bernoulli(self.make_rng("vq"), self.zoneout,
+                                          h_new.shape)
+                c_new = jnp.where(kc, carry["c"][l], c_new)
+                h_new = jnp.where(kh, carry["h"][l], h_new)
+            cs.append(c_new)
+            hs_new.append(h_new)
+            x = h_new
+
+        zcs = (jnp.concatenate([hs_new[-1],
+                                context.astype(jnp.float32)], axis=-1)
+               if self.use_concate else hs_new[-1])
+        group = nn.Dense(self.mel_dim * self.r, use_bias=False,
+                         name="feat_out")(zcs.astype(self.dtype))
+        stop = nn.Dense(self.r, name="prob_out")(zcs.astype(self.dtype))
+
+        new_carry = {
+            "att_w": att_w,
+            "att_w_cum": carry["att_w_cum"] + att_w if self.cumulate
+            else att_w,
+            "context": context,
+            "c": tuple(cs), "h": tuple(hs_new),
+            "prev": group.astype(jnp.float32)[:, -self.mel_dim:],
+        }
+        return new_carry, (group, stop)
+
+
 def length_regulate(enc, durations, max_frames):
     """Expand (B, L, C) token features to (B, T, C) frames by durations.
 
@@ -162,6 +445,16 @@ class Model(nn.Module):
             self.hidden = a.get("hidden", 256)
             self.enc_stacks = a.get("enc_stacks", 4)
             self.dec_stacks = a.get("dec_stacks", 4)
+        elif self.block_type == "tacotron2":
+            # AR attention decoder (reference's default second-stage family,
+            # train_pytorch_tacotron2+spkemb.yaml); all structure keys are
+            # read by Tacotron2Net with the reference's dashed names
+            self.tac2 = Tacotron2Net(
+                cfg=dict(a, token_num=self.token_num),
+                mel_dim=a.get("mel_dim", 80), y_num=a.get("y_num", 10),
+                y_dim=a.get("y_dim", 128), dtype=self.dtype, name="tac2")
+            self.bce_pos_weight = a.get("bce-pos-weight",
+                                        a.get("bce_pos_weight", 3.0))
         else:
             raise ValueError(f"unknown block_type {self.block_type!r}")
         self.mel_dim = a.get("mel_dim", 80)
@@ -288,6 +581,10 @@ class Model(nn.Module):
 
     def __call__(self, tokens, durations, mels, y_idx, tok_lens, mel_lens,
                  train: bool = True):
+        if self.block_type == "tacotron2":
+            # durations are unused: alignment is learned by the attention
+            return self._tacotron_loss(tokens, mels, y_idx, tok_lens,
+                                       mel_lens, train)
         B, T, D = mels.shape
         (mel_hat, mel_pre, log_dur_pred, pitch_pred, energy_pred, _,
          _) = self._network(tokens, durations, y_idx, tok_lens, T,
@@ -321,12 +618,54 @@ class Model(nn.Module):
         detail["Total"] = loss
         return mel_hat, loss, detail
 
+    def _tacotron_loss(self, tokens, mels, y_idx, tok_lens, mel_lens, train):
+        """Teacher-forced AR forward + the tacotron2 loss set: Gaussian NLL
+        on post/pre-postnet mels (the framework's X-like convention) +
+        weighted stop-token BCE (``bce-pos-weight``, reference yaml)."""
+        B, T, D = mels.shape
+        mel_hat, mel_pre, stop_logits = self.tac2(
+            tokens, y_idx, tok_lens, mels=mels, mel_lens=mel_lens,
+            train=train)
+
+        mel_mask = length_mask(mel_lens, T)
+        n_frames = jnp.maximum(jnp.sum(mel_lens), 1)
+        x_loss = jnp.sum(0.5 * (LOG_2PI + (mels - mel_hat) ** 2)
+                         * mel_mask) / (n_frames * 1.0)
+        x_pre = jnp.sum(0.5 * (LOG_2PI + (mels - mel_pre) ** 2)
+                        * mel_mask) / (n_frames * 1.0)
+
+        # stop targets: 1 at the utterance's final valid frame, else 0
+        fmask = mel_mask[..., 0]
+        t = jnp.arange(T)[None, :]
+        stop_target = (t == (mel_lens[:, None] - 1)).astype(jnp.float32)
+        logp = jax.nn.log_sigmoid(stop_logits)
+        log1mp = jax.nn.log_sigmoid(-stop_logits)
+        bce = -(self.bce_pos_weight * stop_target * logp
+                + (1.0 - stop_target) * log1mp)
+        stop_loss = jnp.sum(bce * fmask) / jnp.maximum(jnp.sum(fmask), 1)
+
+        loss = x_loss + x_pre + stop_loss
+        detail = {"X like": x_loss, "X pre like": x_pre,
+                  "STOP loss": stop_loss, "Total": loss}
+        return mel_hat, loss, detail
+
     def infer(self, tokens, y_idx, tok_lens, max_frames=None):
-        """→ (mel (B, T, D), mel_lens) with predicted durations/variance.
+        """→ (mel (B, T, D), mel_lens) with predicted durations/variance
+        (NAR backbones) or free-running attention decoding + stop-token
+        lengths (``block_type: tacotron2``).
 
         ``y_idx`` may be int32 speaker ids (B,) or continuous float speaker
         embeddings (B, E) for unseen speakers."""
         T = max_frames or self.max_frames
+        if self.block_type == "tacotron2":
+            mel, _, stop_logits = self.tac2(
+                tokens, y_idx, tok_lens, max_frames=T, train=False,
+                free_run=True)
+            stopped = jax.nn.sigmoid(stop_logits) > 0.5       # (B, T)
+            any_stop = jnp.any(stopped, axis=1)
+            first = jnp.argmax(stopped, axis=1)               # 0 if none
+            mel_lens = jnp.where(any_stop, first + 1, T).astype(jnp.int32)
+            return mel * length_mask(mel_lens, T), mel_lens
         out = self._network(tokens, jnp.zeros_like(tokens), y_idx, tok_lens,
                             T, use_true_dur=False)
         return out[0], out[5]
