@@ -121,6 +121,27 @@ class TestCTC:
         total, _, _ = wer_mod.score(texts, hyps, "char")
         assert total.err_pct < 10.0, f"CER {total.err_pct}%"
 
+    def test_transformer_arch_trains_and_roundtrips(self, tmp_path):
+        """arch='transformer': the reference eval ASR's architecture family
+        (LibriSpeech transformer, evaluate.sh:72-91) learns the corpus and
+        survives a save/load with arch+width+blocks inferred from the
+        checkpoint; padded batches equal per-utterance decoding."""
+        from vae_npvc_tpu.eval.asr import CTCRecognizer, train_ctc
+
+        d, texts = _char_corpus(tmp_path)
+        rec = train_ctc(d, steps=400, batch_size=16, width=48, seed=0,
+                        log_every=0, arch="transformer")
+        assert "mha_0" in rec.params and "conv_0" not in rec.params
+        hyps = rec.transcribe_scp(d / "feats.scp", batch_size=8, bucket=64)
+        total, _, _ = wer_mod.score(texts, hyps, "char")
+        assert total.err_pct < 10.0, f"CER {total.err_pct}%"
+
+        rec.save(tmp_path / "tctc.msgpack")
+        rec2 = CTCRecognizer.load(tmp_path / "tctc.msgpack")
+        assert rec2.arch == "transformer"
+        h2 = rec2.transcribe_scp(d / "feats.scp", batch_size=8, bucket=64)
+        assert hyps == h2
+
     def test_recognizer_interface_resolution(self):
         from vae_npvc_tpu.eval.asr import CTCRecognizer, get_recognizer
 

@@ -44,6 +44,12 @@ def main():
     parser.add_argument("--specaug", action="store_true",
                         help="SpecAugment during CTC-proxy training (the "
                              "reference eval stack's specaug.yaml analog)")
+    parser.add_argument("--arch", type=str, default="conv",
+                        choices=["conv", "transformer"],
+                        help="CTC-proxy encoder: dilated convs, or a "
+                             "transformer encoder (the reference eval "
+                             "ASR's architecture family; load: inferred "
+                             "from the checkpoint)")
     # decode knobs mirroring the reference's conf/ob_eval/decode_asr.yaml
     # (beam-size: 10, lm-weight: 0.6, penalty: 0.0; the reference's
     # downloaded RNNLM maps to --lm_type neural — a char LSTM trained on the
@@ -89,7 +95,8 @@ def main():
             raise SystemExit("--train_dir required to train the CTC proxy "
                              "(or pass --recognizer/--recognizer_ckpt)")
         rec = train_ctc(args.train_dir, steps=args.steps,
-                        width=args.width or 192, specaug=args.specaug)
+                        width=args.width or 192, specaug=args.specaug,
+                        arch=args.arch)
         if args.recognizer_ckpt:
             Path(args.recognizer_ckpt).parent.mkdir(parents=True,
                                                     exist_ok=True)

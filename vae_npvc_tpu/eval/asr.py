@@ -44,7 +44,8 @@ def build_vocab(texts) -> Dict[str, int]:
 # model
 # ---------------------------------------------------------------------------
 
-def _ctc_model(vocab_size: int, width: int = 192, blocks: int = 3):
+def _ctc_model(vocab_size: int, width: int = 192, blocks: int = 3,
+               arch: str = "conv", heads: int = 4):
     import jax.numpy as jnp
     from flax import linen as nn
 
@@ -64,7 +65,58 @@ def _ctc_model(vocab_size: int, width: int = 192, blocks: int = 3):
             logits = nn.Dense(vocab_size + 1, name="out")(h)
             return logits, out_len
 
-    return CTCEncoder()
+    class TransformerCTCEncoder(nn.Module):
+        """Transformer-encoder CTC recognizer — the architecture family of
+        the reference's downloaded eval ASR (an ESPnet LibriSpeech
+        *transformer*, reference: egs/vcc20/vae1/local/ob_eval/
+        evaluate.sh:72-91); the decoder side is CTC rather than attention
+        (offline-trainable, and the CER/WER chain only needs 1-best text).
+
+        ESPnet-shaped front: conv subsampling to T/2 (one stride-2 conv —
+        the synthetic-corpus phones are short; ESPnet's T/4 Conv2d front
+        would halve the already-few frames per phone), sinusoidal positions,
+        then ``blocks`` pre-LN self-attention+FFN layers. Attention softmax
+        and LayerNorms run fp32 (the framework's measured-bf16-NaN
+        convention, nn/gst.py). Mel (B, T, D) → (B, ceil(T/2), vocab+1)."""
+
+        @nn.compact
+        def __call__(self, x, lengths=None):
+            from ..nn.gst import MultiHeadedAttention
+
+            h = nn.Conv(width, (5,), strides=(2,), name="sub")(x)
+            h = nn.relu(h)
+            T = h.shape[1]
+            out_len = (None if lengths is None
+                       else (lengths + 1) // 2)
+            # sinusoidal positional encoding (fp32, added once)
+            pos = np.arange(T)[:, None] / np.power(
+                10000.0, np.arange(0, width, 2)[None, :] / width)
+            pe = np.zeros((T, width), np.float32)
+            pe[:, 0::2] = np.sin(pos)
+            pe[:, 1::2] = np.cos(pos)
+            h = h + jnp.asarray(pe)[None]
+            if out_len is not None:
+                t = jnp.arange(T)[None, :]
+                kmask = (t < out_len[:, None])                  # (B, T)
+                att_mask = kmask[:, None, :]                    # (B, 1=q, k)
+            else:
+                kmask, att_mask = None, None
+            for i in range(blocks):
+                q = nn.LayerNorm(dtype=jnp.float32, name=f"ln1_{i}")(h)
+                h = h + MultiHeadedAttention(heads, width, name=f"mha_{i}")(
+                    q, q, q, mask=att_mask)
+                f = nn.LayerNorm(dtype=jnp.float32, name=f"ln2_{i}")(h)
+                f = nn.Dense(4 * width, name=f"ff1_{i}")(f)
+                f = nn.Dense(width, name=f"ff2_{i}")(nn.relu(f))
+                h = h + f
+                if kmask is not None:
+                    h = h * kmask[..., None].astype(h.dtype)
+            h = nn.LayerNorm(dtype=jnp.float32, name="ln_out")(h)
+            logits = nn.Dense(vocab_size + 1, name="out")(h)
+            return logits, out_len
+
+    return (TransformerCTCEncoder() if arch == "transformer"
+            else CTCEncoder())
 
 
 # ---------------------------------------------------------------------------
@@ -119,11 +171,14 @@ def spec_augment(rng, feats, flens, *, n_time_masks=2, time_width=20,
 
 def train_ctc(data_dir, *, steps: int = 3000, batch_size: int = 16,
               lr: float = 1e-3, width: int = 192, max_frames: int = 1200,
-              seed: int = 0, log_every: int = 500, specaug: bool = False):
+              seed: int = 0, log_every: int = 500, specaug: bool = False,
+              arch: str = "conv"):
     """Train the CTC proxy on a data dir with ``feats.scp`` + ``text``.
 
     Returns a ready ``CTCRecognizer``. ``specaug`` applies time/frequency
     masking during training (the reference eval stack's specaug.yaml analog).
+    ``arch``: 'conv' (dilated-conv encoder) or 'transformer' (the reference
+    eval model's architecture family, see TransformerCTCEncoder).
     """
     import jax
     import jax.numpy as jnp
@@ -131,7 +186,7 @@ def train_ctc(data_dir, *, steps: int = 3000, batch_size: int = 16,
 
     items = _load_corpus(data_dir, max_frames)
     vocab = build_vocab(t for _, _, t in items)
-    model = _ctc_model(len(vocab), width)
+    model = _ctc_model(len(vocab), width, arch=arch)
 
     T_max = max(mat.shape[0] for _, mat, _ in items)
     L_max = max(len(t) for _, _, t in items)
@@ -190,7 +245,7 @@ def train_ctc(data_dir, *, steps: int = 3000, batch_size: int = 16,
         if log_every and i % log_every == 0:
             print(f"ctc step {i}: loss {float(loss):.4f}")
     print(f"ctc final loss: {float(loss):.4f}")
-    return CTCRecognizer(model, params, vocab)
+    return CTCRecognizer(model, params, vocab, arch=arch)
 
 
 # ---------------------------------------------------------------------------
@@ -293,10 +348,12 @@ class CTCRecognizer:
     (the reference's decode_asr.yaml surface — see ctc_prefix_beam_search).
     """
 
-    def __init__(self, model, params, vocab: Mapping[str, int]):
+    def __init__(self, model, params, vocab: Mapping[str, int],
+                 arch: str = "conv"):
         self.model = model
         self.params = params
         self.vocab = dict(vocab)
+        self.arch = arch
         self.id2char = {i: c for c, i in self.vocab.items()}
 
     def transcribe_scp(self, scp, *, batch_size: int = 16,
@@ -362,15 +419,16 @@ class CTCRecognizer:
 
         path = Path(path)
         payload = {"params": serialization.to_state_dict(self.params),
-                   "vocab": json.dumps(self.vocab)}
+                   "vocab": json.dumps(self.vocab), "arch": self.arch}
         with open(path, "wb") as f:
             f.write(serialization.msgpack_serialize(payload))
 
     @classmethod
     def load(cls, path, width: int | None = None):
-        """Restore a recognizer; the model width is read from the stored
-        conv shapes, so callers need not remember the training --width
-        (``width`` remains as an explicit override)."""
+        """Restore a recognizer; the model width and encoder arch are read
+        from the stored payload/conv shapes, so callers need not remember
+        the training --width/--arch (``width`` remains as an override;
+        pre-arch checkpoints restore as 'conv' by structure sniffing)."""
         import jax
         import jax.numpy as jnp
         from flax import serialization
@@ -378,10 +436,18 @@ class CTCRecognizer:
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
         vocab = json.loads(payload["vocab"])
+        arch = payload.get("arch")
+        if arch is None:
+            arch = ("transformer" if "mha_0" in payload["params"]
+                    else "conv")
+        if isinstance(arch, bytes):
+            arch = arch.decode()
         if width is None:
             width = int(np.asarray(
                 payload["params"]["sub"]["kernel"]).shape[-1])
-        model = _ctc_model(len(vocab), width)
+        blocks = len([k for k in payload["params"]
+                      if k.startswith(("conv_", "mha_"))])
+        model = _ctc_model(len(vocab), width, blocks=blocks or 3, arch=arch)
         # template params for the restore tree structure
         tpl = model.init(jax.random.PRNGKey(0),
                          jnp.zeros((1, 8, 1), jnp.float32),
@@ -389,7 +455,7 @@ class CTCRecognizer:
         # feature dim mismatch is fine for tree structure except the first
         # conv kernel; from_state_dict replaces leaves wholesale
         params = serialization.from_state_dict(tpl, payload["params"])
-        return cls(model, params, vocab)
+        return cls(model, params, vocab, arch=arch)
 
 
 def get_recognizer(spec: str, **kwargs):
