@@ -128,7 +128,8 @@ def families():
     }
     tts_c = _yaml(ROOT / "egs/aishell3/vc2/conf/train_token_tts.yaml")
     tts_t = _yaml(ROOT / "egs/aishell3/vc2/conf/train_token_tts_transformer.yaml")
-    for c in (tts_c, tts_t):
+    tts_a = _yaml(ROOT / "egs/aishell3/vc2/conf/train_token_tts_tacotron2.yaml")
+    for c in (tts_c, tts_t, tts_a):
         c["compute_dtype"] = "bfloat16"
 
     return {
@@ -142,6 +143,11 @@ def families():
         "token_tts_transformer": (tts_t, lambda: tts_batch(
             32, 128, 512, tts_t.get("mel_dim", 160), tts_t.get("y_num"),
             tts_t.get("token_num", 128))),
+        # AR attention family: same batch shape; durations in the batch are
+        # ignored by the tacotron2 loss path (alignment is learned)
+        "token_tts_tacotron2": (tts_a, lambda: tts_batch(
+            32, 128, 512, tts_a.get("mel_dim", 160), tts_a.get("y_num"),
+            tts_a.get("token_num", 128))),
     }
 
 
