@@ -83,3 +83,18 @@ for _ in range(3):
     detail = trainer.train_step((feats[local], spks[local]))
 total = float(detail["Total"])
 print(f"TRAINER_OK pid={pid} total={total:.10f}")
+
+# --- unequal per-host validation streams (deadlock regression) ----------
+# Host 0 yields batches of 4 then 3 rows; host 1 yields a single 4-row
+# batch: the hosts disagree on both batch count and tail size, so every
+# collective/branch decision inside Trainer.valid must come from the
+# allgathered sizes (Trainer._assemble_multihost), never local shapes.
+vfeats = rng.normal(size=(11, 16, 10)).astype(np.float32)  # rng shared: both
+vspks = (np.arange(11) % config["y_num"]).astype(np.int32)  # hosts see all 11
+if pid == 0:
+    stream = [(vfeats[0:4], vspks[0:4]), (vfeats[8:11], vspks[8:11])]
+else:
+    stream = [(vfeats[4:8], vspks[4:8])]
+vd = trainer.valid(stream)
+vtot = ",".join(f"{x:.10f}" for x in vd["Total"])
+print(f"VALID_OK pid={pid} n={len(vd['Total'])} total={vtot}")

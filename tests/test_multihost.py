@@ -58,10 +58,27 @@ def test_two_process_mesh():
                 totals[pid] = float(line.split("total=")[1])
     assert set(totals) == {0, 1}, outs
     assert totals[0] == totals[1], totals
-    assert abs(totals[0] - _oracle_total()) < 1e-4, (totals, _oracle_total())
+
+    # Unequal validation streams: host 0 ran [4, 3]-row batches, host 1 a
+    # single [4]-row one — both hosts must see the SAME two global-batch
+    # means (4+4 rows, then 3 rows) with no deadlock.
+    valids = {}
+    for pid, out in enumerate(outs):
+        for line in out.splitlines():
+            if line.startswith(f"VALID_OK pid={pid}"):
+                assert " n=2 " in line, line
+                valids[pid] = [float(x)
+                               for x in line.split("total=")[1].split(",")]
+    assert set(valids) == {0, 1}, outs
+    assert valids[0] == valids[1], valids
+
+    oracle_total, oracle_valid = _oracle()
+    assert abs(totals[0] - oracle_total) < 1e-4, (totals, oracle_total)
+    for got, want in zip(valids[0], oracle_valid, strict=True):
+        assert abs(got - want) < 1e-4, (valids[0], oracle_valid)
 
 
-def _oracle_total():
+def _oracle():
     """Single-process 4-device run of the child's exact training workload."""
     import jax
     import numpy as np
@@ -79,4 +96,10 @@ def _oracle_total():
     trainer.init_state((feats[:1], spks[:1]))
     for _ in range(3):
         detail = trainer.train_step((feats, spks))
-    return float(detail["Total"])
+    # same global valid batches the two hosts assemble in process order:
+    # [h0 4 rows + h1 4 rows], then [h0 3-row tail]
+    vfeats = rng.normal(size=(11, 16, 10)).astype(np.float32)
+    vspks = (np.arange(11) % config["y_num"]).astype(np.int32)
+    vd = trainer.valid([(vfeats[0:8], vspks[0:8]),
+                        (vfeats[8:11], vspks[8:11])])
+    return float(detail["Total"]), vd["Total"]

@@ -70,6 +70,7 @@ class Trainer:
         self._renorm = codebook_renorm_fn(config)
         self._compiled = {}
         self._warned_shard = False
+        self._batch_spec = None   # ((trailing shape, dtype), ...) from init
         self.skip_nonfinite = config.get("skip_nonfinite_updates", True)
 
     def shard_batch(self, batch):
@@ -83,26 +84,16 @@ class Trainer:
         rows; the global batch is assembled across hosts in process order via
         ``make_array_from_process_local_data`` (each host's loader owns an
         utterance shard — the SPMD replacement for the reference's per-node
-        Kaldi job arrays, SURVEY.md §2.4).
+        Kaldi job arrays, SURVEY.md §2.4).  All hosts must call this in
+        lockstep; the fast/fallback branch decision is made from an
+        allgathered shape vector so it is identical on every host even when
+        local row counts differ (see :meth:`_assemble_multihost`).
         """
         if jax.process_count() > 1:
-            n_local = (len(self.mesh.local_devices) * self.mesh.shape["data"]
-                       // self.mesh.size)
-            if batch[0].shape[0] % n_local != 0:
-                # indivisible local batch (e.g. a partial validation tail):
-                # fall back to replication like the single-process path —
-                # assemble the global batch on every host and replicate it
-                from jax.experimental import multihost_utils
-                return tuple(
-                    jax.device_put(
-                        multihost_utils.process_allgather(np.asarray(a),
-                                                          tiled=True),
-                        self.repl)
-                    for a in batch)
-            return tuple(
-                jax.make_array_from_process_local_data(self.batch_sharding,
-                                                       np.asarray(a))
-                for a in batch)
+            global_batch, total = self._assemble_multihost(batch)
+            if total == 0:
+                raise ValueError("shard_batch: empty batch on every host")
+            return global_batch
         n = self.mesh.shape["data"]
         if batch[0].shape[0] % n == 0:
             sharding = self.batch_sharding
@@ -116,9 +107,81 @@ class Trainer:
                 self._warned_shard = True
         return tuple(jax.device_put(a, sharding) for a in batch)
 
+    def _assemble_multihost(self, batch):
+        """Assemble a global batch across hosts; returns ``(arrays, rows)``.
+
+        The round-2 advisor fallback branched on the *local* row count, so a
+        host with an indivisible tail could enter a different collective than
+        its peers and deadlock.  Here every host first allgathers one small
+        int vector ``[rows, trailing dims...]``; the branch decision is then
+        a pure function of that shared vector:
+
+        - all hosts equal + divisible by the local data-axis device count →
+          fast path (``make_array_from_process_local_data``);
+        - anything else → every host pads its rows to the common max, the
+          padded blocks are allgathered, the true rows are re-sliced in
+          process order, and the identical global batch is replicated via
+          ``host_local_array_to_global_array``.
+
+        ``rows == 0`` (every host empty) returns without building arrays —
+        the caller must skip its step call, which is again a globally
+        consistent decision.  Hosts with zero local rows still participate in
+        the collectives, which is how :meth:`valid` drains unequal per-host
+        batch streams without deadlock.
+        """
+        from jax.experimental import multihost_utils
+        n_local = (len(self.mesh.local_devices) * self.mesh.shape["data"]
+                   // self.mesh.size)
+        arrs = [np.asarray(a) for a in batch]
+        b_local = arrs[0].shape[0]
+        shape_vec = np.asarray(
+            [b_local] + [d for a in arrs for d in a.shape[1:]], np.int64)
+        all_vecs = np.asarray(multihost_utils.process_allgather(
+            shape_vec[None, :], tiled=True))          # (n_proc, 1+sum(ndims))
+        sizes = all_vecs[:, 0]
+        total = int(sizes.sum())
+        if total == 0:
+            return None, 0
+        uniform = bool((all_vecs == all_vecs[0]).all())
+        if uniform and b_local % n_local == 0:
+            return tuple(
+                jax.make_array_from_process_local_data(self.batch_sharding, a)
+                for a in arrs), total
+        # trailing dims of the assembled batch: agreed as the max over hosts
+        # that actually hold rows (an exhausted host reports its init-time
+        # spec, which must not widen the real data)
+        occupied = sizes > 0
+        tmax = all_vecs[occupied, 1:].max(axis=0)
+        max_b = int(sizes.max())
+        out, off = [], 0
+        for a in arrs:
+            nd = a.ndim - 1
+            tshape = tuple(int(x) for x in tmax[off:off + nd])
+            off += nd
+            pad = np.zeros((max_b,) + tshape, a.dtype)
+            pad[tuple([slice(0, b_local)]
+                      + [slice(0, s) for s in a.shape[1:]])] = a
+            g = np.asarray(multihost_utils.process_allgather(pad, tiled=True))
+            rows = np.concatenate(
+                [g[p * max_b: p * max_b + int(sizes[p])]
+                 for p in range(len(sizes))], axis=0)
+            out.append(multihost_utils.host_local_array_to_global_array(
+                rows, self.mesh, P()))
+        return tuple(out), total
+
+    def _empty_local_batch(self):
+        """Zero-row batch matching the init-time spec (multi-host drain)."""
+        if self._batch_spec is None:
+            raise ValueError("call init_state first")
+        return tuple(np.zeros((0,) + shape, dtype)
+                     for shape, dtype in self._batch_spec)
+
     # ------------------------------------------------------------------ init
     def init_state(self, example_batch):
         """Initialize params/ema/opt_state from an example (host) batch shape."""
+        self._batch_spec = tuple(
+            (tuple(np.asarray(a).shape[1:]), np.asarray(a).dtype)
+            for a in example_batch)
         example = tuple(
             jnp.zeros((1,) + tuple(np.asarray(a).shape[1:]),
                       jnp.asarray(a).dtype)
@@ -233,16 +296,32 @@ class Trainer:
         small replicated tail, recombined by exact size-weighted averaging —
         valid batches share one crop length, so per-batch detail means are
         per-row means and the weighted combine equals the full-batch mean.
+
+        Multi-host: per-host validation shards may yield *different* batch
+        counts and tail sizes, so the local split heuristic above would make
+        hosts disagree on the number of step calls and deadlock.  Instead
+        each host drains its own stream, contributing a zero-row batch once
+        exhausted; :meth:`_assemble_multihost` makes every branch decision
+        from allgathered sizes, and the loop ends when the *global* row
+        count hits zero — the same step count on every host by construction.
         """
         step = self._get_compiled("valid", self._valid_step)
-        n = self.mesh.shape["data"]
-        if jax.process_count() > 1:
-            # batches here are per-process local rows: the sharded path
-            # needs divisibility by the *local* device count on the data
-            # axis, not the global axis size
-            n = (len(self.mesh.local_devices) * self.mesh.shape["data"]
-                 // self.mesh.size)
         acc: dict[str, list] = {}
+        if jax.process_count() > 1:
+            it = iter(batches)
+            while True:
+                batch = next(it, None)
+                if batch is None:
+                    batch = self._empty_local_batch()
+                global_batch, total = self._assemble_multihost(batch)
+                if total == 0:
+                    break
+                detail = step(self.state, global_batch)
+                for k, v in detail.items():
+                    acc.setdefault(k, []).append(v)
+            return {k: [float(x) for x in jax.device_get(v)]
+                    for k, v in acc.items()}
+        n = self.mesh.shape["data"]
         for batch in batches:
             B = np.asarray(batch[0]).shape[0]
             rem = B % n
