@@ -77,8 +77,11 @@ class BnfExtractor:
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
         variables = dict(variables)
-        params = serialization.from_state_dict(variables.pop("params"),
-                                               payload["model"])
+        template = variables.pop("params")
+        from ..utils.migrate import maybe_migrate_model
+        model_tree, _ = maybe_migrate_model(
+            payload, serialization.to_state_dict(template))
+        params = serialization.from_state_dict(template, model_tree)
         ema = serialization.from_state_dict(variables, payload.get("ema", {}))
         self.variables = {"params": params, **ema}
         return payload.get("iteration", 0)

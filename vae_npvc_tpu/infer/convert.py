@@ -87,7 +87,10 @@ class Converter:
         variables = dict(variables)
         template = variables.pop("params")
         template = _migrate_codebook(template, payload["model"])
-        params = serialization.from_state_dict(template, payload["model"])
+        from ..utils.migrate import maybe_migrate_model
+        model_tree, _ = maybe_migrate_model(
+            payload, serialization.to_state_dict(template))
+        params = serialization.from_state_dict(template, model_tree)
         ema = serialization.from_state_dict(variables, payload.get("ema", {}))
         self.variables = {"params": params, **ema}
         return payload.get("iteration", 0)

@@ -217,8 +217,10 @@ class GanTrainer(Trainer):
 
     # ------------------------------------------------------------- checkpoint
     def save_checkpoint(self, path):
+        from ..utils.migrate import WN_AXIS_FORMAT
         state = jax.device_get(self.state)
         payload = {
+            "wn_axis_format": WN_AXIS_FORMAT,
             "model": serialization.to_state_dict(state.params),
             "discriminator": serialization.to_state_dict(state.d_params),
             "ema": serialization.to_state_dict(state.ema),
@@ -241,14 +243,23 @@ class GanTrainer(Trainer):
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
         state = jax.device_get(self.state)
+        from ..utils.migrate import maybe_migrate_model
+        model_tree, wn_migrated = maybe_migrate_model(
+            payload, serialization.to_state_dict(state.params))
+        params = serialization.from_state_dict(state.params, model_tree)
+        if wn_migrated:
+            import logging
+            logging.getLogger("vae_npvc_tpu.train").warning(
+                "weight-norm axis migration applied: generator optimizer "
+                "moments re-initialized (round-2-format checkpoint)")
         new = GanState(
             step=jnp.asarray(payload["iteration"], jnp.int32),
-            params=serialization.from_state_dict(state.params,
-                                                 payload["model"]),
+            params=params,
             ema=serialization.from_state_dict(state.ema,
                                               payload.get("ema", {})),
-            opt_state=serialization.from_state_dict(state.opt_state,
-                                                    payload["optimizer_G"]),
+            opt_state=(self.tx.init(params) if wn_migrated else
+                       serialization.from_state_dict(state.opt_state,
+                                                     payload["optimizer_G"])),
             d_params=serialization.from_state_dict(state.d_params,
                                                    payload["discriminator"]),
             d_opt_state=serialization.from_state_dict(state.d_opt_state,

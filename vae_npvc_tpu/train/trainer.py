@@ -345,11 +345,13 @@ class Trainer:
     # ------------------------------------------------------------- checkpoint
     def save_checkpoint(self, path):
         state = jax.device_get(self.state)
+        from ..utils.migrate import WN_AXIS_FORMAT
         payload = {
             "model": serialization.to_state_dict(state.params),
             "ema": serialization.to_state_dict(state.ema),
             "optimizer": serialization.to_state_dict(state.opt_state),
             "iteration": int(state.step),
+            "wn_axis_format": WN_AXIS_FORMAT,
         }
         with open(path, "wb") as f:
             f.write(serialization.msgpack_serialize(payload))
@@ -363,14 +365,24 @@ class Trainer:
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
         state = jax.device_get(self.state)
-        params = serialization.from_state_dict(state.params, payload["model"])
+        from ..utils.migrate import maybe_migrate_model
+        model_tree, wn_migrated = maybe_migrate_model(
+            payload, serialization.to_state_dict(state.params))
+        params = serialization.from_state_dict(state.params, model_tree)
         ema = serialization.from_state_dict(state.ema, payload["ema"])
-        if payload.get("optimizer"):
+        if payload.get("optimizer") and not wn_migrated:
             opt_state = serialization.from_state_dict(state.opt_state,
                                                       payload["optimizer"])
         else:
-            # converted reference checkpoints carry no optimizer state
+            # converted reference checkpoints carry no optimizer state; a
+            # weight-norm-axis migration invalidates stored Adam moments for
+            # the re-decomposed (g, v) params, so re-init in that case too
             opt_state = self.tx.init(params)
+            if wn_migrated and payload.get("optimizer"):
+                import logging
+                logging.getLogger("vae_npvc_tpu.train").warning(
+                    "weight-norm axis migration applied: optimizer moments "
+                    "re-initialized (round-2-format checkpoint)")
         iteration = int(payload["iteration"])
         state = TrainState(step=jnp.asarray(iteration, jnp.int32),
                            params=params, ema=ema, opt_state=opt_state)

@@ -314,11 +314,14 @@ def convert_checkpoint_file(torch_ckpt_path, config, out_path):
         params, ema = convert_vqvae2_family(sd, config)
     else:
         params, ema = convert_flat_vqvae(sd, config)
+    from .migrate import WN_AXIS_FORMAT
     payload = {
         "model": serialization.to_state_dict(params),
         "ema": serialization.to_state_dict(ema),
         "optimizer": {},
         "iteration": int(data.get("iteration", 0)),
+        # converter emits the post-03818d8 (g per torch-dim-0) layout
+        "wn_axis_format": WN_AXIS_FORMAT,
     }
     with open(out_path, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
