@@ -176,7 +176,7 @@ if [ "${stage}" -le 6 ] && [ "${stop_stage}" -ge 6 ]; then
         if [ "${voc}" = "MG" ]; then voc_expdir=${mg_expdir}; fi
         python - <<EOF
 from vae_npvc_tpu.infer.vocoder import external_decode_scp
-n = external_decode_scp("${denorm}/feats.scp", "${denorm}/pwg_wav",
+n = external_decode_scp("${denorm}/feats.scp", "${denorm}/wav",
                         "${voc_expdir}")
 print(f"${voc} synthesized {n} wavs")
 EOF

@@ -89,12 +89,8 @@ def _ctc_model(vocab_size: int, width: int = 192, blocks: int = 3,
             out_len = (None if lengths is None
                        else (lengths + 1) // 2)
             # sinusoidal positional encoding (fp32, added once)
-            pos = np.arange(T)[:, None] / np.power(
-                10000.0, np.arange(0, width, 2)[None, :] / width)
-            pe = np.zeros((T, width), np.float32)
-            pe[:, 0::2] = np.sin(pos)
-            pe[:, 1::2] = np.cos(pos)
-            h = h + jnp.asarray(pe)[None]
+            from ..nn.blocks import sinusoidal_positions
+            h = h + sinusoidal_positions(T, width)[None]
             if out_len is not None:
                 t = jnp.arange(T)[None, :]
                 kmask = (t < out_len[:, None])                  # (B, T)

@@ -180,7 +180,7 @@ def _warp_frequencies(omega, alpha):
 
 
 def cheaptrick_envelope(x, fs, f0, shiftms=5.0, n_fft=1024,
-                        default_f0=500.0, q1=-0.15):
+                        default_f0=500.0, q1=-0.15, f0_frame_sec=0.04):
     """CheapTrick-style spectral envelope (T, n_fft//2+1), power domain.
 
     From-scratch implementation of the WORLD CheapTrick algorithm (Morise
@@ -212,8 +212,12 @@ def cheaptrick_envelope(x, fs, f0, shiftms=5.0, n_fft=1024,
     f0_use = np.maximum(f0_use, 3.0 * fs / n_fft)
 
     # 1. f0-adaptive windowed power spectra (zero-padded into one batch FFT)
+    # Frame t's adaptive window is centered on the SAME sample as
+    # estimate_f0's frame t (its [t·hop, t·hop+win) analysis window's
+    # midpoint, win = fs·f0_frame_sec) so the f0 value sizing the window /
+    # smoothing / lifter describes the segment it is applied to.
     frames = np.zeros((T, n_fft))
-    centers = np.arange(T) * hop + hop // 2
+    centers = np.arange(T) * hop + int(fs * f0_frame_sec) // 2
     for t in range(T):  # windows have per-frame lengths; placement only
         half = int(1.5 * fs / f0_use[t])
         n = np.arange(-half, half + 1)
@@ -236,7 +240,6 @@ def cheaptrick_envelope(x, fs, f0, shiftms=5.0, n_fft=1024,
     def frac_cum(pos):
         lo = np.floor(pos).astype(int)
         wfrac = pos - lo
-        hi = np.minimum(lo + 1, K - 1)
         r = np.arange(T)[:, None]
         # integral of power from bin 0 to fractional bin `pos`
         return cum[r, lo] + power[r, np.minimum(lo, K - 1)] * wfrac

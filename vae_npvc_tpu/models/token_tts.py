@@ -63,22 +63,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.blocks import Conditions, ConvResStack, WNConv1d, length_mask
+from ..nn.blocks import (Conditions, ConvResStack, WNConv1d, length_mask,
+                         sinusoidal_positions)
 from ..nn.gst import MultiHeadedAttention
 
 LOG_2PI = math.log(2.0 * math.pi)
-
-
-def sinusoidal_positions(length: int, dim: int) -> jnp.ndarray:
-    """(length, dim) fixed sinusoidal position table (Vaswani convention)."""
-    pos = jnp.arange(length, dtype=jnp.float32)[:, None]
-    div = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32)
-                  * (-math.log(10000.0) / dim))
-    angles = pos * div[None, :]
-    pe = jnp.zeros((length, dim), jnp.float32)
-    pe = pe.at[:, 0::2].set(jnp.sin(angles))
-    pe = pe.at[:, 1::2].set(jnp.cos(angles[:, : dim // 2]))
-    return pe
 
 
 class TransformerBlock(nn.Module):

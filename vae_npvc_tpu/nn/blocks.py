@@ -41,6 +41,23 @@ def length_mask(lengths, T, dtype=jnp.float32):
     return (t < lengths[:, None]).astype(dtype)[:, :, None]
 
 
+def sinusoidal_positions(length: int, dim: int) -> jnp.ndarray:
+    """(length, dim) fixed sinusoidal position table (Vaswani convention).
+
+    Shared by the transformer token-TTS backbone (models/token_tts.py) and
+    the transformer-encoder eval recognizer (eval/asr.py); fp32 regardless
+    of compute dtype — the table is added once at the encoder input.
+    """
+    pos = jnp.arange(length, dtype=jnp.float32)[:, None]
+    div = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32)
+                  * (-math.log(10000.0) / dim))
+    angles = pos * div[None, :]
+    pe = jnp.zeros((length, dim), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(angles))
+    pe = pe.at[:, 1::2].set(jnp.cos(angles[:, : dim // 2]))
+    return pe
+
+
 def group_norm(x, scale, bias, num_groups, eps=1e-5, mask=None,
                seq_axis=None):
     """Torch-semantics GroupNorm for (B, T, C): stats over (T, C//G) per group.
