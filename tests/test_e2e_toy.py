@@ -150,6 +150,49 @@ def test_resume_restores_iteration(toy_env):
     assert (out_dir / "iter.20").exists()
 
 
+def test_resume_keeps_best_across_restart(toy_env):
+    """A preemption resume must not crown a later, worse validation iterate
+    as model.loss.best: best-so-far persists in exp/best.json (the reference
+    restarts its in-memory best on every launch, bin/train.py:110-113)."""
+    import json
+
+    import yaml
+
+    from vae_npvc_tpu.bin.train import train as train_cli
+
+    root, train_dir, valid_dir = toy_env
+    cfg = dict(TINY_CONFIG, max_iter=10)
+    conf = root / "conf_best.yaml"
+    conf.write_text(yaml.safe_dump(cfg))
+    out_dir = root / "exp_best"
+
+    train_cli(argparse.Namespace(
+        config=str(conf), output_dir=str(out_dir), checkpoint=None,
+        train_dir=str(train_dir), valid_dir=str(valid_dir), gpu=None))
+    best = json.loads((out_dir / "best.json").read_text())
+    assert best["iteration"] == 10
+    assert best["check_loss_kind"] == "X like"
+
+    # forge an unbeatably-good recorded best at iter.10, then resume: the
+    # run's later validations (iter.20) must NOT displace it
+    best["loss"]["X like"] = -1e9
+    (out_dir / "best.json").write_text(json.dumps(best))
+    cfg2 = dict(cfg, max_iter=20)
+    conf2 = root / "conf_best2.yaml"
+    conf2.write_text(yaml.safe_dump(cfg2))
+    train_cli(argparse.Namespace(
+        config=str(conf2), output_dir=str(out_dir), checkpoint="auto",
+        train_dir=str(train_dir), valid_dir=str(valid_dir), gpu=None))
+
+    log = (out_dir / "train.log").read_text()
+    assert "Best-so-far restored: iteration 10" in log
+    assert "Best model: iteration 10" in log
+    assert (out_dir / "model.loss.best").read_bytes() == \
+        (out_dir / "iter.10").read_bytes()
+    # the forged record survives (nothing beat it), still pointing at 10
+    assert json.loads((out_dir / "best.json").read_text())["iteration"] == 10
+
+
 def test_make_spk_id_and_subset(toy_env, tmp_path):
     from vae_npvc_tpu.bin.make_spk_id import make_spk_id
     from vae_npvc_tpu.bin.subset_data_into_tr_cv import subset

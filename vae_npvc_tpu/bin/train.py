@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 import time
 from pathlib import Path
@@ -103,6 +104,26 @@ def train(args):
     train_log: dict[str, list] = {}
     best_loss = {check_loss_kind: np.inf}
     best_iter = 0
+    # best-so-far survives preemption resumes via a sidecar, unlike the
+    # reference whose in-memory best restarts on every launch (reference
+    # vae_npvc/bin/train.py:110-113,150-164) — a resumed run that only sees
+    # later (worse) validations would otherwise crown a worse iterate as
+    # model.loss.best at the end.
+    best_file = output_dir / "best.json"
+    if ckpt and best_file.exists():
+        try:
+            prev = json.loads(best_file.read_text())
+            if (prev.get("check_loss_kind") == check_loss_kind
+                    and prev.get("iteration", 0) < iteration
+                    and (output_dir / f"iter.{prev['iteration']}").exists()):
+                best_iter = int(prev["iteration"])
+                best_loss = {k: float(v) for k, v in prev["loss"].items()}
+                logger.info(f"Best-so-far restored: iteration {best_iter} "
+                            f"({check_loss_kind}: "
+                            f"{best_loss[check_loss_kind]:.6f})")
+        except (ValueError, KeyError, TypeError):
+            logger.warning(f"Could not parse {best_file}; best tracking "
+                           "restarts from this run")
     t_log = time.time()
     frames_per_batch = train_batch * train_set.crop_length
 
@@ -147,8 +168,13 @@ def train(args):
                 loss_detail = trainer.valid(valid_batches())
                 check = np.mean(loss_detail[check_loss_kind])
                 if np.mean(best_loss[check_loss_kind]) >= check:
-                    best_loss = loss_detail
+                    best_loss = {k: float(np.mean(v))
+                                 for k, v in loss_detail.items()}
                     best_iter = iteration
+                    best_file.write_text(json.dumps(
+                        {"iteration": best_iter,
+                         "check_loss_kind": check_loss_kind,
+                         "loss": best_loss}, indent=1))
                 mseg = f"Valid {iteration}:"
                 for k, v in loss_detail.items():
                     mseg += f"  {k}: {np.mean(v):.6f}"
