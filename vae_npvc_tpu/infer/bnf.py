@@ -56,6 +56,9 @@ class BnfExtractor:
         self.model = build_model(config)
         self.bucket_size = config.get("decode_bucket_size", 256)
         self.batch_size = config.get("decode_batch_size", 8)
+        from ..models.vqvae import Encoder as _Enc
+        from .convert import encoder_archs
+        self.min_frames = _Enc.min_input_frames(encoder_archs(config))
         self.variables = None
         self._encode_jit = jax.jit(
             lambda v, x, lengths: self.model.apply(v, x, lengths,
@@ -72,8 +75,8 @@ class BnfExtractor:
         D = enc.get("in_channels", [80])[0]
         variables = self.model.init(
             {"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)},
-            jnp.zeros((1, 32, D), jnp.float32), jnp.zeros((1,), jnp.int32),
-            train=True)
+            jnp.zeros((1, max(32, self.min_frames), D), jnp.float32),
+            jnp.zeros((1,), jnp.int32), train=True)
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
         variables = dict(variables)
@@ -100,16 +103,24 @@ class BnfExtractor:
                 self.config.get("encoder", {}),
                 np.asarray(lengths, np.int64))
             return [ids[b, :out_lens[b]] for b in range(ids.shape[0])]
-        # hierarchical: per-utterance, finest VQ level
+        # hierarchical: per-utterance, finest VQ level. Inputs shorter than
+        # the hierarchy's total downsampling keep their padding (with the
+        # real length threaded) so no level's time axis is empty.
         outs = []
         for b in range(feats.shape[0]):
+            T = max(int(lengths[b]), self.min_frames)
             enc = self.model.apply(
-                self.variables, jnp.asarray(feats[b:b + 1, :lengths[b]]),
-                method="encode")
+                self.variables, jnp.asarray(feats[b:b + 1, :T]),
+                jnp.asarray(lengths[b:b + 1], jnp.int32), method="encode")
             ids = enc[0] if isinstance(enc, tuple) else enc
             if isinstance(ids, (list, tuple)):
                 ids = ids[-1]
-            outs.append(np.asarray(ids)[0])
+            # finest level = the first encoder's time transform of the real
+            # length ("encoder" covers the flat-key VAE family on this path)
+            fin_len = int(np.asarray(Encoder.out_lengths(
+                self.config.get("encoder.0", self.config.get("encoder", {})),
+                np.asarray(lengths[b:b + 1], np.int64)))[0])
+            outs.append(np.asarray(ids)[0, :fin_len])
         return outs
 
     def extract(self, rspecifier, wspecifier, bnf_kind="csid",
@@ -121,7 +132,8 @@ class BnfExtractor:
         buckets: dict[int, list] = {}
         for utt, feat in items:
             T = feat.shape[0]
-            T_pad = -(-T // self.bucket_size) * self.bucket_size
+            T_pad = max(-(-T // self.bucket_size) * self.bucket_size,
+                        self.min_frames)
             buckets.setdefault(T_pad, []).append((utt, feat))
 
         results = {}

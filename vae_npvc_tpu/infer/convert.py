@@ -49,8 +49,17 @@ def _migrate_codebook(template, stored):
     return template
 
 
-def _bucket(T, bucket_size):
-    return -(-T // bucket_size) * bucket_size
+def _bucket(T, bucket_size, min_len=1):
+    return max(-(-T // bucket_size) * bucket_size, min_len)
+
+
+def encoder_archs(config):
+    """The chained encoder arch dicts of a config (flat or hierarchical)."""
+    if "encoder" in config:
+        return [config["encoder"]]
+    keys = sorted((k for k in config if k.startswith("encoder.")),
+                  key=lambda k: int(k.split(".")[1]))
+    return [config[k] for k in keys]
 
 
 class Converter:
@@ -63,6 +72,11 @@ class Converter:
         self.model = build_model(config)
         self.bucket_size = config.get("decode_bucket_size", 256)
         self.batch_size = config.get("decode_batch_size", 8)
+        # utterances shorter than the hierarchy's total downsampling must be
+        # padded up so no level's time axis is empty (see
+        # models/vqvae.Encoder.min_input_frames); real lengths stay exact
+        from ..models.vqvae import Encoder as _Enc
+        self.min_frames = _Enc.min_input_frames(encoder_archs(config))
         self.variables = None
         # every model family threads length masks (padded batch == unpadded
         # runs, tests/test_masked_inference.py incl. the hierarchical
@@ -77,7 +91,8 @@ class Converter:
         import jax.numpy as jnp
         from flax import serialization
 
-        x = jnp.zeros((1, 32, self._feat_dim_guess()), jnp.float32)
+        x = jnp.zeros((1, max(32, self.min_frames),
+                       self._feat_dim_guess()), jnp.float32)
         y = jnp.zeros((1,), jnp.int32)
         variables = self.model.init(
             {"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)},
@@ -163,7 +178,7 @@ class Converter:
                 for u, rx in feats_scp.items()]
         buckets: dict[int, list] = {}
         for job in jobs:
-            buckets.setdefault(_bucket(job[2], self.bucket_size),
+            buckets.setdefault(_bucket(job[2], self.bucket_size, self.min_frames),
                                []).append(job)
 
         wspec = f"ark,scp:{output_dir}/feats.ark,{output_dir}/feats.scp"
@@ -210,7 +225,7 @@ class Converter:
                 for u, rx in feats_scp.items()]
         buckets: dict[int, list] = {}
         for job in jobs:
-            buckets.setdefault(_bucket(job[2], self.bucket_size),
+            buckets.setdefault(_bucket(job[2], self.bucket_size, self.min_frames),
                                []).append(job)
 
         wspec = f"ark,scp:{output_dir}/feats.ark,{output_dir}/feats.scp"
@@ -268,7 +283,7 @@ class Converter:
         # numerically identical to unpadded runs for every model family
         buckets: dict[int, list] = {}
         for job in jobs:
-            buckets.setdefault(_bucket(job[2], self.bucket_size),
+            buckets.setdefault(_bucket(job[2], self.bucket_size, self.min_frames),
                                []).append(job)
 
         wspec = f"ark,scp:{output_dir}/feats.ark,{output_dir}/feats.scp"

@@ -49,13 +49,37 @@ class Encoder(nn.Module):
 
     @staticmethod
     def out_lengths(arch, lengths):
-        """Frame-count transform of the encoder (torch conv length formula)."""
+        """Frame-count transform of the encoder (torch conv length formula).
+
+        Clamped to >=1 per downsampling step: a very short utterance that a
+        deep hierarchy would shrink to 0 frames keeps one frame (computed
+        from the masked real content plus zero padding) instead of an empty
+        level — torch would hard-crash there (Conv1d input smaller than the
+        kernel), which is not a behavior worth matching.
+        """
         for ds in arch.get("downsample_scales",
                            [1] * len(arch.get("in_channels", [1]))):
             if ds != 1:
                 p = ds // 2 + ds % 2
                 lengths = (lengths + 2 * p - 2 * ds) // ds + 1
+                lengths = jnp.maximum(lengths, 1)
         return lengths
+
+    @staticmethod
+    def min_input_frames(archs):
+        """Smallest T whose padded time stays >=1 through every level of
+        ``archs`` (a sequence of chained encoder arch dicts). The bucketed
+        conversion path pads short utterances up to this."""
+        t = 1
+        for arch in reversed(list(archs)):
+            for ds in reversed(arch.get(
+                    "downsample_scales",
+                    [1] * len(arch.get("in_channels", [1])))):
+                if ds != 1:
+                    p = ds // 2 + ds % 2
+                    # smallest T with (T + 2p - 2ds)//ds + 1 >= t
+                    t = (t - 1) * ds + 2 * ds - 2 * p
+        return t
 
     @nn.compact
     def __call__(self, x, lengths=None):
@@ -88,8 +112,17 @@ class Encoder(nn.Module):
                 h = WNConv1d(out_ch, 2 * ds, stride=ds, padding=(p, p),
                              use_weight_norm=use_wn, dtype=self.dtype,
                              name=f"conv_{i}")(h)
+                if h.shape[1] == 0:
+                    raise ValueError(
+                        f"input too short for this encoder's x{ds} "
+                        f"downsampling (0 frames after conv_{i}); pad the "
+                        "input to >= Encoder.min_input_frames(...) frames — "
+                        "the bucketed conversion path does this "
+                        "automatically. (torch would crash here too: Conv1d "
+                        "input smaller than its kernel)")
                 if lengths is not None:
-                    lengths = (lengths + 2 * p - 2 * ds) // ds + 1
+                    lengths = jnp.maximum(
+                        (lengths + 2 * p - 2 * ds) // ds + 1, 1)
                     mask = length_mask(lengths, h.shape[1])
             if mask is not None:
                 h = h * mask.astype(h.dtype)

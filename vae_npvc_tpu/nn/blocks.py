@@ -87,11 +87,19 @@ def group_norm(x, scale, bias, num_groups, eps=1e-5, mask=None,
     if seq_axis is not None:
         count = jax.lax.psum(count, seq_axis)
         total = jax.lax.psum(total, seq_axis)
+    # an all-masked row (0 real frames, e.g. a deeply-downsampled level of a
+    # very short padded utterance) must yield 0s, not 0/0 NaN — the output is
+    # re-masked below, so the stats value is irrelevant, only finiteness is
+    count = jnp.maximum(count, 1.0)
     mean = total / count
     sq = jnp.sum(jnp.square(xf - mean) * m, axis=(1, 3), keepdims=True)
     if seq_axis is not None:
         sq = jax.lax.psum(sq, seq_axis)
-    var = sq / count
+    # clamp: XLA's algebraic simplifier can re-expand the two-pass form back
+    # into the cancelling E[x²]−mean² shape under jit, leaving var a tiny
+    # negative at large |mean| — rsqrt then emits NaN (observed on the
+    # flagship vqvae2's masked inference path; eager was finite, jit NaN)
+    var = jnp.maximum(sq / count, 0.0)
     xn = (xf - mean) * jax.lax.rsqrt(var + eps)
     xn = xn.reshape(B, T, C)
     out = (xn * scale + bias).astype(x.dtype)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -38,7 +39,17 @@ class MultiHeadedAttention(nn.Module):
         if mask is not None:
             scores = jnp.where(mask[:, None, :, :] if mask.ndim == 3
                                else mask, scores, jnp.finfo(jnp.float32).min)
-        attn = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        # explicit max-subtraction behind an optimization barrier: the GST
+        # query is the *unnormalized* encoder mean, whose scale grows with
+        # the un-normed res-skip chains (~1e16 observed on the trained
+        # flagship vqvae2) — XLA's fusion of dot→softmax→dot can cancel the
+        # stable form's max-subtraction into exp(x)/Σexp(x) = inf/inf = NaN
+        # (jit-only; eager was finite). Shift-invariance makes this exact.
+        scores = scores.astype(jnp.float32)
+        scores = scores - jax.lax.stop_gradient(
+            jnp.max(scores, axis=-1, keepdims=True))
+        scores = jax.lax.optimization_barrier(scores)
+        attn = nn.softmax(scores, axis=-1).astype(q.dtype)
         x = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         x = x.transpose(0, 2, 1, 3).reshape(B, -1, self.n_feat)
         return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(x)
