@@ -126,6 +126,42 @@ def test_short_utterance_converter_is_finite(tmp_path):
     assert np.isfinite(kaldi_io.load_mat(scp["long"])).all()
 
 
+@pytest.mark.parametrize("family", ["vqvae2a", "vqvae2b"])
+def test_short_utterance_other_hier_families(family, tmp_path):
+    """The 2a/2b families share Encoder.out_lengths and the bucketed
+    conversion path: a sub-minimum utterance must convert finitely too."""
+    import jax
+
+    from tests.test_model_vqvae2ab import cfg_2a, cfg_2b
+    from vae_npvc_tpu.data import kaldi_io
+    from vae_npvc_tpu.infer.convert import Converter
+
+    config = cfg_2a() if family == "vqvae2a" else cfg_2b()
+    # deepen to the flagship-style x4,x4 top level so min_frames > 1
+    config[f"encoder.{config['levels'] - 1}"]["downsample_scales"] = [4, 4]
+    for k in ("in_channels", "out_channels", "stacks"):
+        v = config[f"encoder.{config['levels'] - 1}"][k]
+        config[f"encoder.{config['levels'] - 1}"][k] = v * 2
+
+    d = tmp_path / "dec"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    with kaldi_io.ArkWriter(d / "feats.ark", d / "feats.scp") as w:
+        w.write("short", rng.normal(size=(9, 10)).astype(np.float32))
+    (d / "trials").write_text("short 1\n")
+
+    cv = Converter(config)
+    assert cv.min_frames > 9
+    x = np.zeros((1, cv.min_frames, 10), np.float32)
+    cv.variables = cv.model.init(
+        {"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)},
+        x, np.zeros((1,), np.int32), train=True)
+    out = tmp_path / "out"
+    assert cv.decode(d, out, compress=False) == 1
+    mat = kaldi_io.load_mat(kaldi_io.read_scp(out / "feats.scp")["short"])
+    assert mat.shape[0] == 9 and np.isfinite(mat).all()
+
+
 def test_gst_attention_finite_under_jit_at_extreme_query_scale():
     """The GST query is the unnormalized encoder mean; on the trained
     flagship vqvae2 it reaches ~1e16 (the un-normed res-skip chains grow
