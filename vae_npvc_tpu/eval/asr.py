@@ -99,8 +99,15 @@ def _ctc_model(vocab_size: int, width: int = 192, blocks: int = 3,
                 kmask, att_mask = None, None
             for i in range(blocks):
                 q = nn.LayerNorm(dtype=jnp.float32, name=f"ln1_{i}")(h)
-                h = h + MultiHeadedAttention(heads, width, name=f"mha_{i}")(
-                    q, q, q, mask=att_mask)
+                if out_len is not None:
+                    # lengths form: enables the fused Pallas core on TPU
+                    h = h + MultiHeadedAttention(
+                        heads, width, name=f"mha_{i}")(q, q, q,
+                                                       lengths=out_len)
+                else:
+                    h = h + MultiHeadedAttention(
+                        heads, width, name=f"mha_{i}")(q, q, q,
+                                                       mask=att_mask)
                 f = nn.LayerNorm(dtype=jnp.float32, name=f"ln2_{i}")(h)
                 f = nn.Dense(4 * width, name=f"ff1_{i}")(f)
                 f = nn.Dense(width, name=f"ff2_{i}")(nn.relu(f))

@@ -83,17 +83,21 @@ class TransformerBlock(nn.Module):
     heads: int
     ffn: int
     dtype: Any = jnp.float32
+    fused_attention: str = "auto"   # Pallas core on TPU (nn/gst.py)
 
     @nn.compact
     def __call__(self, x, mask):
         # mask: (B, T, 1) — 1 for valid positions; padded keys are excluded
         # from every softmax, so padded batches equal unpadded runs exactly
-        # (the framework-wide masked-inference contract).
-        key_mask = mask[:, None, :, 0] > 0               # (B, 1=q, T=k)
+        # (the framework-wide masked-inference contract). The mask is a
+        # contiguous length prefix, so it is carried as per-row lengths —
+        # the form the fused attention kernel masks with.
+        lengths = jnp.sum(mask[:, :, 0] > 0, axis=1).astype(jnp.int32)
         h = nn.LayerNorm(dtype=jnp.float32, name="ln_attn")(x) \
             .astype(self.dtype)
         h = MultiHeadedAttention(self.heads, self.hidden, dtype=self.dtype,
-                                 name="mha")(h, h, h, mask=key_mask)
+                                 fused=self.fused_attention,
+                                 name="mha")(h, h, h, lengths=lengths)
         x = x + h * mask.astype(h.dtype)
         h = nn.LayerNorm(dtype=jnp.float32, name="ln_ffn")(x) \
             .astype(self.dtype)
@@ -422,6 +426,7 @@ class Model(nn.Module):
         self.token_num = a.get("token_num", a.get("z_num", 128))
         self.token_dim = a.get("token_dim", 128)
         self.block_type = a.get("block_type", "conv")
+        self.fused_attn = a.get("fused_attention", "auto")
         if self.block_type == "transformer":
             # reference key names (train_pytorch_transformer+spkemb.yaml)
             self.hidden = a.get("adim", a.get("hidden", 256))
@@ -496,6 +501,7 @@ class Model(nn.Module):
             for j in range(self.enc_stacks):
                 h = TransformerBlock(self.hidden, self.heads, self.eunits,
                                      dtype=self.dtype,
+                                     fused_attention=self.fused_attn,
                                      name=f"enc_{j}")(h, tok_mask)
         else:
             for j in range(self.enc_stacks):
@@ -544,6 +550,7 @@ class Model(nn.Module):
             for j in range(self.dec_stacks):
                 h = TransformerBlock(self.hidden, self.heads, self.dunits,
                                      dtype=self.dtype,
+                                     fused_attention=self.fused_attn,
                                      name=f"dec_{j}")(h, mel_mask)
         else:
             for j in range(self.dec_stacks):

@@ -18,13 +18,21 @@ from flax import linen as nn
 
 
 class MultiHeadedAttention(nn.Module):
-    """MHA with distinct q/k/v input dims (layers_gst.py:63-147)."""
+    """MHA with distinct q/k/v input dims (layers_gst.py:63-147).
+
+    ``fused`` selects the Pallas attention core (ops/attention_pallas.py)
+    for self-attention calls that pass ``lengths``: "auto" uses it on TPU,
+    "never" keeps the stock XLA path, "interpret" forces the kernel's
+    interpreter mode (CPU tests). The kernel is exactly the same function
+    (fp32 softmax with key-padding masking) computed VMEM-resident.
+    """
     n_head: int
     n_feat: int
     dtype: Any = jnp.float32
+    fused: str = "auto"
 
     @nn.compact
-    def __call__(self, query, key, value, mask=None):
+    def __call__(self, query, key, value, mask=None, lengths=None):
         assert self.n_feat % self.n_head == 0
         d_k = self.n_feat // self.n_head
         B = query.shape[0]
@@ -34,6 +42,18 @@ class MultiHeadedAttention(nn.Module):
         q = q.reshape(B, -1, self.n_head, d_k).transpose(0, 2, 1, 3)
         k = k.reshape(B, -1, self.n_head, d_k).transpose(0, 2, 1, 3)
         v = v.reshape(B, -1, self.n_head, d_k).transpose(0, 2, 1, 3)
+        if lengths is not None and mask is None and q.shape == k.shape:
+            from ..ops import attention_pallas
+            if self.fused == "interpret" or (self.fused == "auto"
+                                             and attention_pallas.available()):
+                x = attention_pallas.fused_attention(
+                    q, k, v, lengths,
+                    interpret=(self.fused == "interpret"))
+                x = x.transpose(0, 2, 1, 3).reshape(B, -1, self.n_feat)
+                return nn.Dense(self.n_feat, dtype=self.dtype,
+                                name="linear_out")(x)
+            t = jnp.arange(k.shape[2])[None, None, :]
+            mask = (t < jnp.asarray(lengths)[:, None, None])
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
             jnp.asarray(d_k, jnp.float32)).astype(q.dtype)
         if mask is not None:
