@@ -89,7 +89,11 @@ print(f"TRAINER_OK pid={pid} total={total:.10f}")
 # batch: the hosts disagree on both batch count and tail size, so every
 # collective/branch decision inside Trainer.valid must come from the
 # allgathered sizes (Trainer._assemble_multihost), never local shapes.
-vfeats = rng.normal(size=(11, 16, 10)).astype(np.float32)  # rng shared: both
+# Valid crop (12) is deliberately SHORTER than the init-time train crop
+# (16): an exhausted host's zero-row drain batch carries the train-spec
+# trailing dims, which must be cropped to the agreed valid dims, not
+# crash the assembly mid-drain.
+vfeats = rng.normal(size=(11, 12, 10)).astype(np.float32)  # rng shared: both
 vspks = (np.arange(11) % config["y_num"]).astype(np.int32)  # hosts see all 11
 if pid == 0:
     stream = [(vfeats[0:4], vspks[0:4]), (vfeats[8:11], vspks[8:11])]

@@ -131,7 +131,8 @@ class TestCTC:
         d, texts = _char_corpus(tmp_path)
         rec = train_ctc(d, steps=400, batch_size=16, width=48, seed=0,
                         log_every=0, arch="transformer")
-        assert "mha_0" in rec.params and "conv_0" not in rec.params
+        assert "blk_0" in rec.params and "conv_0" not in rec.params
+        assert "mha" in rec.params["blk_0"]   # shared TransformerBlock
         hyps = rec.transcribe_scp(d / "feats.scp", batch_size=8, bucket=64)
         total, _, _ = wer_mod.score(texts, hyps, "char")
         assert total.err_pct < 10.0, f"CER {total.err_pct}%"

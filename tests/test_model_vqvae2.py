@@ -68,8 +68,11 @@ class TestVqvae2Gst:
         assert np.isfinite(float(loss))
         # 2 VQ levels (top is GST) → per-level suffixed keys
         for k in ("Total", "VQ loss", "X like", "entropy.0", "entropy.1",
-                  "quanti_err.0", "quanti_err.1"):
+                  "quanti_err.0", "quanti_err.1", "z_rms.0", "z_rms.1"):
             assert k in detail, sorted(detail)
+        # the scale-drift observability metric (see nn/gst.py softmax note):
+        # RMS of the raw pre-quantizer latents, finite and positive
+        assert float(detail["z_rms.0"]) > 0
 
     def test_encode_decode_infer(self):
         model, variables = init_model(make_cfg(use_gst=True))

@@ -98,7 +98,7 @@ def _oracle():
         detail = trainer.train_step((feats, spks))
     # same global valid batches the two hosts assemble in process order:
     # [h0 4 rows + h1 4 rows], then [h0 3-row tail]
-    vfeats = rng.normal(size=(11, 16, 10)).astype(np.float32)
+    vfeats = rng.normal(size=(11, 12, 10)).astype(np.float32)
     vspks = (np.arange(11) % config["y_num"]).astype(np.int32)
     vd = trainer.valid([(vfeats[0:8], vspks[0:8]),
                         (vfeats[8:11], vspks[8:11])])

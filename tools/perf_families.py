@@ -143,6 +143,12 @@ def families():
         "token_tts_transformer": (tts_t, lambda: tts_batch(
             32, 128, 512, tts_t.get("mel_dim", 160), tts_t.get("y_num"),
             tts_t.get("token_num", 128))),
+        # same config with the fused Pallas attention core disabled — the
+        # A/B row for ops/attention_pallas.py
+        "token_tts_transformer_stock": (
+            dict(tts_t, fused_attention="never"), lambda: tts_batch(
+                32, 128, 512, tts_t.get("mel_dim", 160), tts_t.get("y_num"),
+                tts_t.get("token_num", 128))),
         # AR attention family: same batch shape; durations in the batch are
         # ignored by the tacotron2 loss path (alignment is learned)
         "token_tts_tacotron2": (tts_a, lambda: tts_batch(

@@ -81,7 +81,11 @@ def _ctc_model(vocab_size: int, width: int = 192, blocks: int = 3,
 
         @nn.compact
         def __call__(self, x, lengths=None):
-            from ..nn.gst import MultiHeadedAttention
+            # pre-LN attention+FFN blocks are the shared TransformerBlock
+            # (models/token_tts.py) — fp32 LN/softmax convention and the
+            # fused Pallas attention gating live there, once
+            from ..models.token_tts import TransformerBlock
+            from ..nn.blocks import length_mask, sinusoidal_positions
 
             h = nn.Conv(width, (5,), strides=(2,), name="sub")(x)
             h = nn.relu(h)
@@ -89,31 +93,12 @@ def _ctc_model(vocab_size: int, width: int = 192, blocks: int = 3,
             out_len = (None if lengths is None
                        else (lengths + 1) // 2)
             # sinusoidal positional encoding (fp32, added once)
-            from ..nn.blocks import sinusoidal_positions
             h = h + sinusoidal_positions(T, width)[None]
-            if out_len is not None:
-                t = jnp.arange(T)[None, :]
-                kmask = (t < out_len[:, None])                  # (B, T)
-                att_mask = kmask[:, None, :]                    # (B, 1=q, k)
-            else:
-                kmask, att_mask = None, None
+            mask = (length_mask(out_len, T) if out_len is not None
+                    else jnp.ones((h.shape[0], T, 1), h.dtype))
             for i in range(blocks):
-                q = nn.LayerNorm(dtype=jnp.float32, name=f"ln1_{i}")(h)
-                if out_len is not None:
-                    # lengths form: enables the fused Pallas core on TPU
-                    h = h + MultiHeadedAttention(
-                        heads, width, name=f"mha_{i}")(q, q, q,
-                                                       lengths=out_len)
-                else:
-                    h = h + MultiHeadedAttention(
-                        heads, width, name=f"mha_{i}")(q, q, q,
-                                                       mask=att_mask)
-                f = nn.LayerNorm(dtype=jnp.float32, name=f"ln2_{i}")(h)
-                f = nn.Dense(4 * width, name=f"ff1_{i}")(f)
-                f = nn.Dense(width, name=f"ff2_{i}")(nn.relu(f))
-                h = h + f
-                if kmask is not None:
-                    h = h * kmask[..., None].astype(h.dtype)
+                h = TransformerBlock(width, heads, 4 * width,
+                                     name=f"blk_{i}")(h, mask)
             h = nn.LayerNorm(dtype=jnp.float32, name="ln_out")(h)
             logits = nn.Dense(vocab_size + 1, name="out")(h)
             return logits, out_len

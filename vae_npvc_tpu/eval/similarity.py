@@ -137,9 +137,19 @@ def train_embedder(data_dir, config, *, steps=2000, batch_size=64,
     if ckpt is not None:
         from pathlib import Path
         if Path(ckpt).exists():
-            model, params, _ = load_embedder(ckpt)
-            print(f"loaded speaker embedder from {ckpt}")
-            return model, params
+            model, params, meta = load_embedder(ckpt)
+            # reuse only when the stored model matches the request — a stale
+            # checkpoint from a run with different --embedder/--width would
+            # otherwise silently score with the wrong architecture
+            if (meta.get("arch", "tdnn") == arch
+                    and int(meta.get("width", width)) == int(width)
+                    and int(meta.get("emb_dim", emb_dim)) == int(emb_dim)):
+                print(f"loaded speaker embedder from {ckpt}")
+                return model, params
+            print(f"ignoring {ckpt}: stored "
+                  f"{meta.get('arch')}/w{meta.get('width')}/"
+                  f"e{meta.get('emb_dim')} != requested "
+                  f"{arch}/w{width}/e{emb_dim}; retraining")
 
     if feats is not None:
         it, num_speakers, feats0 = _override_batches(

@@ -184,6 +184,8 @@ class Model(nn.Module):
                 z_enc_losses.append(enc)
                 detail = dict(detail)
                 detail["quanti_err"] = enc
+                detail["z_rms"] = jnp.sqrt(jnp.mean(
+                    jnp.square(z_.astype(jnp.float32))))
                 vq_details.append((i, detail))
                 if train and self.jitter_p > 0.0:
                     z_vq = jitter_op(self.make_rng("vq"), z_vq, self.jitter_p)

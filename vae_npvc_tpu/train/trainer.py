@@ -159,8 +159,13 @@ class Trainer:
             tshape = tuple(int(x) for x in tmax[off:off + nd])
             off += nd
             pad = np.zeros((max_b,) + tshape, a.dtype)
-            pad[tuple([slice(0, b_local)]
-                      + [slice(0, s) for s in a.shape[1:]])] = a
+            # crop dims that exceed the agreed tmax: only a zero-row drain
+            # batch can be wider (its trailing dims come from the init-time
+            # TRAIN spec, e.g. valid_crop_length < crop_length) — real rows
+            # never exceed the max over occupied hosts, so cropping is exact
+            sl = [slice(0, min(s, t)) for s, t in zip(a.shape[1:], tshape)]
+            pad[tuple([slice(0, b_local)] + sl)] = \
+                a[tuple([slice(None)] + sl)]
             g = np.asarray(multihost_utils.process_allgather(pad, tiled=True))
             rows = np.concatenate(
                 [g[p * max_b: p * max_b + int(sizes[p])]
