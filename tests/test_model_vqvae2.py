@@ -70,9 +70,53 @@ class TestVqvae2Gst:
         for k in ("Total", "VQ loss", "X like", "entropy.0", "entropy.1",
                   "quanti_err.0", "quanti_err.1", "z_rms.0", "z_rms.1"):
             assert k in detail, sorted(detail)
-        # the scale-drift observability metric (see nn/gst.py softmax note):
-        # RMS of the raw pre-quantizer latents, finite and positive
+        # the scale-drift observability metrics (see nn/gst.py softmax
+        # note): RMS of raw pre-quantizer latents per VQ level, plus the
+        # GST level's input (the one place magnitude drifts unanchored)
         assert float(detail["z_rms.0"]) > 0
+        assert float(detail["gst_in_rms"]) > 0
+
+    def test_gst_scale_penalty_anchors_drift(self):
+        """Opt-in gst_scale_penalty must push the GST-level encoder scale
+        toward 1 where the unpenalized loss leaves it free (the flagship's
+        measured 1e10→1e16 drift)."""
+        import optax
+
+        def run(penalty, steps=25):
+            cfg = make_cfg(use_gst=True)
+            if penalty:
+                cfg["gst_scale_penalty"] = penalty
+            model = build_model(cfg)
+            x = jnp.array(np.random.default_rng(5).normal(
+                size=(4, 16, 10)) * 3.0, jnp.float32)
+            y = jnp.array([0, 1, 2, 3], jnp.int32)
+            variables = model.init({"params": jax.random.PRNGKey(0),
+                                    "vq": jax.random.PRNGKey(1)}, x, y,
+                                   train=True)
+            params = variables["params"]
+            tx = optax.adam(1e-2)
+            opt = tx.init(params)
+
+            @jax.jit
+            def step(params, opt, k):
+                def loss_fn(p):
+                    _, loss, detail = model.apply(
+                        {"params": p}, x, y, train=True,
+                        rngs={"vq": jax.random.PRNGKey(k)})
+                    return loss, detail
+                (_, detail), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                up, opt2 = tx.update(g, opt)
+                return optax.apply_updates(params, up), opt2, detail
+
+            for k in range(steps):
+                params, opt, detail = step(params, opt, k)
+            return float(detail["gst_in_rms"])
+
+        free = run(0.0)
+        anchored = run(1.0)
+        # anchored run ends much closer to rms 1 than the free run
+        assert abs(np.log(anchored)) < abs(np.log(free)), (anchored, free)
 
     def test_encode_decode_infer(self):
         model, variables = init_model(make_cfg(use_gst=True))

@@ -54,6 +54,14 @@ class Model(nn.Module):
         self.use_ema = a.get("use_ema", True)
         self.beta = a.get("beta", 0.01)
         self.jitter_p = a.get("jitter_p", 0.0)
+        # opt-in (default 0 = reference behavior): anchor the GST-level
+        # encoder's output scale with penalty * log(rms)^2. The loss is
+        # scale-invariant to that branch (GST attention saturates, VQ
+        # levels normalize), so its magnitude drifts unanchored — measured
+        # 1e10 by 1k steps and 1e16 by 6k on the flagship, with matching
+        # grad-norm spikes; a long run would eventually overflow fp32
+        # (torch included). Inference is robust either way (nn/gst.py).
+        self.gst_scale_penalty = a.get("gst_scale_penalty", 0.0)
 
         self.encoders = [Encoder(a[f"encoder.{i}"], dtype=self.dtype,
                                  return_hidden=True, name=f"encoder_{i}")
@@ -175,9 +183,10 @@ class Model(nn.Module):
         z_ = z_levels.pop()
         for i in reversed(range(self.levels)):
             if self._is_gst_level(i):
-                style = self.gst_layer(jnp.mean(z_.astype(jnp.float32),
-                                                axis=1))
+                z32 = z_.astype(jnp.float32)
+                style = self.gst_layer(jnp.mean(z32, axis=1))
                 z_vq = style[:, None, :]                     # (B, 1, D)
+                gst_in_rms = jnp.sqrt(jnp.mean(jnp.square(z32)))
             else:
                 z_vq, qut, enc, detail = self._quantize(i, z_, train)
                 z_qut_losses.append(qut)
@@ -206,7 +215,15 @@ class Model(nn.Module):
         z_qut_loss = sum(z_qut_losses) if z_qut_losses else 0.0
         z_enc_loss = sum(z_enc_losses) if z_enc_losses else 0.0
         loss = x_loss + z_qut_loss + self.beta * z_enc_loss
+        if self.use_gst and self.gst_scale_penalty > 0.0:
+            loss = loss + self.gst_scale_penalty * jnp.square(
+                jnp.log(jnp.maximum(gst_in_rms, 1e-12)))
         detail = {"Total": loss, "VQ loss": z_enc_loss, "X like": x_loss}
+        if self.use_gst:
+            # scale of the (unanchored) GST-level encoder output — the one
+            # place the scale-invariant loss lets magnitude drift (observed
+            # ~1e16 on the trained flagship; see nn/gst.py softmax note)
+            detail["gst_in_rms"] = gst_in_rms
         for idx, (lvl, d) in enumerate(vq_details):
             detail.update({f"{k}.{idx}": v for k, v in d.items()})
         return xhat, loss, detail
