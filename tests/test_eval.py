@@ -9,7 +9,37 @@ class TestMcd:
     def test_identical_is_zero(self):
         rng = np.random.default_rng(0)
         m = rng.normal(size=(40, 20))
-        assert mcd(m, m) < 1e-9
+        # equal-length pairs DTW too now; the matmul cost's fp rounding
+        # leaves ~1e-7 dB of residual on the diagonal path
+        assert mcd(m, m) < 1e-5
+
+    def test_sptk_convention_scale(self):
+        """MCD formula oracle: the wav-domain mceps are SPTK-convention
+        (log amplitude = c0 + Σ_{k≥1} c_k cos(ωk)), so a pure cosine ripple
+        of amplitude A (natural log) between two otherwise-identical
+        envelopes must measure 10/ln10·sqrt(2)·A dB (the reference
+        mcd_calculate.py formula). Pins the √2 fix (round 3)."""
+        import math
+
+        from vae_npvc_tpu.eval.mcd import MCD_CONST, dtw_path, _pair_cost
+
+        K, k0, A = 513, 7, 0.3
+        i = np.arange(K)
+        # the exact cepstral projection mcep_from_wav applies (alpha=0 path)
+        k = np.arange(35)
+        basis = np.cos(np.pi * i[None, :] * k[:, None] / (K - 1))
+        basis[:, 0] *= 0.5
+        basis[:, -1] *= 0.5
+        logs_a = np.zeros((4, K))
+        logs_b = logs_a + A * np.cos(np.pi * i * k0 / (K - 1))[None, :]
+        ca = (logs_a @ basis.T) * (2.0 / (K - 1))
+        cb = (logs_b @ basis.T) * (2.0 / (K - 1))
+        assert abs(cb[0, k0] - A) < 1e-12      # SPTK convention holds
+        cost = _pair_cost(ca[:, 1:], cb[:, 1:])
+        d = np.array([cost[i, j] for i, j in dtw_path(cost)])
+        got = MCD_CONST * float(np.mean(d))
+        want = 10.0 / math.log(10.0) * math.sqrt(2.0) * A
+        np.testing.assert_allclose(got, want, rtol=1e-6)
 
     def test_positive_and_symmetric_for_shifted(self):
         rng = np.random.default_rng(1)

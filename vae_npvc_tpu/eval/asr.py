@@ -426,15 +426,23 @@ class CTCRecognizer:
         vocab = json.loads(payload["vocab"])
         arch = payload.get("arch")
         if arch is None:
-            arch = ("transformer" if "mha_0" in payload["params"]
-                    else "conv")
+            # transformer blocks are blk_i (shared TransformerBlock since
+            # ae6b8bd; mha_i in checkpoints saved before the rename)
+            arch = ("transformer" if any(
+                k.startswith(("blk_", "mha_")) for k in payload["params"])
+                else "conv")
         if isinstance(arch, bytes):
             arch = arch.decode()
         if width is None:
             width = int(np.asarray(
                 payload["params"]["sub"]["kernel"]).shape[-1])
         blocks = len([k for k in payload["params"]
-                      if k.startswith(("conv_", "mha_"))])
+                      if k.startswith(("conv_", "blk_"))])
+        if any(k.startswith("mha_") for k in payload["params"]):
+            raise ValueError(
+                f"{path} is a pre-ae6b8bd transformer recognizer checkpoint "
+                "(mha_i param layout); retrain it — eval recognizers are "
+                "per-run artifacts, not long-lived models")
         model = _ctc_model(len(vocab), width, blocks=blocks or 3, arch=arch)
         # template params for the restore tree structure
         tpl = model.init(jax.random.PRNGKey(0),

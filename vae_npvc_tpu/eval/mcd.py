@@ -97,14 +97,14 @@ def mcd(log_mel_a, log_mel_b, n_cep=25, use_dtw=True):
     """MCD (dB) between two (T, M) log10-mel matrices."""
     ca = mel_to_cepstra(np.asarray(log_mel_a, np.float64), n_cep)[:, 1:]
     cb = mel_to_cepstra(np.asarray(log_mel_b, np.float64), n_cep)[:, 1:]
-    if use_dtw and ca.shape[0] != cb.shape[0]:
+    if use_dtw:
         cost = _pair_cost(ca, cb)
         path = dtw_path(cost)
         d = np.array([cost[i, j] for i, j in path])
     else:
         T = min(ca.shape[0], cb.shape[0])
         d = np.sqrt(np.sum((ca[:T] - cb[:T]) ** 2, axis=-1))
-    return MCD_CONST / math.sqrt(2.0) * float(np.mean(d))
+    return MCD_CONST * float(np.mean(d))
 
 
 def mcd_from_scp(scp_a, scp_b, n_cep=25):
@@ -345,7 +345,7 @@ def mcd_wav(x_a, x_b, fs, *, mcep_dim=34, mcep_alpha=None, shiftms=5.0,
         if sel:
             path = sel
     d = np.array([cost[i, j] for i, j in path])
-    return MCD_CONST / math.sqrt(2.0) * float(np.mean(d))
+    return MCD_CONST * float(np.mean(d))
 
 
 def mcd_from_wavdirs(wavdir, gtwavdir, *, f0_conf=None, mcep_dim=34,
@@ -359,13 +359,15 @@ def mcd_from_wavdirs(wavdir, gtwavdir, *, f0_conf=None, mcep_dim=34,
     converted audio with ``${db_root}/${trgspk}`` recordings of the same
     sentence, evaluate.sh:60-69).
     """
-    import wave as wave_mod
+    from ..data.kaldi_io import read_wav_scp_entry
 
     def read_wav(p):
-        with wave_mod.open(str(p), "rb") as w:
-            fs = w.getframerate()
-            x = np.frombuffer(w.readframes(w.getnframes()),
-                              np.int16).astype(np.float64) / 32768.0
+        # shared reader: handles int16/int32/uint8/float and collapses
+        # multi-channel to mono (a hand-rolled int16-only frombuffer would
+        # silently misparse stereo/24-bit ground truth)
+        fs, x = read_wav_scp_entry(str(p), dtype=np.float64)
+        if x.ndim > 1:
+            x = x.mean(axis=1)
         return fs, x
 
     if f0_conf:
@@ -373,6 +375,11 @@ def mcd_from_wavdirs(wavdir, gtwavdir, *, f0_conf=None, mcep_dim=34,
     gt = {}
     for p in sorted(Path(gtwavdir).glob("**/*.wav")):
         stem = p.stem.split("_")[-1]
+        if stem in gt:
+            raise ValueError(
+                f"ambiguous ground truth for sentence stem '{stem}': "
+                f"{gt[stem]} and {p} — pass the single-speaker directory "
+                "(e.g. db_root/<trgspk>), not a multi-speaker root")
         gt[stem] = p
     per_utt = {}
     for p in sorted(Path(wavdir).glob("*.wav")):

@@ -140,29 +140,47 @@ class CharLstmLM:
             self._first_fn = jax.jit(
                 lambda p, tok: self.net.apply({"params": p}, tok))
 
+    def _store(self, prefix, entry):
+        if len(self._cache) > 20000:
+            # evict the oldest half (insertion order) — never the full
+            # cache: live beam prefixes' ancestors usually survive, and a
+            # miss replays iteratively from the deepest surviving ancestor
+            for k in list(self._cache)[:10000]:
+                del self._cache[k]
+        self._cache[prefix] = entry
+        return entry
+
     def _state(self, prefix: tuple):
-        """(carries, log-softmax over next char) after consuming prefix."""
+        """(carries, log-softmax over next char) after consuming prefix.
+
+        Iterative: walks back to the deepest cached ancestor and replays
+        forward one jitted step per char (a recursive version hit Python's
+        recursion limit on long-utterance beam decodes after evictions).
+        """
         if prefix in self._cache:
             return self._cache[prefix]
         self._ensure_step()
         jax, jnp = self._jax, self._jnp
-        if not prefix:
+        i = len(prefix)
+        while i > 0 and prefix[:i] not in self._cache:
+            i -= 1
+        if i == 0 and () not in self._cache:
             tok = jnp.full((1, 1), self.stoi[BOS], jnp.int32)
             logits, carries = self._first_fn(self.params, tok)
-        else:
-            carries, _ = self._state(prefix[:-1])
-            cid = self.stoi.get(prefix[-1])
+            self._store((), (carries,
+                             np.asarray(jax.nn.log_softmax(logits[0, 0]))))
+        entry = self._cache[prefix[:i]]
+        for j in range(i, len(prefix)):
+            carries = entry[0]
+            cid = self.stoi.get(prefix[j])
             if cid is None:  # OOV char: keep state, uniform-floor the score
-                entry = (carries, None)
-                self._cache[prefix] = entry
-                return entry
+                entry = self._store(prefix[:j + 1], (carries, None))
+                continue
             tok = jnp.full((1, 1), cid, jnp.int32)
             logits, carries = self._step_fn(self.params, tok, carries)
-        logps = np.asarray(jax.nn.log_softmax(logits[0, 0]))
-        entry = (carries, logps)
-        if len(self._cache) > 20000:  # beam search prunes prefixes; so do we
-            self._cache.clear()
-        self._cache[prefix] = entry
+            entry = self._store(
+                prefix[:j + 1],
+                (carries, np.asarray(jax.nn.log_softmax(logits[0, 0]))))
         return entry
 
     def _floor(self):

@@ -27,10 +27,12 @@ def measure_rtf(converter, feats, lengths, targets, frame_rate_hz,
     feats = jnp.asarray(feats)
     lengths_j = jnp.asarray(lengths, jnp.int32)
     targets = jnp.asarray(targets, jnp.int32)
+    out = None
     for _ in range(warmup):
         out = converter._infer_jit(converter.variables, feats, targets,
                                    lengths_j)
-    np.asarray(out)  # hard sync
+    if out is not None:
+        np.asarray(out)  # hard sync
 
     t0 = time.perf_counter()
     for _ in range(repeats):

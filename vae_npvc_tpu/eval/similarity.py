@@ -141,9 +141,18 @@ def train_embedder(data_dir, config, *, steps=2000, batch_size=64,
             # reuse only when the stored model matches the request — a stale
             # checkpoint from a run with different --embedder/--width would
             # otherwise silently score with the wrong architecture
+            if feats:
+                feat_dim = np.asarray(next(iter(feats.values()))).shape[-1]
+            else:
+                from ..data import kaldi_io
+                scp = kaldi_io.read_scp(Path(data_dir) / "feats.scp")
+                feat_dim = kaldi_io.matrix_header(next(iter(scp.values())))[1]
             if (meta.get("arch", "tdnn") == arch
                     and int(meta.get("width", width)) == int(width)
-                    and int(meta.get("emb_dim", emb_dim)) == int(emb_dim)):
+                    and int(meta.get("emb_dim", emb_dim)) == int(emb_dim)
+                    and (feat_dim is None
+                         or int(meta.get("feat_dim", feat_dim))
+                         == int(feat_dim))):
                 print(f"loaded speaker embedder from {ckpt}")
                 return model, params
             print(f"ignoring {ckpt}: stored "
@@ -155,14 +164,19 @@ def train_embedder(data_dir, config, *, steps=2000, batch_size=64,
         it, num_speakers, feats0 = _override_batches(
             data_dir, feats, batch_size, seed)
     else:
-        from ..data.dataset import UttMelSpkDataset, batch_iterator
+        # lazy scp-backed sampler so training pools match eval pooling:
+        # both batch paths yield real per-row lengths, and the stats pool
+        # masks padding during TRAINING exactly as embed_feats does at
+        # scoring time (an unmasked pool would dilute short utterances'
+        # mean/stddev with zeros and shift them off the classifier's
+        # training distribution)
+        from pathlib import Path
 
-        ds = UttMelSpkDataset(data_dir, config)
-        num_speakers = int(ds.spk_ids.max()) + 1
-        batch_size = min(batch_size, len(ds))
-        it = batch_iterator(ds, batch_size, shuffle=True, drop_last=True,
-                            seed=seed, num_workers=4)
-        feats0, _ = next(it)
+        from ..data import kaldi_io
+        scp = kaldi_io.read_scp(Path(data_dir) / "feats.scp")
+        crop = int((config or {}).get("crop_length", 200))
+        it, num_speakers, feats0 = _override_batches(
+            data_dir, scp, batch_size, seed, crop=crop)
     model = _embedder(num_speakers, emb_dim, width, arch)
     params = model.init(jax.random.PRNGKey(seed),
                         jnp.zeros_like(feats0))["params"]
@@ -170,18 +184,20 @@ def train_embedder(data_dir, config, *, steps=2000, batch_size=64,
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, opt_state, feats, spks):
+    def step(params, opt_state, feats, spks, lengths):
         def loss_fn(p):
-            emb, logits = model.apply({"params": p}, feats)
+            emb, logits = model.apply({"params": p}, feats, lengths)
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits, spks).mean()
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    for i, (feats, spks) in enumerate(it):
+    for i, (feats, spks, lengths) in enumerate(it):
         params, opt_state, loss = step(params, opt_state,
-                                       jnp.asarray(feats), jnp.asarray(spks))
+                                       jnp.asarray(feats),
+                                       jnp.asarray(spks),
+                                       jnp.asarray(lengths))
         if log_every and i % log_every == 0:
             print(f"spk-embedder step {i}: loss {float(loss):.4f}")
         if i + 1 >= steps:
@@ -196,20 +212,36 @@ def train_embedder(data_dir, config, *, steps=2000, batch_size=64,
 
 
 def _override_batches(data_dir, feats, batch_size, seed, crop=200):
-    """Batch iterator over an in-memory {utt: (T, D)} dict with labels from
-    ``data_dir/utt2spk_id`` (random crop-or-pad to ``crop`` frames)."""
+    """Batch iterator with labels from ``data_dir/utt2spk_id`` (random
+    crop-or-pad to ``crop`` frames). Yields ``(x, spk, lengths)`` — lengths
+    carry each row's real frame count so the stats pool can mask padding
+    during training exactly as it does at scoring time. ``feats`` is either
+    an in-memory {utt: (T, D)} dict or a feats.scp mapping {utt: position}
+    (entries loaded lazily per batch)."""
     from pathlib import Path
+
+    from ..data import kaldi_io
 
     utt2spk = {}
     for line in open(Path(data_dir) / "utt2spk_id"):
         u, s = line.split()
         utt2spk[u] = int(s)
-    utts = [u for u in feats if u in utt2spk and len(feats[u]) > 0]
+    lazy = feats and isinstance(next(iter(feats.values())), str)
+
+    def load(u):
+        return kaldi_io.load_mat(feats[u]) if lazy else feats[u]
+
+    if lazy:
+        utts = [u for u in feats if u in utt2spk
+                and kaldi_io.matrix_header(feats[u])[0] > 0]
+        D = kaldi_io.matrix_header(feats[utts[0]])[1] if utts else 0
+    else:
+        utts = [u for u in feats if u in utt2spk and len(feats[u]) > 0]
+        D = feats[utts[0]].shape[1] if utts else 0
     if not utts:
         raise ValueError(f"no labeled utterances with voiced frames in "
                          f"{data_dir}")
     num_speakers = max(utt2spk[u] for u in utts) + 1
-    D = feats[utts[0]].shape[1]
     batch_size = min(batch_size, len(utts))
     rng = np.random.default_rng(seed)
 
@@ -218,15 +250,18 @@ def _override_batches(data_dir, feats, batch_size, seed, crop=200):
             pick = rng.choice(len(utts), size=batch_size, replace=False)
             x = np.zeros((batch_size, crop, D), np.float32)
             y = np.zeros((batch_size,), np.int32)
+            lens = np.zeros((batch_size,), np.int32)
             for b, i in enumerate(pick):
-                mat, u = feats[utts[i]], utts[i]
+                mat, u = load(utts[i]), utts[i]
                 if len(mat) > crop:
                     t0 = rng.integers(0, len(mat) - crop + 1)
                     x[b] = mat[t0:t0 + crop]
+                    lens[b] = crop
                 else:
                     x[b, :len(mat)] = mat
+                    lens[b] = len(mat)
                 y[b] = utt2spk[u]
-            yield x, y
+            yield x, y, lens
 
     return gen(), num_speakers, np.zeros((batch_size, crop, D), np.float32)
 
