@@ -41,6 +41,34 @@ def test_range_read_matches_slice(tmp_path, rng):
     np.testing.assert_array_equal(got, mat[290:300])
 
 
+def test_matrix_header_honors_range(tmp_path, rng):
+    """matrix_header must report the dims load_mat would return for a
+    ranged rxspecifier — the conversion path buckets/pads by these."""
+    mat = rng.normal(size=(120, 40)).astype(np.float32)
+    ark, scp = tmp_path / "a.ark", tmp_path / "a.scp"
+    with kio.ArkWriter(ark, scp) as w:
+        w["u"] = mat
+    rx = kio.read_scp(scp)["u"]
+    assert kio.matrix_header(rx) == (120, 40)
+    assert kio.matrix_header(rx + "[10:19]") == (10, 40)
+    assert kio.matrix_header(rx + "[10:19,0:7]") == (10, 8)
+    assert kio.load_mat(rx + "[10:19,0:7]").shape == (10, 8)
+
+
+def test_vector_range_read(tmp_path, rng):
+    vec = rng.normal(size=(50,)).astype(np.float32)
+    ark = tmp_path / "v.ark"
+    # hand-rolled FV record (the writer emits matrices only)
+    with open(ark, "wb") as f:
+        f.write(b"u ")
+        offset = f.tell()
+        f.write(b"\0BFV \x04" + np.int32(50).tobytes() + vec.tobytes())
+    rx = f"{ark}:{offset}"
+    np.testing.assert_array_equal(kio.load_mat(rx), vec)
+    got = kio.load_mat(rx + "[5:14]")
+    np.testing.assert_array_equal(got, vec[5:15])
+
+
 def test_compressed_roundtrip_format1(tmp_path, rng):
     mat = (rng.normal(size=(200, 40)) * 3.0).astype(np.float32)
     ark = tmp_path / "c.ark"

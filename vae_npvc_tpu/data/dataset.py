@@ -82,11 +82,10 @@ class UttMelSpkDataset:
         feat_length = self.utt2num_frames[utt]
         crop = self.crop_length
 
-        if feat_length <= crop:
-            start, end = 0, feat_length
-        else:
-            start = 0 if self.valid else int(rng.integers(0, feat_length - crop + 1))
-            end = start + crop
+        # crop_start() is the single crop-semantics definition shared with
+        # the native fast path (same per-item seeds -> identical crops)
+        start = self.crop_start(index, rng)
+        end = min(start + crop, feat_length)
 
         rx = f"{self.feats_scp[utt]}[{start}:{end - 1}]"
         feat = kaldi_io.load_mat(rx).astype(np.float32)  # (t, D)

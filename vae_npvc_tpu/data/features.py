@@ -16,6 +16,7 @@ on-device as part of the input pipeline instead of a 64-job Kaldi array.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -51,8 +52,13 @@ def mel_to_hz(m):
                     min_log_hz * np.exp(logstep * (m - min_log_mel)), freq)
 
 
+@functools.lru_cache(maxsize=16)
 def mel_filterbank(sr, n_fft, n_mels, fmin=0.0, fmax=None):
-    """(n_mels, n_fft//2+1) slaney-normalized triangular filterbank."""
+    """(n_mels, n_fft//2+1) slaney-normalized triangular filterbank.
+
+    Cached per parameter set: the lazy per-utterance wav-mel path calls
+    this once per load, and rebuilding the (n_mels, F) matrix 60k times per
+    epoch is pure waste."""
     if fmax is None:
         fmax = sr / 2.0
     n_freqs = n_fft // 2 + 1
@@ -163,12 +169,6 @@ def istft(spec, n_fft, n_shift, win_length=None, window="hann", length=None):
     if length is not None:
         out = out[:, :length]
     return out
-
-
-def mel_to_linear_matrix(fs, n_fft, n_mels, fmin=None, fmax=None):
-    """Pseudo-inverse of the mel filterbank, (n_mels, F) → (F,) recovery."""
-    mel = mel_filterbank(fs, n_fft, n_mels, fmin or 0.0, fmax)
-    return np.linalg.pinv(mel).astype(np.float32)  # (F, M) pinv → (F, M)?
 
 
 def griffin_lim(log_mel, *, fs, n_fft, n_shift, n_mels=80, fmin=None,

@@ -200,7 +200,12 @@ def _read_matrix_at(f, range_str=None):
     if token in ("FV", "DV"):
         dtype = np.dtype("<f4") if token == "FV" else np.dtype("<f8")
         dim = _read_basic_int(f)
-        return np.frombuffer(f.read(dim * dtype.itemsize), dtype=dtype)
+        vec = np.frombuffer(f.read(dim * dtype.itemsize), dtype=dtype)
+        if range_str is not None:
+            # vector ranges use the row slot of '[s:e]' (kaldiio semantics)
+            rs, re_, _, _ = _parse_range(range_str, dim, 1)
+            vec = vec[rs:re_ + 1]
+        return vec
     if token.startswith("CM"):
         row_range = None
         if range_str is not None:
@@ -227,18 +232,27 @@ def load_mat(rxspec):
 
 
 def matrix_header(rxspec):
-    """Return (num_rows, num_cols) without reading the data."""
-    path, offset, _ = _split_rxspec(rxspec)
+    """Return (num_rows, num_cols) without reading the data.
+
+    Honors a '[s:e]'/'[s:e,cs:ce]' range suffix — the returned dims are the
+    dims ``load_mat`` on the same rxspecifier would produce (callers bucket
+    and pad by these; a full-matrix answer for a ranged entry would
+    disagree with the loaded data)."""
+    path, offset, range_str = _split_rxspec(rxspec)
     with open(path, "rb") as f:
         f.seek(offset)
         _expect_binary(f)
         token = _read_token(f)
         if token in ("FM", "DM"):
-            return _read_basic_int(f), _read_basic_int(f)
-        if token.startswith("CM"):
+            num_rows, num_cols = _read_basic_int(f), _read_basic_int(f)
+        elif token.startswith("CM"):
             _, _, num_rows, num_cols = struct.unpack("<ffii", f.read(16))
-            return num_rows, num_cols
-        raise ValueError(f"not a matrix: {token!r}")
+        else:
+            raise ValueError(f"not a matrix: {token!r}")
+        if range_str is not None:
+            rs, re_, cs, ce = _parse_range(range_str, num_rows, num_cols)
+            return re_ - rs + 1, ce - cs + 1
+        return num_rows, num_cols
 
 
 # ---------------------------------------------------------------------------
@@ -382,16 +396,9 @@ def write_helper(wspecifier, compression_method=None):
 # Kaldi data-dir text files
 # ---------------------------------------------------------------------------
 
-def load_dict_data(path):
-    """{first_token: rest_of_line} — utt2spk, feats.scp, utt2num_frames, ..."""
-    out = {}
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if line:
-                k, v = line.split(None, 1)
-                out[k] = v
-    return out
+# {first_token: rest_of_line} — utt2spk, feats.scp, utt2num_frames, ...
+# (same parse as an scp file; kept as an alias for the data-dir reading name)
+load_dict_data = read_scp
 
 
 def load_list_data(path):

@@ -158,7 +158,15 @@ def compute_vad(log_energy, *, energy_threshold=5.5, energy_mean_scale=0.5,
 
 def mfcc_vad(x, fs=16000, *, mfcc_opts=None, vad_opts=None):
     """Full front-end: waveform → voiced-only MFCC frames (Kaldi
-    select-voiced-frames semantics, evaluate_similarity.sh:95-104)."""
+    select-voiced-frames semantics, evaluate_similarity.sh:95-104).
+
+    Kaldi's energy-VAD thresholds assume int16-scale samples; unit-range
+    input ([-1, 1] floats, the shared wav readers' convention) is scaled up
+    internally so the adaptive energy threshold keeps Kaldi's operating
+    point — callers pass either convention."""
+    x = np.asarray(x, np.float64)
+    if x.size and np.abs(x).max() <= 1.0:
+        x = x * 32768.0
     feats, log_e = mfcc(x, fs, **(mfcc_opts or {}))
     mask = compute_vad(log_e, **(vad_opts or {})) > 0.5
     return feats[mask]

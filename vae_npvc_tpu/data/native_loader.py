@@ -31,10 +31,17 @@ def _load_lib():
         try:
             if (not _LIB.exists()
                     or _LIB.stat().st_mtime < _SRC.stat().st_mtime):
+                # compile to a per-process temp path and rename into place:
+                # concurrent multi-host processes building the shared .so
+                # directly would race, and a peer could CDLL a half-written
+                # library (os.rename is atomic within the filesystem)
+                import os
+                tmp = _LIB.with_suffix(f".so.tmp{os.getpid()}")
                 subprocess.run(
                     ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                     "-pthread", str(_SRC), "-o", str(_LIB)],
+                     "-pthread", str(_SRC), "-o", str(tmp)],
                     check=True, capture_output=True)
+                os.rename(tmp, _LIB)
             lib = ctypes.CDLL(str(_LIB))
         except (OSError, subprocess.CalledProcessError):
             _build_failed = True

@@ -68,7 +68,13 @@ class TokenMelDataset:
         self.feats_scp = kaldi_io.load_dict_data(data_dir / "feats.scp")
         spk = kaldi_io.load_dict_data(data_dir / "utt2spk_id")
         self.spk_emb_scp = None
-        if config.get("use_spk_embed") and (data_dir / "spk_emb.scp").exists():
+        if config.get("use_spk_embed"):
+            if not (data_dir / "spk_emb.scp").exists():
+                # silently falling back to int ids would train the wrong
+                # conditioning mode (or die in an opaque jit dtype error)
+                raise FileNotFoundError(
+                    f"use_spk_embed: true but {data_dir}/spk_emb.scp is "
+                    "missing — run bin/extract_spk_emb.py first")
             self.spk_emb_scp = kaldi_io.load_dict_data(
                 data_dir / "spk_emb.scp")
         self.items = []
@@ -113,6 +119,11 @@ class TokenMelDataset:
                 np.int32(len(toks)), np.int32(n_frames))
 
     def batches(self, batch_size, *, shuffle, seed=0, epochs=None):
+        if epochs is None and batch_size > self.num_data:
+            # the drop-last loop below would otherwise yield nothing forever
+            raise ValueError(
+                f"batch_size {batch_size} > dataset size {self.num_data}; "
+                "reduce batch_size (training drops partial batches)")
         rng = np.random.default_rng(seed)
         epoch = 0
         while epochs is None or epoch < epochs:
