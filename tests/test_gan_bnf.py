@@ -140,3 +140,34 @@ def test_gan_valid_loop():
     detail = trainer.valid([batch, batch])
     assert "X like" in detail and len(detail["X like"]) == 2
     assert all(np.isfinite(v) for v in detail["X like"])
+
+
+def test_gan_finetune_from_basic_checkpoint(tmp_path):
+    """GanTrainer.load_checkpoint on a basic-Trainer checkpoint (no
+    discriminator/optimizer_G keys) must load the generator and fall back to
+    fresh adversary state — the fine-tune-with-adversary path."""
+    from vae_npvc_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(3)
+    batch = (rng.normal(size=(4, 16, 10)).astype(np.float32),
+             np.zeros((4,), np.int32))
+    base_cfg = {k: v for k, v in TINY.items()}
+    base = Trainer(base_cfg)
+    base.init_state(batch)
+    base.train_step(batch)
+    ck = tmp_path / "iter.1"
+    base.save_checkpoint(str(ck))
+
+    gan = build_trainer(TINY)
+    gan.init_state(batch)
+    it = gan.load_checkpoint(str(ck))
+    assert it == 1
+    # generator params came from the checkpoint
+    a = jax.tree_util.tree_leaves(jax.device_get(base.state.params))
+    b = jax.tree_util.tree_leaves(jax.device_get(gan.state.params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # and training continues (all three phases run fine after the load)
+    for _ in range(4):
+        detail = gan.train_step(batch)
+    assert np.isfinite(float(detail["Total"]))

@@ -86,6 +86,42 @@ class TestExplicitShardMapStep:
                                    float(detail["X like"]), rtol=1e-5)
 
 
+    def test_matches_gspmd_step_normalized_vq(self):
+        """Normalized plain-VQ configs renorm the codebook at the top of
+        every step (reference dynamics); the explicit shard_map step must
+        apply the same renorm or params diverge from step one."""
+        from vae_npvc_tpu.parallel.shard import make_shard_map_step
+        from vae_npvc_tpu.train.trainer import Trainer
+
+        cfg = dict(TINY, use_ema=False)
+        cfg["quantizer"] = {"normalize": True}
+        rng = np.random.default_rng(1)
+        batch = (rng.normal(size=(8, 16, 10)).astype(np.float32),
+                 np.arange(8, dtype=np.int32) % 3)
+
+        t1 = Trainer(cfg)
+        assert t1._renorm is not None, "config must exercise the renorm path"
+        t1.init_state(batch)
+        t1.train_step(batch)
+        state0 = jax.device_get(t1.state)
+
+        t2 = Trainer(cfg)
+        t2.init_state(batch)
+        t2.state = jax.device_put(state0, t2.repl)
+        step = make_shard_map_step(t2)
+        feats, spks = t2.shard_batch(batch)
+        new_state, detail = step(t2.state, feats, spks, t2.base_rng)
+
+        t1.state = jax.device_put(state0, t1.repl)
+        d1 = t1.train_step(batch)
+        for a, b in zip(
+                jax.tree_util.tree_leaves(jax.device_get(t1.state.params)),
+                jax.tree_util.tree_leaves(jax.device_get(new_state.params))):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(float(d1["X like"]),
+                                   float(detail["X like"]), rtol=1e-5)
+
+
 class TestTensorParallel:
     def test_param_spec_rule(self):
         from vae_npvc_tpu.parallel.tp import param_spec

@@ -74,6 +74,14 @@ def sharded_conv1d(x, w, b, halo, axis_name, dilation=1):
 
     ``halo`` must be ≥ the conv's half receptive field ((k-1)//2 * dilation).
     """
+    rf_half = (w.shape[0] - 1) // 2 * dilation
+    assert halo >= rf_half, (
+        f"halo {halo} < conv half receptive field {rf_half} "
+        f"(kernel {w.shape[0]}, dilation {dilation}) — the crop below would "
+        "silently return wrong frames")
+    assert halo <= x.shape[1], (
+        f"halo {halo} > local shard length {x.shape[1]} — neighbors don't "
+        "hold enough frames for one exchange")
     xh = halo_exchange(x, halo, axis_name)
     y = jax.lax.conv_general_dilated(
         xh, w, window_strides=(1,), padding=[(0, 0)],
@@ -82,7 +90,6 @@ def sharded_conv1d(x, w, b, halo, axis_name, dilation=1):
         preferred_element_type=jnp.float32)
     # output of VALID conv on the haloed input: length halo*2 + T - rf*2 ...
     # crop back to the local shard's frames
-    rf = (w.shape[0] - 1) // 2 * dilation
-    start = halo - rf
+    start = halo - rf_half
     y = y[:, start:start + x.shape[1], :]
     return y + b

@@ -21,7 +21,14 @@ def make_mesh(n_data=None, n_model=1, devices=None):
     if devices is None:
         devices = jax.devices()
     if n_data is None:
+        if len(devices) % n_model != 0:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by n_model={n_model}"
+                " — a silent truncation would idle the remainder")
         n_data = len(devices) // n_model
+    if n_data * n_model != len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} != {len(devices)} devices")
     devices = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
     return Mesh(devices, ("data", "model"))
 

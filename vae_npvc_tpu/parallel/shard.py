@@ -19,6 +19,7 @@ batch (see tests/test_parallel.py).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..train.trainer import TrainState
@@ -46,6 +47,11 @@ def make_shard_map_step(trainer):
 
     def per_shard(state: TrainState, feats, spks, rng):
         step_rng = jax.random.fold_in(rng, state.step)
+        if trainer._renorm is not None:
+            # mirror the GSPMD step's reference-dynamics codebook renorm
+            # (normalized plain-VQ configs; trainer.py _train_step) — grads
+            # are taken at the renormed point, identical on every shard
+            state = state.replace(params=trainer._renorm(state.params))
         mutable = list(state.ema.keys())
 
         def loss_fn(params):
@@ -67,6 +73,18 @@ def make_shard_map_step(trainer):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         import optax
         params = optax.apply_updates(state.params, updates)
+        if trainer.skip_nonfinite:
+            # same production guard as the GSPMD step: grads are pmean-ed,
+            # so 'ok' is shard-consistent by construction
+            grad_sq = sum(jnp.sum(jnp.square(g))
+                          for g in jax.tree_util.tree_leaves(grads))
+            ok = jnp.isfinite(grad_sq)
+            pick = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new, old)
+            params = pick(params, state.params)
+            opt_state = pick(opt_state, state.opt_state)
+            mut = pick(mut, {k: state.ema[k] for k in mut}) if mut else mut
+            detail["skipped_nonfinite"] = (1.0 - ok.astype(jnp.float32))
         new_state = TrainState(step=state.step + 1, params=params,
                                ema={**state.ema, **mut},
                                opt_state=opt_state)

@@ -46,6 +46,8 @@ def _sub_optimizer(param):
            "max_grad_norm": param.get("max_grad_norm", 0),
            "lr_scheduler": "StepLR" if param.get("lr_scheduler") else None,
            "lr_param": param.get("lr_scheduler", {})}
+    if "betas" in param:        # honor generator_param/discriminator_param
+        cfg["betas"] = tuple(param["betas"])
     return build_optimizer(cfg)
 
 
@@ -79,6 +81,9 @@ class GanTrainer(Trainer):
     # ------------------------------------------------------------------ init
     def init_state(self, example_batch):
         feats, spks = example_batch
+        self._batch_spec = tuple(
+            (tuple(np.asarray(a).shape[1:]), np.asarray(a).dtype)
+            for a in example_batch)
         x = jnp.zeros((1,) + tuple(feats.shape[1:]), jnp.float32)
         y = jnp.zeros((1,), jnp.int32)
         k1, k2, k3 = jax.random.split(self.base_rng, 3)
@@ -108,8 +113,25 @@ class GanTrainer(Trainer):
             mut = {}
         return xhat, loss, detail, mut
 
+    def _guard(self, grads, detail, new, old):
+        """skip_nonfinite_updates for the GAN phases (same semantics as the
+        base trainer's guard, trainer.py _train_step)."""
+        if not self.skip_nonfinite:
+            return new
+        grad_sq = sum(jnp.sum(jnp.square(g))
+                      for g in jax.tree_util.tree_leaves(grads))
+        ok = jnp.isfinite(grad_sq)
+        detail["skipped_nonfinite"] = (1.0 - ok.astype(jnp.float32))
+        return tuple(jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), n, o)
+            for n, o in zip(new, old))
+
     def _vae_step(self, state: GanState, feats, spks, rng):
         step_rng = jax.random.fold_in(rng, state.step)
+        if self._renorm is not None:
+            # reference training dynamics: normalized plain-VQ codebooks are
+            # renormed at the top of every generator step (trainer.py)
+            state = state.replace(params=self._renorm(state.params))
 
         def loss_fn(params):
             xhat, loss, detail, mut = self._g_forward(params, state.ema,
@@ -120,6 +142,11 @@ class GanTrainer(Trainer):
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
+        detail = dict(detail)
+        params, opt_state, mut = self._guard(
+            grads, detail, (params, opt_state, mut),
+            (state.params, state.opt_state,
+             {k: state.ema[k] for k in mut}))
         return state.replace(step=state.step + 1, params=params,
                              ema={**state.ema, **mut},
                              opt_state=opt_state), detail
@@ -161,6 +188,8 @@ class GanTrainer(Trainer):
 
     def _gen_step(self, state: GanState, feats, spks, rng):
         step_rng = jax.random.fold_in(rng, state.step)
+        if self._renorm is not None:
+            state = state.replace(params=self._renorm(state.params))
 
         def loss_fn(params):
             xhat, loss, detail, mut = self._g_forward(params, state.ema,
@@ -177,6 +206,11 @@ class GanTrainer(Trainer):
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
+        detail = dict(detail)
+        params, opt_state, mut = self._guard(
+            grads, detail, (params, opt_state, mut),
+            (state.params, state.opt_state,
+             {k: state.ema[k] for k in mut}))
         return state.replace(step=state.step + 1, params=params,
                              ema={**state.ema, **mut},
                              opt_state=opt_state), detail
@@ -252,18 +286,24 @@ class GanTrainer(Trainer):
             logging.getLogger("vae_npvc_tpu.train").warning(
                 "weight-norm axis migration applied: generator optimizer "
                 "moments re-initialized (round-2-format checkpoint)")
+        # basic-Trainer or torch-converted payloads carry no GAN pieces:
+        # fall back to the freshly-initialized discriminator/optimizers
+        # (fine-tune-with-adversary from a plain-VAE pretrain checkpoint)
         new = GanState(
             step=jnp.asarray(payload["iteration"], jnp.int32),
             params=params,
             ema=serialization.from_state_dict(state.ema,
                                               payload.get("ema", {})),
-            opt_state=(self.tx.init(params) if wn_migrated else
+            opt_state=(self.tx.init(params)
+                       if wn_migrated or not payload.get("optimizer_G") else
                        serialization.from_state_dict(state.opt_state,
                                                      payload["optimizer_G"])),
-            d_params=serialization.from_state_dict(state.d_params,
-                                                   payload["discriminator"]),
-            d_opt_state=serialization.from_state_dict(state.d_opt_state,
-                                                      payload["optimizer_D"]),
+            d_params=(serialization.from_state_dict(state.d_params,
+                                                    payload["discriminator"])
+                      if payload.get("discriminator") else state.d_params),
+            d_opt_state=(serialization.from_state_dict(
+                state.d_opt_state, payload["optimizer_D"])
+                if payload.get("optimizer_D") else state.d_opt_state),
         )
         self.state = jax.device_put(new, self.repl)
         self._host_iter = int(payload.get("host_iteration",

@@ -283,8 +283,8 @@ class PwgTrainer:
         # batches not divisible by the mesh fall back to replicated inputs
         # (GSPMD still computes correctly; the data-parallel speedup just
         # doesn't apply to that batch)
-        n_dev = self.mesh.devices.size
-        sh = (self.batch_sharding if wavs.shape[1] % n_dev == 0
+        n_data = dict(self.mesh.shape).get("data", self.mesh.devices.size)
+        sh = (self.batch_sharding if wavs.shape[1] % n_data == 0
               else self.repl)
         wavs, mels = (jax.device_put(a, sh) for a in (wavs, mels))
         offset = jnp.asarray(self._host_step, jnp.int32)

@@ -71,6 +71,7 @@ class Trainer:
         self._compiled = {}
         self._warned_shard = False
         self._batch_spec = None   # ((trailing shape, dtype), ...) from init
+        self._host_iter = 0       # mirrors state.step without a device sync
         self.skip_nonfinite = config.get("skip_nonfinite_updates", True)
 
     def shard_batch(self, batch):
@@ -84,12 +85,25 @@ class Trainer:
         rows; the global batch is assembled across hosts in process order via
         ``make_array_from_process_local_data`` (each host's loader owns an
         utterance shard — the SPMD replacement for the reference's per-node
-        Kaldi job arrays, SURVEY.md §2.4).  All hosts must call this in
-        lockstep; the fast/fallback branch decision is made from an
-        allgathered shape vector so it is identical on every host even when
-        local row counts differ (see :meth:`_assemble_multihost`).
+        Kaldi job arrays, SURVEY.md §2.4). The divisible path is
+        COLLECTIVE-FREE (metadata-only assembly), so it is safe from the
+        prefetch producer thread — training batches (drop_last) always take
+        it. An indivisible local batch falls back to the lockstep collective
+        assembly (:meth:`_assemble_multihost`), which every host must enter
+        together from its MAIN thread — that is how :meth:`valid` drains
+        ragged per-host streams; don't route ragged batches through a
+        free-running prefetch queue (cross-host programs must be enqueued in
+        the same order on every process).
         """
         if jax.process_count() > 1:
+            n_local = (len(self.mesh.local_devices) * self.mesh.shape["data"]
+                       // self.mesh.size)
+            b_local = batch[0].shape[0]
+            if b_local > 0 and b_local % n_local == 0:
+                return tuple(
+                    jax.make_array_from_process_local_data(
+                        self.batch_sharding, np.asarray(a))
+                    for a in batch)
             global_batch, total = self._assemble_multihost(batch)
             if total == 0:
                 raise ValueError("shard_batch: empty batch on every host")
@@ -187,6 +201,7 @@ class Trainer:
         self._batch_spec = tuple(
             (tuple(np.asarray(a).shape[1:]), np.asarray(a).dtype)
             for a in example_batch)
+        self._host_iter = 0
         example = tuple(
             jnp.zeros((1,) + tuple(np.asarray(a).shape[1:]),
                       jnp.asarray(a).dtype)
@@ -291,6 +306,7 @@ class Trainer:
             batch = self.shard_batch(batch)
         step = self._get_compiled("train", self._train_step, donate=(0,))
         self.state, detail = step(self.state, tuple(batch), self.base_rng)
+        self._host_iter += 1
         return detail
 
     def valid(self, batches):
@@ -345,7 +361,10 @@ class Trainer:
 
     @property
     def iteration(self):
-        return int(self.state.step) if self.state is not None else 0
+        # host-side mirror of state.step: int(state.step) would block on the
+        # step's execution, re-adding one device->host fence per step (the
+        # training loop reads this after every train_step)
+        return self._host_iter
 
     # ------------------------------------------------------------- checkpoint
     def save_checkpoint(self, path):
@@ -392,6 +411,7 @@ class Trainer:
         state = TrainState(step=jnp.asarray(iteration, jnp.int32),
                            params=params, ema=ema, opt_state=opt_state)
         self.state = jax.device_put(state, self._state_shardings(state))
+        self._host_iter = iteration
         return iteration
 
     def get_model_info(self):
