@@ -209,3 +209,19 @@ class TestExternalVocoderDispatch:
     def test_legacy_alias(self):
         from vae_npvc_tpu.infer import vocoder
         assert vocoder.pwg_decode_scp is vocoder.external_decode_scp
+
+
+def test_skl_loss_penalizes_mean_separation_at_small_variance():
+    """Reference bug fixed (layers.py:278-281): the symmetric Gaussian KL
+    must multiply the squared mean gap by (1/v1 + 1/v2); the reference
+    divides, making mean separation vanish at small variances."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_npvc_tpu.ops.losses import skl_loss
+
+    lv = jnp.log(jnp.asarray([1e-4]))
+    mu1, mu2 = jnp.asarray([0.0]), jnp.asarray([1.0])
+    got = float(skl_loss(mu1, lv, mu2, lv))
+    np.testing.assert_allclose(got, 0.5 * (2.0 - 2.0 + 1.0 * 2e4), rtol=1e-6)
+    assert float(skl_loss(mu1, lv, mu1, lv)) == 0.0

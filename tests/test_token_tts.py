@@ -500,3 +500,60 @@ class TestSpeakerEmbeddingMode:
         assert "Synthesized 3" in capsys.readouterr().out
         mats = dict(kaldi_io.read_ark(f"scp:{dec}/feats.scp"))
         assert sorted(mats) == ["u00", "u01", "u02"]
+
+
+def test_conv_backbone_padded_equals_unpadded():
+    """The default conv backbone must honor the padded==unpadded contract
+    too: ConvResStack masks only its stats/output, so the model masks the
+    conv INPUTS — a regression here pulled nonzero padding biases into
+    valid frames through the dilated convs (round-3 review finding,
+    verified at max-abs-diff 0.37 before the fix)."""
+    import jax.numpy as jnp
+
+    from vae_npvc_tpu.models import build_model
+
+    model = build_model(CFG)   # block_type: conv (default)
+    rng = np.random.default_rng(0)
+    L, Lpad = 5, 10
+    toks = rng.integers(0, 8, (1, L)).astype(np.int32)
+    durs = rng.integers(2, 4, (1, L)).astype(np.int32)
+    T = int(durs.sum())
+    mel = rng.normal(size=(1, T, 6)).astype(np.float32)
+    y = np.array([1], np.int32)
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(toks), jnp.asarray(durs),
+        jnp.asarray(mel), jnp.asarray(y),
+        jnp.asarray([L], jnp.int32), jnp.asarray([T], jnp.int32),
+        train=True)
+    out_unpad, _, _ = model.apply(
+        variables, jnp.asarray(toks), jnp.asarray(durs),
+        jnp.asarray(mel), jnp.asarray(y),
+        jnp.asarray([L], jnp.int32), jnp.asarray([T], jnp.int32),
+        train=False)
+
+    toks_p = np.zeros((1, Lpad), np.int32); toks_p[:, :L] = toks
+    durs_p = np.zeros((1, Lpad), np.int32); durs_p[:, :L] = durs
+    mel_p = np.zeros((1, T + 16, 6), np.float32); mel_p[:, :T] = mel
+    out_pad, _, _ = model.apply(
+        variables, jnp.asarray(toks_p), jnp.asarray(durs_p),
+        jnp.asarray(mel_p), jnp.asarray(y),
+        jnp.asarray([L], jnp.int32), jnp.asarray([T], jnp.int32),
+        train=False)
+    np.testing.assert_allclose(np.asarray(out_pad)[:, :T],
+                               np.asarray(out_unpad)[:, :T],
+                               rtol=1e-5, atol=1e-5)
+
+    # mel axis padded but token axis exactly at bucket length: beyond
+    # sum(durs), length_regulate repeats the LAST (valid, nonzero) token
+    # encoding — frames must be masked before the variance predictors, or
+    # their kernel-3 convs leak the repeated tail into the last valid frames
+    mel_p2 = np.zeros((1, T + 16, 6), np.float32); mel_p2[:, :T] = mel
+    out_pad2, _, _ = model.apply(
+        variables, jnp.asarray(toks), jnp.asarray(durs),
+        jnp.asarray(mel_p2), jnp.asarray(y),
+        jnp.asarray([L], jnp.int32), jnp.asarray([T], jnp.int32),
+        train=False)
+    np.testing.assert_allclose(np.asarray(out_pad2)[:, :T],
+                               np.asarray(out_unpad)[:, :T],
+                               rtol=1e-5, atol=1e-5)

@@ -133,11 +133,13 @@ class Tacotron2Net(nn.Module):
 
     Documented deviations (stateless-TPU choices): LayerNorm replaces
     batchnorm in the encoder convs (``use-batch-norm``; same stabilization
-    role, no cross-batch state); prenet dropout and LSTM zoneout draw from
-    the ``vq`` rng collection and are active whenever that rng is provided
-    (the trainer provides it at train time) — at inference the prenet is
-    deterministic unless the caller passes an rng, where ESPnet keeps
-    dropout always-on.
+    role, no cross-batch state). Stochasticity draws from the ``vq`` rng
+    collection with ESPnet's per-site gating: PRENET dropout is active
+    whenever that rng is provided (ESPnet keeps prenet dropout on even at
+    inference — pass an rng to ``infer`` to reproduce that); LSTM zoneout
+    and encoder-conv dropout are additionally gated on ``train`` (ESPnet
+    disables both in eval mode). Without an rng everything is
+    deterministic.
     """
     cfg: Mapping[str, Any]
     mel_dim: int
@@ -504,6 +506,11 @@ class Model(nn.Module):
                                      fused_attention=self.fused_attn,
                                      name=f"enc_{j}")(h, tok_mask)
         else:
+            # padded==unpadded contract: the embed/speaker biases make
+            # padded positions nonzero, and ConvResStack masks only its
+            # stats/output — zero the conv INPUT too, like the transformer
+            # branch, or dilated convs pull padding into valid frames
+            h = h * tok_mask.astype(h.dtype)
             for j in range(self.enc_stacks):
                 h = ConvResStack(self.hidden, 3, layers=1,
                                  dilation=2 ** (j % 3), dtype=self.dtype,
@@ -522,6 +529,11 @@ class Model(nn.Module):
 
         mel_lens = jnp.minimum(jnp.sum(durs, axis=1), mel_frames)
         mel_mask = length_mask(mel_lens, mel_frames)
+        # padded==unpadded at the frame axis: length_regulate fills frames
+        # beyond sum(durs) with the LAST token's (valid, nonzero) encoding
+        # when the token axis has no padding — mask them here so the
+        # variance predictors' kernel-3 convs don't read past mel_lens
+        frames = frames * mel_mask.astype(frames.dtype)
 
         # ----------------------------------------------- variance adaptor
         pitch_pred = energy_pred = None
@@ -553,6 +565,7 @@ class Model(nn.Module):
                                      fused_attention=self.fused_attn,
                                      name=f"dec_{j}")(h, mel_mask)
         else:
+            h = h * mel_mask.astype(h.dtype)
             for j in range(self.dec_stacks):
                 h = ConvResStack(self.hidden, 3, layers=1,
                                  dilation=2 ** (j % 3), dtype=self.dtype,

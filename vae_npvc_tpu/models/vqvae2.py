@@ -40,10 +40,11 @@ from ..ops import vq as vq_ops
 from ..ops.jitter import jitter as jitter_op
 from ..ops.losses import log_loss
 from ..ops.upsample import nearest_upsample, nearest_upsample_masked
+from .hier_common import HierVQMixin
 from .vqvae import Decoder, Encoder
 
 
-class Model(nn.Module):
+class Model(HierVQMixin, nn.Module):
     arch: Mapping[str, Any]
     dtype: Any = jnp.float32
 
@@ -108,38 +109,6 @@ class Model(nn.Module):
     def _is_gst_level(self, i):
         return self.use_gst and i == self.levels - 1
 
-    def _quantize(self, i, z, train):
-        """VQ level i (never the GST level). Returns (z_vq, qut, enc, detail)."""
-        z = z.astype(jnp.float32)
-        q = self.q_args[i]
-        if self.use_ema:
-            rng = (self.make_rng("vq") if train else jax.random.PRNGKey(0))
-            z_vq, qut, enc, new_state, detail = vq_ops.ema_vq_forward(
-                self.ema_states[i].value, z, rng, mu=q.get("mu", 0.9),
-                threshold=q.get("threshold", 1.0), reduction="frame_mean",
-                training=train, update=train)
-            if train and not self.is_initializing():
-                self.ema_states[i].value = new_state
-            return z_vq, qut, enc, detail
-        return vq_ops.vq_forward(self.vq_embs[i], z,
-                                 normalize=q.get("normalize", False),
-                                 reduction="frame_mean")
-
-    def _vq_encode(self, i, z):
-        if self.use_ema:
-            return vq_ops.ema_vq_encode(self.ema_states[i].value,
-                                        z.astype(jnp.float32))
-        return vq_ops.vq_encode(self.vq_embs[i], z.astype(jnp.float32),
-                                normalize=self.q_args[i].get("normalize",
-                                                             False))
-
-    def _vq_decode(self, i, idx):
-        if self.use_ema:
-            return vq_ops.ema_vq_decode(self.ema_states[i].value, idx)
-        return vq_ops.vq_decode(self.vq_embs[i], idx,
-                                normalize=self.q_args[i].get("normalize",
-                                                             False))
-
     def _encode_levels(self, x, lengths=None):
         """Bottom-up encoder sweep → (z per level, padded time per level incl.
         T_x, real length per level or Nones)."""
@@ -155,23 +124,6 @@ class Model(nn.Module):
                                     len_levels[-1])
                 if lengths is not None else None)
         return z_levels, time_levels, len_levels
-
-    @staticmethod
-    def _masked_mean(z, lengths):
-        """Time-mean respecting real lengths (the GST reference embedding —
-        with padding an unmasked mean would shift the style)."""
-        if lengths is None:
-            return jnp.mean(z, axis=1)
-        mask = (jnp.arange(z.shape[1])[None, :]
-                < lengths[:, None]).astype(z.dtype)
-        denom = jnp.maximum(lengths, 1).astype(z.dtype)[:, None]
-        return jnp.sum(z * mask[..., None], axis=1) / denom
-
-    @staticmethod
-    def _upsample(z, t, in_len, out_len):
-        if in_len is None or out_len is None:
-            return nearest_upsample(z, t)
-        return nearest_upsample_masked(z, t, in_len, out_len)
 
     # ---------------------------------------------------------------- forward
     def __call__(self, x, y_idx, train: bool = True):
@@ -245,7 +197,8 @@ class Model(nn.Module):
         for i in reversed(range(self.levels)):
             if self._is_gst_level(i):
                 style = self.gst_layer(self._masked_mean(
-                    z_.astype(jnp.float32), len_levels[i + 1]))
+                    z_.astype(jnp.float32), len_levels[i + 1],
+                    keepdims=False))
                 z_vq = style[:, None, :]
                 in_len = (None if lengths is None else
                           jnp.ones_like(len_levels[i + 1]))

@@ -34,10 +34,11 @@ from ..ops import vq as vq_ops
 from ..ops.jitter import jitter as jitter_op
 from ..ops.losses import log_loss
 from ..ops.upsample import nearest_upsample, nearest_upsample_masked
+from .hier_common import HierVQMixin
 from .vqvae import Decoder, Encoder
 
 
-class Model(nn.Module):
+class Model(HierVQMixin, nn.Module):
     arch: Mapping[str, Any]
     dtype: Any = jnp.float32
 
@@ -125,40 +126,6 @@ class Model(nn.Module):
     def _qkey(self, i):
         return i if self.use_quantizers else -1
 
-    def _quantize(self, i, z, train):
-        z = z.astype(jnp.float32)
-        q = self.q_args[i]
-        k = self._qkey(i)
-        if self.use_ema:
-            rng = (self.make_rng("vq") if train else jax.random.PRNGKey(0))
-            z_vq, qut, enc, new_state, detail = vq_ops.ema_vq_forward(
-                self.ema_states[k].value, z, rng, mu=q.get("mu", 0.9),
-                threshold=q.get("threshold", 1.0), reduction="frame_mean",
-                training=train, update=train)
-            if train and not self.is_initializing():
-                self.ema_states[k].value = new_state
-            return z_vq, qut, enc, detail
-        return vq_ops.vq_forward(self.vq_embs[k], z,
-                                 normalize=q.get("normalize", False),
-                                 reduction="frame_mean")
-
-    def _vq_encode(self, i, z):
-        k = self._qkey(i)
-        if self.use_ema:
-            return vq_ops.ema_vq_encode(self.ema_states[k].value,
-                                        z.astype(jnp.float32))
-        return vq_ops.vq_encode(self.vq_embs[k], z.astype(jnp.float32),
-                                normalize=self.q_args[i].get("normalize",
-                                                             False))
-
-    def _vq_decode(self, i, idx):
-        k = self._qkey(i)
-        if self.use_ema:
-            return vq_ops.ema_vq_decode(self.ema_states[k].value, idx)
-        return vq_ops.vq_decode(self.vq_embs[k], idx,
-                                normalize=self.q_args[i].get("normalize",
-                                                             False))
-
     def _embed(self, i, y_idx):
         table = self.embeds[i] if self.use_embeds else self.embed
         return table(y_idx)[:, None, :]           # (B, 1, y_dim)
@@ -177,22 +144,6 @@ class Model(nn.Module):
                 cur = jnp.ones_like(cur)
             lens.append(cur)
         return lens
-
-    @staticmethod
-    def _masked_mean(z, lengths, keepdims=True):
-        if lengths is None:
-            return jnp.mean(z, axis=1, keepdims=keepdims)
-        mask = (jnp.arange(z.shape[1])[None, :]
-                < lengths[:, None]).astype(z.dtype)
-        denom = jnp.maximum(lengths, 1).astype(z.dtype)[:, None]
-        out = jnp.sum(z * mask[..., None], axis=1) / denom
-        return out[:, None, :] if keepdims else out
-
-    @staticmethod
-    def _upsample(z, t, in_len, out_len):
-        if in_len is None or out_len is None:
-            return nearest_upsample(z, t)
-        return nearest_upsample_masked(z, t, in_len, out_len)
 
     def _encode_quantize(self, x, train, collect_losses, lengths=None):
         """Bottom-up sweep → list of z_vq per level (+ losses when training)."""

@@ -33,16 +33,7 @@ import jax.numpy as jnp
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def _round_up(x, m):
-    return -(-x // m) * m
-
-
-def available():
-    """True when the compiled kernel can run (TPU backend present)."""
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+from .pallas_common import available, round_up as _round_up  # noqa: F401
 
 
 # --------------------------------------------------------------- forward

@@ -61,7 +61,14 @@ def kl_loss(mu, lv):
 
 
 def skl_loss(mu1, lv1, mu2, lv2):
-    """Symmetric Gaussian KL, summed (layers.py:278-281)."""
+    """Symmetric Gaussian KL, summed.
+
+    Reference bug fixed (layers.py:278-281 divides the squared mean gap by
+    ``1/v1 + 1/v2`` — i.e. multiplies it by the harmonic mean of the
+    variances — so mean separation *vanishes* exactly when variances are
+    small; the correct symmetric KL multiplies by ``1/v1 + 1/v2``). Unused
+    by shipped configs (part of the Gaussian-VAE toolkit the reference also
+    never calls), so no parity flag is needed."""
     v1, v2 = jnp.exp(lv1), jnp.exp(lv2)
     return 0.5 * jnp.sum(v2 / v1 + v1 / v2 - 2.0
-                         + (mu1 - mu2) ** 2 / (1.0 / v1 + 1.0 / v2))
+                         + (mu1 - mu2) ** 2 * (1.0 / v1 + 1.0 / v2))

@@ -31,8 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _round_up(x, m):
-    return -(-x // m) * m
+from .pallas_common import available, round_up as _round_up  # noqa: F401
 
 
 def _vq_kernel(z_ref, emb_ref, embt_ref, idx_ref, zq_ref, sum_ref, cnt_ref,
@@ -156,10 +155,3 @@ def vq_fused(z_flat, emb, *, tile_n=256, interpret=False):
     )(z_flat, emb, emb.T)
     return idx[:N, 0], zq[:N], bsum, bcnt[:, 0]
 
-
-def available():
-    """True when the compiled kernel can run (TPU backend present)."""
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
