@@ -66,3 +66,51 @@ def test_decode_hierarchical(tmp_path):
     assert mats["u0"].shape == (16, 10)
     assert mats["u2"].shape == (24, 10)
     assert all(np.all(np.isfinite(m)) for m in mats.values())
+
+
+def test_multi_target_trials_per_level_speakers(tmp_path):
+    """A trials line 'utt spkA spkB' conditions level i on speaker i for
+    families with per-level speakers (reference vqvae2b.py:78); rows with
+    fewer targets repeat the last, and 'utt 1' equals 'utt 1 1'."""
+    cfg = hier_cfg()
+    cfg["model_type"] = "vae_npvc.model.vqvae2b"
+    cfg["decoder.0"] = dict(cfg["decoder.0"], in_channels=[8],
+                            final_channels=10)
+    cfg["decoder.1"] = dict(cfg["decoder.1"], final_channels=10)
+    cfg["final_decoder"] = {"in_channels": [20], "out_channels": [16],
+                            "cond_channels": 0, "skip_channels": 8,
+                            "final_channels": 10, "kernel_size": 3,
+                            "upsample_scales": [1], "dilation": False,
+                            "stack_kernel_size": 3, "stacks": [1],
+                            "use_weight_norm": True}
+    tr = Trainer(cfg)
+    rng = np.random.default_rng(1)
+    batch = (rng.normal(size=(2, 16, 10)).astype(np.float32),
+             np.zeros((2,), np.int32))
+    tr.init_state(batch)
+    tr.train_step(batch)
+    ck = tmp_path / "m.ckpt"
+    tr.save_checkpoint(ck)
+
+    def run(trial_line):
+        d = tmp_path / f"dec_{abs(hash(trial_line))}"
+        d.mkdir()
+        with kaldi_io.ArkWriter(d / "f.ark", d / "feats.scp") as w:
+            w.write("u0", rng2.normal(size=(16, 10)).astype(np.float32))
+        (d / "trials").write_text(trial_line + "\n")
+        out = tmp_path / f"out_{abs(hash(trial_line))}"
+        cv = Converter(cfg)
+        cv.load_checkpoint(str(ck))
+        cv.decode(d, out, compress=False)
+        return kaldi_io.load_mat(kaldi_io.read_scp(out / "feats.scp")["u0"])
+
+    rng2 = np.random.default_rng(2)
+    a = run("u0 1 2")
+    rng2 = np.random.default_rng(2)
+    b = run("u0 1 1")
+    rng2 = np.random.default_rng(2)
+    c = run("u0 1")
+    # per-level control is real: (1,2) differs from (1,1)
+    assert np.abs(a - b).max() > 1e-4
+    # a single target repeats across levels == explicit (1,1)
+    np.testing.assert_allclose(c, b, rtol=1e-5, atol=1e-5)

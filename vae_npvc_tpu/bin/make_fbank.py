@@ -20,7 +20,7 @@ import numpy as np
 
 def make_fbank(data_dir, out_dir, *, fs, n_fft, n_shift, n_mels=80,
                fmin=None, fmax=None, win_length=None, batch_frames=200000,
-               compress=False, pitch=False):
+               compress=False, pitch=False, group_utts=512):
     """``pitch=True`` appends the 3-dim Kaldi-style pitch features
     [pov, normalized-log-pitch, delta-pitch] per frame — the in-framework
     ``make_fbank_pitch.sh`` (reference eval-ASR feature chain,
@@ -46,8 +46,8 @@ def make_fbank(data_dir, out_dir, *, fs, n_fft, n_shift, n_mels=80,
             b <<= 1
         return b
 
-    items = []
-    for utt, entry in wav_scp.items():
+    def load(utt_entry):
+        utt, entry = utt_entry
         sr, x = kaldi_io.read_wav_scp_entry(entry)
         if x.ndim > 1:
             x = x.mean(axis=1)
@@ -56,12 +56,19 @@ def make_fbank(data_dir, out_dir, *, fs, n_fft, n_shift, n_mels=80,
             # sox pipes in wav.scp, generate_vctk_list.py:54; no sox needed)
             from ..data.features import resample
             x = resample(x, sr, fs)
-        items.append((utt, x))
+        return utt, x
 
+    # stream in bounded groups: decoding the whole corpus up front would
+    # need tens of GB of host RAM at real-corpus scale (the Kaldi job array
+    # this replaces streams). Bucket shapes are powers of two, so the jit
+    # cache is shared across groups.
+    entries = list(wav_scp.items())
     n_written = 0
     with kaldi_io.ArkWriter(out_dir / "feats_raw.ark", out_dir / "feats.scp",
                             compression_method=1 if compress else None) as w, \
             open(out_dir / "utt2num_frames", "w") as unf:
+      for glo in range(0, len(entries), group_utts):
+        items = [load(e) for e in entries[glo:glo + group_utts]]
         buckets: dict[int, list] = {}
         for utt, x in items:
             buckets.setdefault(bucket_samples(len(x)), []).append((utt, x))

@@ -54,8 +54,10 @@ def main():
     parser.add_argument("data_dir", type=str)
     parser.add_argument("train_data_dir", type=str)
     parser.add_argument("valid_data_dir", type=str)
-    parser.add_argument("-nt", "--num_training_data", type=int, default=None)
-    parser.add_argument("-nv", "--num_validation_data", type=int, default=None)
+    parser.add_argument("-nt", "--num_training_data", type=int,
+                        required=True)
+    parser.add_argument("-nv", "--num_validation_data", type=int,
+                        required=True)
     parser.add_argument("--seed", type=int, default=None)
     args = parser.parse_args()
     subset(args.data_dir, args.train_data_dir, args.valid_data_dir,

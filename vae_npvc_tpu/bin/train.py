@@ -130,6 +130,12 @@ def train(args):
     profile_dir = getattr(args, "profile_dir", None)
     profiling = False
 
+    if iteration > max_iter:
+        # a finished run re-invoked (e.g. --checkpoint auto after
+        # completion) must be a no-op, not train one extra step
+        logger.info(f"Resumed at iteration {iteration} > max_iter "
+                    f"{max_iter}; nothing to train")
+        train_iter = ()
     for batch in train_iter:
         if profile_dir and not profiling and trainer.iteration >= 2:
             # skip the compile steps, then trace one log interval
@@ -194,12 +200,14 @@ def train(args):
                     f"{np.mean(best_loss[check_loss_kind]):.6f})")
     else:
         # no validation set: the final state is the best we know of
-        final = output_dir / f"iter.{iteration}"
+        # (trainer.iteration, not the loop counter — a no-op rerun must
+        # point at the existing final checkpoint, not invent a new one)
+        final = output_dir / f"iter.{trainer.iteration}"
         if not final.exists():
             trainer.save_checkpoint(final)
         copyfile(str(final), str(output_dir / "model.loss.best"))
         logger.info(f"No validation set; model.loss.best = iteration "
-                    f"{iteration}")
+                    f"{trainer.iteration}")
     logger.info("Finished")
 
 

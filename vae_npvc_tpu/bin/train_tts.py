@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import time
 from pathlib import Path
 from shutil import copyfile
@@ -62,9 +63,24 @@ def train(args):
     train_log: dict[str, list] = {}
     best_loss = {check_loss_kind: np.inf}
     best_iter = 0
+    # best-so-far survives preemption resumes, like bin/train.py's sidecar
+    best_file = output_dir / "best.json"
+    if args.checkpoint and best_file.exists():
+        try:
+            prev = json.loads(best_file.read_text())
+            if (prev.get("check_loss_kind") == check_loss_kind
+                    and prev.get("iteration", 0) < iteration
+                    and (output_dir / f"iter.{prev['iteration']}").exists()):
+                best_iter = int(prev["iteration"])
+                best_loss = {k: float(v) for k, v in prev["loss"].items()}
+                logger.info(f"Best-so-far restored: iteration {best_iter}")
+        except (ValueError, KeyError, TypeError):
+            logger.warning(f"could not parse {best_file}; best restarts")
     t_log = time.time()
 
-    for batch in train_set.batches(batch_size, shuffle=True, seed=seed):
+    batches = (train_set.batches(batch_size, shuffle=True, seed=seed)
+               if iteration <= max_iter else ())  # finished run reruns as no-op
+    for batch in batches:
         detail = trainer.train_step(batch)
         iteration = trainer.iteration
         for k, v in detail.items():
@@ -89,7 +105,13 @@ def train(args):
                     batch_size, shuffle=False, epochs=1))
                 check = np.mean(detail[check_loss_kind])
                 if np.mean(best_loss[check_loss_kind]) >= check:
-                    best_loss, best_iter = detail, iteration
+                    best_loss = {k: float(np.mean(v))
+                                 for k, v in detail.items()}
+                    best_iter = iteration
+                    best_file.write_text(json.dumps(
+                        {"iteration": best_iter,
+                         "check_loss_kind": check_loss_kind,
+                         "loss": best_loss}, indent=1))
                 logger.info(f"Valid {iteration}:" + "".join(
                     f"  {k}: {np.mean(v):.6f}" for k, v in detail.items()))
             t_log = time.time()
@@ -103,12 +125,12 @@ def train(args):
         logger.info(f"Best model: iteration {best_iter}")
     else:
         # no validation set: the final state is the best we know of
-        final = output_dir / f"iter.{iteration}"
+        final = output_dir / f"iter.{trainer.iteration}"
         if not final.exists():
             trainer.save_checkpoint(final)
         copyfile(str(final), str(output_dir / "model.loss.best"))
         logger.info(f"No validation set; model.loss.best = iteration "
-                    f"{iteration}")
+                    f"{trainer.iteration}")
     logger.info("Finished")
 
 

@@ -89,8 +89,13 @@ class BnfExtractor:
         self.variables = {"params": params, **ema}
         return payload.get("iteration", 0)
 
-    def _encode_batch(self, feats, lengths):
-        """(B, T, D), (B,) → list of per-utterance id arrays (true length)."""
+    def _encode_batch(self, feats, lengths, n_valid=None):
+        """(B, T, D), (B,) → list of per-utterance id arrays (true length).
+
+        ``n_valid``: real rows in the batch (the hierarchical branch runs
+        per-utterance eager encodes — no reason to encode fixed-batch pad
+        rows whose results are discarded; the flat branch keeps the full
+        padded batch for one compiled shape per bucket)."""
         import jax.numpy as jnp
 
         from ..models.vqvae import Encoder
@@ -107,7 +112,7 @@ class BnfExtractor:
         # the hierarchy's total downsampling keep their padding (with the
         # real length threaded) so no level's time axis is empty.
         outs = []
-        for b in range(feats.shape[0]):
+        for b in range(feats.shape[0] if n_valid is None else n_valid):
             T = max(int(lengths[b]), self.min_frames)
             enc = self.model.apply(
                 self.variables, jnp.asarray(feats[b:b + 1, :T]),
@@ -147,7 +152,8 @@ class BnfExtractor:
                 for b, (utt, feat) in enumerate(chunk):
                     feats[b, :feat.shape[0]] = feat
                     lengths[b] = feat.shape[0]
-                id_list = self._encode_batch(feats, lengths)
+                id_list = self._encode_batch(feats, lengths,
+                                             n_valid=len(chunk))
                 for (utt, _), ids in zip(chunk, id_list):
                     results[utt] = ids
 

@@ -287,7 +287,6 @@ class Converter:
                                []).append(job)
 
         wspec = f"ark,scp:{output_dir}/feats.ark,{output_dir}/feats.scp"
-        results = {}
         n_done = 0
         with kaldi_io.write_helper(
                 wspec, compression_method=1 if compress else None) as wf:
@@ -299,11 +298,19 @@ class Converter:
                     D = kaldi_io.matrix_header(chunk[0][1])[1]
                     feats = np.zeros((B, T_pad, D), np.float32)
                     lengths = np.zeros((B,), np.int32)
-                    tgts = np.zeros((B,), np.int32)
+                    # multi-target trials lines carry PER-LEVEL speaker ids
+                    # for the hierarchical families ("utt spkA spkB spkC" →
+                    # level i conditioned on speaker i, reference
+                    # vqvae2a.py:111/vqvae2b.py:78); rows with fewer targets
+                    # repeat the last one, and single-speaker families read
+                    # column 0 — identical to the old behavior for K == 1
+                    K = max(len(j[3]) for j in chunk)
+                    tgts = np.zeros((B, K), np.int32)
                     for b, (utt, rx, T, tgt) in enumerate(chunk):
                         feats[b, :T] = kaldi_io.load_mat(rx)
                         lengths[b] = T
-                        tgts[b] = tgt[0]   # flat model uses first target
+                        tgts[b] = [tgt[min(j, len(tgt) - 1)]
+                                   for j in range(K)]
                     lengths = np.maximum(lengths, 1)
                     out = self._infer_with_fallback(feats, tgts, lengths)
                     for b, (utt, rx, T, tgt) in enumerate(chunk):

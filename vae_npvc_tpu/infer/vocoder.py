@@ -133,6 +133,23 @@ def jpwg_receptive_frames(config) -> int:
     return -(-rf_samples // hop) + up_frames
 
 
+def _chunk_apply_jit(gen):
+    """Per-generator cached jit wrapper: a fresh ``jax.jit(lambda ...)`` per
+    call would recompile the identical executable for every utterance (all
+    chunk windows share one shape)."""
+    import jax
+
+    fn = _CHUNK_JIT_CACHE.get(id(gen))
+    if fn is None:
+        fn = jax.jit(lambda params, zz, cc: gen.apply({"params": params},
+                                                      zz, cc))
+        _CHUNK_JIT_CACHE[id(gen)] = fn
+    return fn
+
+
+_CHUNK_JIT_CACHE: dict = {}
+
+
 def jpwg_synthesize_chunked(gen, params, mel, z, *, chunk_frames: int,
                             halo_frames: int, hop: int):
     """Long-utterance synthesis in fixed-size chunks with halo overlap.
@@ -150,10 +167,10 @@ def jpwg_synthesize_chunked(gen, params, mel, z, *, chunk_frames: int,
     T = mel.shape[0]
     step = chunk_frames
     padded = chunk_frames + 2 * halo_frames
-    apply_jit = jax.jit(lambda zz, cc: gen.apply({"params": params}, zz, cc))
+    apply_jit = _chunk_apply_jit(gen)
     if T <= padded:
         # shorter than one padded window: single full-length pass
-        return np.asarray(apply_jit(jnp.asarray(z[None]),
+        return np.asarray(apply_jit(params, jnp.asarray(z[None]),
                                     jnp.asarray(mel[None])))[0, :, 0]
     out = np.zeros((T * hop,), np.float32)
     for a in range(0, T, step):
@@ -165,7 +182,7 @@ def jpwg_synthesize_chunked(gen, params, mel, z, *, chunk_frames: int,
         lo = min(max(a - halo_frames, 0), T - padded)
         hi = lo + padded
         wav = np.asarray(apply_jit(
-            jnp.asarray(z[None, lo * hop:hi * hop]),
+            params, jnp.asarray(z[None, lo * hop:hi * hop]),
             jnp.asarray(mel[None, lo:hi])))[0, :, 0]
         out[a * hop:b * hop] = wav[(a - lo) * hop:(b - lo) * hop]
     return out
