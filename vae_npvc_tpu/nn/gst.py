@@ -45,7 +45,8 @@ class MultiHeadedAttention(nn.Module):
         if lengths is not None and mask is None and q.shape == k.shape:
             from ..ops import attention_pallas
             if self.fused == "interpret" or (self.fused == "auto"
-                                             and attention_pallas.available()):
+                                             and attention_pallas
+                                             .compiled_ok()):
                 x = attention_pallas.fused_attention(
                     q, k, v, lengths,
                     interpret=(self.fused == "interpret"))

@@ -35,6 +35,32 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 from .pallas_common import available, round_up as _round_up  # noqa: F401
 
+_PROBE_OK = None
+
+
+def compiled_ok():
+    """available() plus a one-time tiny compile probe of the kernel.
+
+    'auto' callers gate on this instead of available() so a Mosaic compile
+    failure on some backend degrades gracefully to the stock XLA path
+    instead of aborting the caller's whole jit."""
+    global _PROBE_OK
+    if _PROBE_OK is None:
+        if not available():
+            return False   # don't latch: a later TPU backend may probe
+        try:
+            q = jnp.zeros((1, 1, 128, 64), jnp.bfloat16)
+            out = fused_attention(q, q, q, None, tile_q=128)
+            jax.block_until_ready(out)
+            _PROBE_OK = True
+        except Exception as e:  # noqa: BLE001 — any compile/runtime failure
+            import logging
+            logging.getLogger("vae_npvc_tpu.ops").warning(
+                f"fused attention kernel failed its probe "
+                f"({type(e).__name__}: {e}); using the stock XLA path")
+            _PROBE_OK = False
+    return _PROBE_OK
+
 
 # --------------------------------------------------------------- forward
 def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale,
