@@ -32,6 +32,11 @@ def convert_fbank(feats_scp, out_dir, *, fs, n_fft, n_shift, n_mels=80,
     out_dir.mkdir(parents=True, exist_ok=True)
     items = [(u, kaldi_io.load_mat(rx))
              for u, rx in kaldi_io.read_scp(feats_scp).items()]
+    if items and items[0][1].shape[1] != n_mels:
+        raise ValueError(
+            f"--n_mels {n_mels} does not match the features' mel dim "
+            f"{items[0][1].shape[1]} ({feats_scp}) — pass the SAME feature "
+            "flags (fs/n_fft/n_shift/n_mels) the extraction stage used")
 
     # bucket by padded frame count
     buckets: dict[int, list] = {}
