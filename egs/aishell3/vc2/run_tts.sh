@@ -103,8 +103,8 @@ EOF
         --trials data/tts/trials_self --enroll_dir data/tts \
         --steps 800 | tail -1) || sim_line=""
     echo "${sim_line}"
-    cossim=$(echo "${sim_line}" | grep -oE 'COSSIM: [-0-9.]+' | cut -d' ' -f2)
-    plda=$(echo "${sim_line}" | grep -oE 'PLDA: [-0-9.]+' | cut -d' ' -f2)
+    cossim=$(echo "${sim_line}" | grep -oE 'COSSIM: [-0-9.]+' | cut -d' ' -f2) || true
+    plda=$(echo "${sim_line}" | grep -oE 'PLDA: [-0-9.]+' | cut -d' ' -f2) || true
     echo "RESULT token_tts  MCD: ${mcd}  PLDA: ${plda:-n/a}  COSSIM: ${cossim:-n/a}"
 fi
 
@@ -147,8 +147,8 @@ EOF
         --trials data/tts/trials_vc --enroll_dir data/tts \
         --steps 800 | tail -1) || sim_line=""
     echo "${sim_line}"
-    cossim=$(echo "${sim_line}" | grep -oE 'COSSIM: [-0-9.]+' | cut -d' ' -f2)
-    plda=$(echo "${sim_line}" | grep -oE 'PLDA: [-0-9.]+' | cut -d' ' -f2)
+    cossim=$(echo "${sim_line}" | grep -oE 'COSSIM: [-0-9.]+' | cut -d' ' -f2) || true
+    plda=$(echo "${sim_line}" | grep -oE 'PLDA: [-0-9.]+' | cut -d' ' -f2) || true
     echo "RESULT token_vc  PLDA: ${plda:-n/a}  COSSIM: ${cossim:-n/a}"
 fi
 

@@ -10,6 +10,19 @@ while [ $# -gt 0 ]; do
                 echo "$0: unknown flag $1" >&2
                 exit 1
             fi
+            # every flag takes a value (Kaldi parse_options convention —
+            # booleans are "--flag true|false"); catch a missing value or a
+            # following flag instead of mis-binding it
+            if [ $# -lt 2 ]; then
+                echo "$0: flag $1 expects a value" >&2
+                exit 1
+            fi
+            case "$2" in
+                --*)
+                    echo "$0: flag $1 expects a value, got flag $2" >&2
+                    exit 1
+                    ;;
+            esac
             eval "${name}=\"\$2\""
             shift 2
             ;;

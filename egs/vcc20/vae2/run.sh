@@ -247,7 +247,12 @@ EOF
         asr_train_dir=${dumpdir}/${train_set}
         asr_scp=${outdir}/${pair}/feats.scp
         asr_ckpt=${expdir}/ctc_proxy.msgpack
-        if [ "${asr_frontend}" = "fbank_pitch" ] && [ -d "${outdir}_denorm/${pair}/wav" ]; then
+        if [ "${asr_frontend}" = "fbank_pitch" ] && [ ! -d "${outdir}_denorm/${pair}/wav" ]; then
+            echo "ERROR: --asr_frontend fbank_pitch needs the synthesized wavs"
+            echo "       (${outdir}_denorm/${pair}/wav missing; run stage 6)"
+            exit 1
+        fi
+        if [ "${asr_frontend}" = "fbank_pitch" ]; then
             fpdir=fbank_pitch
             if [ ! -f ${fpdir}/${train_set}/feats.scp ]; then
                 ${PY} vae_npvc_tpu.bin.make_fbank --fs 16000 --n_fft 512 \
@@ -292,14 +297,19 @@ EOF
             ${asr_decode_opts} \
             --recognizer_ckpt ${asr_ckpt} | tail -1)
         echo "${asr_line}"
-        cer=$(echo "${asr_line}" | grep -oE 'CER: [0-9.]+' | cut -d' ' -f2)
-        wer=$(echo "${asr_line}" | grep -oE 'WER: [0-9.]+' | cut -d' ' -f2)
+        cer=$(echo "${asr_line}" | grep -oE 'CER: [0-9.]+' | cut -d' ' -f2) || true
+        wer=$(echo "${asr_line}" | grep -oE 'WER: [0-9.]+' | cut -d' ' -f2) || true
     else
         echo "CER/WER skipped: no transcripts (set --transcriptions)"
     fi
 
     sim_extra=""
-    if [ "${sim_frontend}" = "mfcc_vad" ] && [ -d "${outdir}_denorm/${pair}/wav" ]; then
+    if [ "${sim_frontend}" = "mfcc_vad" ] && [ ! -d "${outdir}_denorm/${pair}/wav" ]; then
+        echo "ERROR: --sim_frontend mfcc_vad needs the synthesized wavs"
+        echo "       (${outdir}_denorm/${pair}/wav missing; run stage 6)"
+        exit 1
+    fi
+    if [ "${sim_frontend}" = "mfcc_vad" ]; then
         sim_extra="--frontend mfcc_vad --converted_wav_dir ${outdir}_denorm/${pair}/wav"
         sim_extra="${sim_extra} --train_wav_scp data/${train_set}/wav.scp"
         sim_extra="${sim_extra} --enroll_wav_scp data/${train_set}/wav.scp"
@@ -313,8 +323,8 @@ EOF
         ${sim_extra} \
         --output_dir ${obdir}/asv/${pair} | tail -1) || sim_line=""
     echo "${sim_line}"
-    plda=$(echo "${sim_line}" | grep -oE 'PLDA: [-0-9.]+' | cut -d' ' -f2)
-    cossim=$(echo "${sim_line}" | grep -oE 'COSSIM: [-0-9.]+' | cut -d' ' -f2)
+    plda=$(echo "${sim_line}" | grep -oE 'PLDA: [-0-9.]+' | cut -d' ' -f2) || true
+    cossim=$(echo "${sim_line}" | grep -oE 'COSSIM: [-0-9.]+' | cut -d' ' -f2) || true
 
     # the reference's one-line summary (reference test.sh:16-24)
     echo "RESULT ${pair}  MCD: ${mcd}  CER: ${cer:-n/a}  WER: ${wer:-n/a}  PLDA: ${plda:-n/a}  COSSIM: ${cossim:-n/a}"

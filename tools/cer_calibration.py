@@ -10,7 +10,8 @@ held-out features, the way a real recognizer's CER degrades with SNR:
 - split a transcribed dump dir into train/held-out utterances;
 - train the proxy (conv or transformer arch) on the train split only;
 - corrupt the held-out mels with additive Gaussian noise at increasing
-  fractions of the per-corpus feature std (sigma = 0, .125, .25, .5, 1, 2)
+  fractions of the per-corpus feature std (NOISE_SIGMAS: 0, .25, .5,
+  1, 1.25, 1.5, 1.75, 2, 3)
   and with frame dropout at increasing rates (p = .1, .2, .4);
 - report CER per corruption level.
 

@@ -109,11 +109,6 @@ def main():
             patch_fn=None, label="(noop patch sanity)")
 
     # weight norm off entirely (different model, bounds WN cost)
-    def patch_wn_off():
-        from vae_npvc_tpu.models import vqvae
-
-        return None
-    cfg = {"encoder": None}
     from __graft_entry__ import _flagship_config
     c = _flagship_config()
     c["encoder"]["use_weight_norm"] = False

@@ -97,7 +97,8 @@ def parse_trace(trace_dir, steps):
                 except Exception:
                     pass
                 cat = stats.get("tf_op", "") or _categorize(nm)
-                by_cat[_categorize(nm)] += dur
+                by_cat[cat if isinstance(cat, str) and cat else
+                       _categorize(nm)] += dur
                 by_op[nm] += dur
                 total += dur
     return {"by_cat": by_cat, "by_op": by_op, "total_us": total}

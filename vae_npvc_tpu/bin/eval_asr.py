@@ -22,6 +22,28 @@ import argparse
 from pathlib import Path
 
 
+def _ckpt_matches(path, arch):
+    """Reuse a cached recognizer checkpoint only when its stored arch
+    matches the request — a conv proxy must not silently stand in for a
+    requested transformer run (the ckpt filename encodes the frontend but
+    not the arch)."""
+    from flax import serialization
+
+    try:
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        stored = payload.get("arch", "conv")
+        if isinstance(stored, bytes):
+            stored = stored.decode()
+    except Exception:
+        return False
+    if arch and stored != arch:
+        print(f"ignoring {path}: stored arch {stored!r} != requested "
+              f"{arch!r}; retraining")
+        return False
+    return True
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--train_dir", type=str, default=None,
@@ -87,7 +109,8 @@ def main():
 
     if args.recognizer:
         rec = get_recognizer(args.recognizer)
-    elif args.recognizer_ckpt and Path(args.recognizer_ckpt).exists():
+    elif (args.recognizer_ckpt and Path(args.recognizer_ckpt).exists()
+          and _ckpt_matches(args.recognizer_ckpt, args.arch)):
         rec = CTCRecognizer.load(args.recognizer_ckpt, width=args.width)
         print(f"loaded recognizer from {args.recognizer_ckpt}")
     else:
