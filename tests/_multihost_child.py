@@ -102,3 +102,18 @@ else:
 vd = trainer.valid(stream)
 vtot = ",".join(f"{x:.10f}" for x in vd["Total"])
 print(f"VALID_OK pid={pid} n={len(vd['Total'])} total={vtot}")
+
+# --- GAN trainer: multi-host valid drain (regression: GanTrainer.init_state
+# must record the batch spec or the exhausted host's _empty_local_batch
+# raises mid-drain and deadlocks the peers) -------------------------------
+from vae_npvc_tpu.train.gan import GanTrainer  # noqa: E402
+
+gan_cfg = dict(config, pre_iter=10,
+               discriminator={"channels": [8], "kernel_size": 5,
+                              "strides": [2]})
+gan = GanTrainer(gan_cfg, mesh=mesh)
+gan.init_state((feats[:1], spks[:1]))
+gvd = gan.valid([(vfeats[0:4], vspks[0:4])] if pid == 0
+                else [(vfeats[4:8], vspks[4:8]), (vfeats[8:11], vspks[8:11])])
+gtot = ",".join(f"{x:.10f}" for x in gvd["Total"])
+print(f"GAN_VALID_OK pid={pid} n={len(gvd['Total'])} total={gtot}")

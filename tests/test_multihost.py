@@ -72,6 +72,17 @@ def test_two_process_mesh():
     assert set(valids) == {0, 1}, outs
     assert valids[0] == valids[1], valids
 
+    # GAN trainer drains the same unequal streams (regression: init_state
+    # must record the batch spec for _empty_local_batch)
+    gvalids = {}
+    for pid, out in enumerate(outs):
+        for line in out.splitlines():
+            if line.startswith(f"GAN_VALID_OK pid={pid}"):
+                assert " n=2 " in line, line
+                gvalids[pid] = line.split("total=")[1]
+    assert set(gvalids) == {0, 1}, outs
+    assert gvalids[0] == gvalids[1], gvalids
+
     oracle_total, oracle_valid = _oracle()
     assert abs(totals[0] - oracle_total) < 1e-4, (totals, oracle_total)
     for got, want in zip(valids[0], oracle_valid, strict=True):
