@@ -41,22 +41,14 @@ def measure_ours(steps=20):
     feats = jax.device_put(jnp.asarray(batch[0]), trainer.batch_sharding)
     spks = jax.device_put(jnp.asarray(batch[1]), trainer.batch_sharding)
 
-    # warmup/compile; sync via host transfer — on the tunneled axon backend
-    # block_until_ready can return before execution completes, so only a
-    # device→host read is a trustworthy fence
-    for _ in range(3):
-        detail = trainer.train_step((feats, spks))
-    float(detail["Total"])
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        detail = trainer.train_step((feats, spks))
-    # the state is donated and chained, so forcing the last step's loss forces
-    # the whole sequence
-    float(detail["Total"])
-    dt = time.perf_counter() - t0
+    # the state is donated and chained, so forcing the last step's loss
+    # forces the whole sequence (fence idiom lives in tools/_measure.py)
+    from tools._measure import time_steps
+    sec, _ = time_steps(lambda: trainer.train_step((feats, spks)),
+                        lambda d: float(d["Total"]), steps)
     n_chips = len(jax.devices())
-    return steps * B * T / dt / n_chips
+    global_fps = B * T / sec
+    return global_fps / n_chips, global_fps
 
 
 def measure_reference_cpu(steps=2, b=16):
@@ -152,18 +144,28 @@ def measure_reference_cpu(steps=2, b=16):
 
 
 def main():
+    # fingerprint the baseline workload so the cache is invalidated if the
+    # benchmark constants or the baseline step definition change
+    workload = {"B": B, "T": T, "D": D, "baseline_steps": 2, "baseline_b": 16,
+                "baseline_rev": 1}
+    baseline = None
     if CACHE.exists():
-        baseline = json.loads(CACHE.read_text())["frames_per_sec"]
-    else:
+        cached = json.loads(CACHE.read_text())
+        if cached.get("workload") == workload:
+            baseline = cached["frames_per_sec"]
+    if baseline is None:
         baseline = measure_reference_cpu()
         CACHE.write_text(json.dumps({"frames_per_sec": baseline,
-                                     "hardware": "host CPU (torch)"}))
-    value = measure_ours()
+                                     "hardware": "host CPU (torch)",
+                                     "workload": workload}))
+    value, global_fps = measure_ours()
     print(json.dumps({
         "metric": "train_throughput_mel_frames_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "frames/s/chip",
-        "vs_baseline": round(value / baseline, 2),
+        # whole-accelerator throughput vs the whole-host CPU baseline
+        # (identical on this 1-chip host; stays apples-to-apples on N chips)
+        "vs_baseline": round(global_fps / baseline, 2),
     }))
 
 

@@ -69,8 +69,12 @@ def main():
     texts = kaldi_io.load_dict_data(data_dir / "text")
     utts = sorted(u for u in scp if u in texts)
     rng = np.random.default_rng(args.seed)
-    held = sorted(rng.choice(utts, size=min(args.holdout, len(utts) // 4),
-                             replace=False))
+    n_held = min(args.holdout, len(utts) // 4)
+    if n_held < 1:
+        raise SystemExit(
+            f"need >= 4 transcribed utterances to hold any out "
+            f"(got {len(utts)} in {data_dir}) — nothing to calibrate against")
+    held = sorted(rng.choice(utts, size=n_held, replace=False))
     held_set = set(held)
     train_utts = [u for u in utts if u not in held_set]
 

@@ -21,7 +21,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -167,27 +166,36 @@ def bench(name, config, make_batch, steps=20):
     trainer.init_state(batch)
     dev_batch = trainer.shard_batch(batch)
 
-    # FLOPs of the exact compiled step
+    # AOT-compile the exact step ONCE and reuse the executable for both
+    # cost_analysis and the timed run — jit dispatch does not share the AOT
+    # compile cache, so executing via trainer.train_step would compile every
+    # family a second time (minutes each at flagship shapes, and double the
+    # exposure to the mid-compile tunnel-wedge hazard, CLAUDE.md)
     step = trainer._get_compiled("train", trainer._train_step, donate=(0,))
+    flops, compiled = 0.0, None
     try:
-        lowered = step.lower(trainer.state, tuple(dev_batch),
-                             trainer.base_rng)
-        cost = lowered.compile().cost_analysis()
+        compiled = step.lower(trainer.state, tuple(dev_batch),
+                              trainer.base_rng).compile()
+        cost = compiled.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
-    except Exception as e:  # cost analysis is best-effort per backend
-        print(f"  cost_analysis failed: {e}")
-        flops = 0.0
+    except Exception as e:  # AOT path is best-effort per backend
+        print(f"  AOT compile/cost_analysis failed: {e}")
 
-    for _ in range(3):
-        detail = trainer.train_step(dev_batch)
-    float(detail["Total"])  # device->host fence (CLAUDE.md: block_until_ready
-    t0 = time.perf_counter()  # does not fence on the tunneled backend)
-    for _ in range(steps):
-        detail = trainer.train_step(dev_batch)
-    float(detail["Total"])
-    ms = (time.perf_counter() - t0) / steps * 1e3
+    from tools._measure import time_steps
+    if compiled is not None:
+        box = {"state": trainer.state}  # chained through donated calls
+
+        def step_fn():
+            box["state"], detail = compiled(box["state"], tuple(dev_batch),
+                                            trainer.base_rng)
+            return detail
+    else:  # fallback: jit dispatch path
+        def step_fn():
+            return trainer.train_step(dev_batch)
+    sec, _ = time_steps(step_fn, lambda d: float(d["Total"]), steps)
+    ms = sec * 1e3
 
     B = np.asarray(batch[0]).shape[0]
     T = (np.asarray(batch[2]).shape[1] if len(batch) > 2

@@ -9,7 +9,6 @@ item *with evidence*).
 from __future__ import annotations
 
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -38,14 +37,10 @@ def measure(config_patch=None, patch_fn=None, steps=20, label=""):
         trainer.init_state(batch)
         feats = jax.device_put(jnp.asarray(batch[0]), trainer.batch_sharding)
         spks = jax.device_put(jnp.asarray(batch[1]), trainer.batch_sharding)
-        for _ in range(3):
-            detail = trainer.train_step((feats, spks))
-        float(detail["Total"])
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            detail = trainer.train_step((feats, spks))
-        float(detail["Total"])
-        ms = (time.perf_counter() - t0) / steps * 1e3
+        from tools._measure import time_steps
+        sec, _ = time_steps(lambda: trainer.train_step((feats, spks)),
+                            lambda d: float(d["Total"]), steps)
+        ms = sec * 1e3
         print(f"{label:40s} {ms:8.2f} ms/step "
               f"({128 * 256 / ms * 1e3:,.0f} frames/s)", flush=True)
         return ms

@@ -42,26 +42,17 @@ def run(dtype="bfloat16", steps=10, trace_dir="/tmp/vae_npvc_profile",
     feats = jax.device_put(jnp.asarray(batch[0]), trainer.batch_sharding)
     spks = jax.device_put(jnp.asarray(batch[1]), trainer.batch_sharding)
 
-    # warmup/compile (device→host fence: block_until_ready is unreliable on
-    # the tunneled axon backend)
-    for _ in range(3):
-        detail = trainer.train_step((feats, spks))
-    float(detail["Total"])
+    from tools._measure import time_steps
+    step_fn = lambda: trainer.train_step((feats, spks))  # noqa: E731
+    fence = lambda d: float(d["Total"])  # noqa: E731
 
-    import time
-    t0 = time.perf_counter()
+    # warmup/compile, then the traced window
+    _, detail = time_steps(step_fn, fence, steps=1, warmup=3)
     with jax.profiler.trace(trace_dir):
-        for _ in range(steps):
-            detail = trainer.train_step((feats, spks))
-        float(detail["Total"])
-    wall = (time.perf_counter() - t0) / steps
+        wall, _ = time_steps(step_fn, fence, steps, warmup=0)
 
     # also measure without tracing overhead
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        detail = trainer.train_step((feats, spks))
-    float(detail["Total"])
-    clean = (time.perf_counter() - t0) / steps
+    clean, _ = time_steps(step_fn, fence, steps, warmup=0)
 
     table = parse_trace(trace_dir, steps)
     report = format_report(table, dtype, clean, wall, B, T)
@@ -91,14 +82,7 @@ def parse_trace(trace_dir, steps):
             for ev in line.events:
                 dur = ev.duration_ns / 1e3 / steps  # us per step
                 nm = ev.name
-                stats = {}
-                try:
-                    stats = {s.name: s.value for s in ev.stats}
-                except Exception:
-                    pass
-                cat = stats.get("tf_op", "") or _categorize(nm)
-                by_cat[cat if isinstance(cat, str) and cat else
-                       _categorize(nm)] += dur
+                by_cat[_categorize(nm)] += dur
                 by_op[nm] += dur
                 total += dur
     return {"by_cat": by_cat, "by_op": by_op, "total_us": total}
@@ -106,11 +90,17 @@ def parse_trace(trace_dir, steps):
 
 def _categorize(name):
     n = name.lower()
-    for key, cat in (("conv", "convolution"), ("dot", "matmul/dot"),
+    # collectives must be matched before the generic "reduce"/"gather" keys
+    # (every all-reduce name contains "reduce")
+    for key, cat in (("all-reduce", "collective"), ("all-gather", "collective"),
+                     ("reduce-scatter", "collective"),
+                     ("all-to-all", "collective"),
+                     ("collective-permute", "collective"),
+                     ("conv", "convolution"), ("dot", "matmul/dot"),
                      ("fusion", "fusion"), ("custom-call", "custom-call"),
                      ("copy", "copy"), ("transpose", "transpose"),
                      ("reduce", "reduce"), ("scatter", "scatter"),
-                     ("gather", "gather"), ("all-reduce", "collective"),
+                     ("gather", "gather"),
                      ("dynamic", "dynamic-slice/update"),
                      ("rng", "rng"), ("iota", "iota"), ("select", "select"),
                      ("broadcast", "broadcast")):

@@ -23,7 +23,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -62,13 +61,15 @@ def run(name, B, rc, reps=4):
                 rng.normal(size=(B, FRAMES, 80)).astype(np.float32))
                for _ in range(K)]
     trainer.init_state(batches[0])
-    detail = trainer.train_steps(batches)          # compile + warm
-    float(np.asarray(detail["Total"]).mean())      # fence
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        detail = trainer.train_steps(batches)
-    float(np.asarray(detail["Total"]).mean())
-    ms = (time.perf_counter() - t0) / (reps * K) * 1e3
+    # stage once: timed calls must not pay the per-call host->device upload
+    # (~25 MB/call at B64 over the tunneled backend), which would bias the
+    # batch-scaling comparison this sweep exists to make
+    staged = trainer.stage_batches(batches)
+    from tools._measure import time_steps
+    sec_per_call, _ = time_steps(
+        lambda: trainer.train_steps(staged),
+        lambda d: float(np.asarray(d["Total"]).mean()), reps, warmup=1)
+    ms = sec_per_call / K * 1e3
     row = {"variant": name, "batch": B, "residual_channels": rc,
            "ms_per_step": round(ms, 1),
            "samples_per_s": round(B * S / ms * 1e3),

@@ -271,13 +271,12 @@ class PwgTrainer:
         detail = self.train_steps([batch])
         return {k: v[0] for k, v in detail.items()}
 
-    def train_steps(self, batches):
-        """Run ``len(batches)`` optimizer steps in ONE device dispatch.
+    def stage_batches(self, batches):
+        """Stack K (wav, mel) host batches and upload them once.
 
-        Returns the detail dict with a leading (K,) axis per key."""
-        if self._step_fn is None:
-            self._step_fn = self._build_step()
-        K = len(batches)
+        Returns a (wavs[K,B,S], mels[K,B,M,80]) device pair that
+        ``train_steps`` accepts directly — repeated timed calls (benchmarks)
+        then pay zero per-call host→device transfer."""
         wavs = np.stack([np.asarray(b[0]) for b in batches])
         mels = np.stack([np.asarray(b[1]) for b in batches])
         # batches not divisible by the mesh fall back to replicated inputs
@@ -286,7 +285,22 @@ class PwgTrainer:
         n_data = dict(self.mesh.shape).get("data", self.mesh.devices.size)
         sh = (self.batch_sharding if wavs.shape[1] % n_data == 0
               else self.repl)
-        wavs, mels = (jax.device_put(a, sh) for a in (wavs, mels))
+        return tuple(jax.device_put(a, sh) for a in (wavs, mels))
+
+    def train_steps(self, batches):
+        """Run K optimizer steps in ONE device dispatch.
+
+        ``batches`` is either a list of K (wav, mel) host batches, or the
+        already-device-resident (wavs, mels) pair from ``stage_batches``.
+        Returns the detail dict with a leading (K,) axis per key."""
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        if (isinstance(batches, tuple) and len(batches) == 2
+                and isinstance(batches[0], jax.Array)):
+            wavs, mels = batches
+        else:
+            wavs, mels = self.stage_batches(batches)
+        K = int(wavs.shape[0])
         offset = jnp.asarray(self._host_step, jnp.int32)
         self._host_step += K
         self.state, detail = self._step_fn(self.state, wavs, mels, offset)
