@@ -156,7 +156,7 @@ def families():
     }
 
 
-def bench(name, config, make_batch, steps=20):
+def bench(name, config, make_batch, steps=20, scan_k=0):
     import jax
 
     from vae_npvc_tpu.train.trainer import Trainer
@@ -165,6 +165,24 @@ def bench(name, config, make_batch, steps=20):
     batch = make_batch()
     trainer.init_state(batch)
     dev_batch = trainer.shard_batch(batch)
+
+    if scan_k:
+        # K-steps-per-dispatch A/B (Trainer.train_steps lax.scan): quantifies
+        # the per-call dispatch overhead the scan amortizes on the tunneled
+        # backend. Batches staged once; ms/step = per-call wall / K.
+        from tools._measure import time_steps
+        stacked = trainer.shard_batches([batch] * scan_k)
+        sec_call, _ = time_steps(
+            lambda: trainer.train_steps(stacked),
+            lambda d: float(np.asarray(d["Total"])[-1]), steps)
+        ms = sec_call / scan_k * 1e3
+        B = np.asarray(batch[0]).shape[0]
+        T = np.asarray(batch[0]).shape[1]
+        row = {"family": f"{name}_scan{scan_k}", "ms_per_step": round(ms, 2),
+               "frames_per_s": round(B * T / ms * 1e3),
+               "steps_per_call": scan_k}
+        print(json.dumps(row), flush=True)
+        return row
 
     # AOT-compile the exact step ONCE and reuse the executable for both
     # cost_analysis and the timed run — jit dispatch does not share the AOT
@@ -216,6 +234,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", type=str, default=None)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--scan_k", type=int, default=0,
+                    help="time Trainer.train_steps with K steps per dispatch "
+                         "instead of per-step dispatch (A/B row)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
@@ -225,7 +246,8 @@ def main():
     for n in names:
         config, make_batch = fams[n]
         print(f"== {n}", flush=True)
-        rows.append(bench(n, config, make_batch, steps=args.steps))
+        rows.append(bench(n, config, make_batch, steps=args.steps,
+                          scan_k=args.scan_k))
     if args.out:
         json.dump(rows, open(args.out, "w"), indent=2)
         print(f"wrote {args.out}")

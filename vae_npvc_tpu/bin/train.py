@@ -130,18 +130,48 @@ def train(args):
     profile_dir = getattr(args, "profile_dir", None)
     profiling = False
 
+    # K optimizer steps per device dispatch (lax.scan in Trainer.train_steps):
+    # on a remote/tunneled backend the per-call round-trip is pure overhead,
+    # so K>1 amortizes it. Chunks never cross a log/checkpoint/max_iter
+    # boundary, so logging cadence and checkpoint contents are unchanged.
+    steps_per_call = max(1, int(config.get("steps_per_call", 1)))
+    if steps_per_call > 1 and not getattr(trainer, "supports_steps_per_call",
+                                          False):
+        logger.warning("steps_per_call > 1 is not supported by this trainer "
+                       "(phase-alternating GAN schedule); using 1")
+        steps_per_call = 1
+
     if iteration > max_iter:
         # a finished run re-invoked (e.g. --checkpoint auto after
         # completion) must be a no-op, not train one extra step
         logger.info(f"Resumed at iteration {iteration} > max_iter "
                     f"{max_iter}; nothing to train")
         train_iter = ()
-    for batch in train_iter:
-        if profile_dir and not profiling and trainer.iteration >= 2:
+    train_it = iter(train_iter)
+    running = True
+    while running:
+        i = trainer.iteration
+        if profile_dir and not profiling and i >= 2:
             # skip the compile steps, then trace one log interval
             jax.profiler.start_trace(profile_dir)
             profiling = True
-        detail = trainer.train_step(batch)
+        K = steps_per_call
+        if K > 1:
+            K = min(K, iters_per_log - i % iters_per_log,
+                    iters_per_checkpoint - i % iters_per_checkpoint,
+                    max_iter - i)
+        batches = []
+        try:
+            for _ in range(max(K, 1)):
+                batches.append(next(train_it))
+        except StopIteration:
+            running = False
+        if not batches:
+            break
+        if len(batches) == 1:
+            detail = trainer.train_step(batches[0])
+        else:
+            detail = trainer.train_steps(batches)
         iteration = trainer.iteration
         if profiling and iteration >= 2 + iters_per_log:
             jax.block_until_ready(detail["Total"])
@@ -153,7 +183,11 @@ def train(args):
             train_log.setdefault(k, []).append(v)
 
         if iteration % iters_per_log == 0 and train_log:
-            host_log = {k: np.mean(jax.device_get(v))
+            # entries are per-step scalars or (K,) per-chunk vectors; flatten
+            # so every step weighs equally regardless of chunk size
+            host_log = {k: np.mean(np.concatenate(
+                            [np.ravel(np.asarray(x))
+                             for x in jax.device_get(v)]))
                         for k, v in train_log.items()}
             dt = time.time() - t_log
             fps = iters_per_log * frames_per_batch / dt

@@ -46,6 +46,11 @@ class Trainer:
     device degenerates to no sharding — same code path).
     """
 
+    # Trainer.train_steps (K-step lax.scan dispatch) is exact for this
+    # trainer; subclasses with host-side per-iteration control flow (the GAN
+    # phase schedule) must set this False so the train CLI stays sequential
+    supports_steps_per_call = True
+
     def __init__(self, config, mesh: Mesh | None = None, seed: int | None = None):
         self.config = config
         self.model = build_model(config)
@@ -307,6 +312,62 @@ class Trainer:
         step = self._get_compiled("train", self._train_step, donate=(0,))
         self.state, detail = step(self.state, tuple(batch), self.base_rng)
         self._host_iter += 1
+        return detail
+
+    def _train_steps_scan(self, state, batches, rng):
+        # K steps in one executable; the body is _train_step itself, so the
+        # per-step semantics (rng fold by state.step, renorm, EMA mutation,
+        # nonfinite guard, TP layout pins) are exactly the sequential path's
+        def body(s, b):
+            return self._train_step(s, b, rng)
+        return jax.lax.scan(body, state, batches)
+
+    def shard_batches(self, batches):
+        """Stack K equal-shape train batches into (K, B, ...) device arrays.
+
+        Host batches are stacked host-side and uploaded in ONE transfer;
+        already-sharded device batches (e.g. from ``prefetch_to_device``) are
+        stacked with a device-side op, preserving their data-axis sharding.
+        """
+        if isinstance(batches[0][0], jax.Array):
+            return tuple(jnp.stack([b[i] for b in batches])
+                         for i in range(len(batches[0])))
+        arrs = [np.stack([np.asarray(b[i]) for b in batches])
+                for i in range(len(batches[0]))]
+        if jax.process_count() > 1:
+            # per-batch global assembly, then a device-side stack (the
+            # divisible path is metadata-only, so this stays collective-free)
+            per = [self.shard_batch(tuple(a[k] for a in arrs))
+                   for k in range(arrs[0].shape[0])]
+            return tuple(jnp.stack([p[i] for p in per])
+                         for i in range(len(per[0])))
+        n = self.mesh.shape["data"]
+        sh = (NamedSharding(self.mesh, P(None, "data"))
+              if arrs[0].shape[1] % n == 0 else self.repl)
+        return tuple(jax.device_put(a, sh) for a in arrs)
+
+    def train_steps(self, batches):
+        """K optimizer steps in ONE device dispatch (``lax.scan``).
+
+        On a remote/tunneled backend the per-call dispatch round-trip is pure
+        overhead on top of each step's compute; amortizing K steps into one
+        executable removes K-1 of them (same lever as the vocoder trainer's
+        ``steps_per_call``, train/pwg.py). Exactly equivalent to K sequential
+        :meth:`train_step` calls — the scan body IS ``_train_step``, and the
+        per-step rng is derived from ``state.step`` either way.
+
+        ``batches``: a list of K (feats, spks) batches (host numpy or
+        already-sharded device tuples), or an already-stacked (K, B, ...)
+        device tuple from :meth:`shard_batches`. Returns the detail dict with
+        a leading (K,) axis per key.
+        """
+        if not (isinstance(batches, tuple) and isinstance(batches[0], jax.Array)):
+            batches = self.shard_batches(list(batches))
+        K = int(batches[0].shape[0])
+        step = self._get_compiled("train_scan", self._train_steps_scan,
+                                  donate=(0,))
+        self.state, detail = step(self.state, tuple(batches), self.base_rng)
+        self._host_iter += K
         return detail
 
     def valid(self, batches):
