@@ -84,6 +84,15 @@ for _ in range(3):
 total = float(detail["Total"])
 print(f"TRAINER_OK pid={pid} total={total:.10f}")
 
+# --- K-steps-per-dispatch scan over the 2-host mesh ----------------------
+# shard_batches' multi-host branch assembles each of the K local batches
+# globally, then stacks them device-side; the scan must keep training the
+# same trajectory on both hosts.
+dk = trainer.train_steps([(feats[local], spks[local]),
+                          (feats[local], spks[local])])
+ktot = ",".join(f"{float(x):.10f}" for x in np.asarray(dk["Total"]))
+print(f"SCAN_OK pid={pid} n={np.asarray(dk['Total']).shape[0]} total={ktot}")
+
 # --- unequal per-host validation streams (deadlock regression) ----------
 # Host 0 yields batches of 4 then 3 rows; host 1 yields a single 4-row
 # batch: the hosts disagree on both batch count and tail size, so every

@@ -83,10 +83,24 @@ def test_two_process_mesh():
     assert set(gvalids) == {0, 1}, outs
     assert gvalids[0] == gvalids[1], gvalids
 
-    oracle_total, oracle_valid = _oracle()
+    # K-step scan dispatch (Trainer.train_steps) across hosts: same per-step
+    # losses on both hosts
+    scans = {}
+    for pid, out in enumerate(outs):
+        for line in out.splitlines():
+            if line.startswith(f"SCAN_OK pid={pid}"):
+                assert " n=2 " in line, line
+                scans[pid] = [float(x)
+                              for x in line.split("total=")[1].split(",")]
+    assert set(scans) == {0, 1}, outs
+    assert scans[0] == scans[1], scans
+
+    oracle_total, oracle_valid, oracle_scan = _oracle()
     assert abs(totals[0] - oracle_total) < 1e-4, (totals, oracle_total)
     for got, want in zip(valids[0], oracle_valid, strict=True):
         assert abs(got - want) < 1e-4, (valids[0], oracle_valid)
+    for got, want in zip(scans[0], oracle_scan, strict=True):
+        assert abs(got - want) < 1e-4, (scans[0], oracle_scan)
 
 
 def _oracle():
@@ -107,10 +121,12 @@ def _oracle():
     trainer.init_state((feats[:1], spks[:1]))
     for _ in range(3):
         detail = trainer.train_step((feats, spks))
+    dk = trainer.train_steps([(feats, spks), (feats, spks)])
     # same global valid batches the two hosts assemble in process order:
     # [h0 4 rows + h1 4 rows], then [h0 3-row tail]
     vfeats = rng.normal(size=(11, 12, 10)).astype(np.float32)
     vspks = (np.arange(11) % config["y_num"]).astype(np.int32)
     vd = trainer.valid([(vfeats[0:8], vspks[0:8]),
                         (vfeats[8:11], vspks[8:11])])
-    return float(detail["Total"]), vd["Total"]
+    return (float(detail["Total"]), vd["Total"],
+            [float(x) for x in np.asarray(dk["Total"])])
