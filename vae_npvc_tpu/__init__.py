@@ -29,3 +29,25 @@ if _os.environ.get("VAE_NPVC_JAX_PLATFORM"):
                            _os.environ["VAE_NPVC_JAX_PLATFORM"])
     except RuntimeError:
         pass
+
+if _os.environ.get("VAE_NPVC_COMPILATION_CACHE", "1") not in ("0", "false"):
+    # Persistent XLA compilation cache: a preemption-resumed training CLI (or
+    # any restarted job) reloads its compiled executables instead of paying
+    # the full first-compile again (~20-40 s per jitted fn on the TPU
+    # backend, minutes for the big conv models on CPU). Set
+    # VAE_NPVC_COMPILATION_CACHE=0 to disable, or point it at a directory.
+    import jax as _jax2
+
+    _cache = _os.environ.get("VAE_NPVC_COMPILATION_CACHE", "")
+    if _cache in ("", "1", "true"):
+        _cache = _os.path.join(_os.environ.get("TMPDIR", "/tmp"),
+                               "vae_npvc_jax_cache")
+    try:
+        # never override a cache dir someone already chose (e.g. the test
+        # suite's warm /tmp/jax_test_cache, set in tests/conftest.py)
+        if _jax2.config.jax_compilation_cache_dir is None:
+            _jax2.config.update("jax_compilation_cache_dir", _cache)
+            _jax2.config.update("jax_persistent_cache_min_compile_time_secs",
+                                1.0)
+    except RuntimeError:
+        pass
