@@ -156,7 +156,7 @@ def families():
     }
 
 
-def bench(name, config, make_batch, steps=20, scan_k=0):
+def bench(name, config, make_batch, steps=20, scan_k=0, dev_res_k=0):
     import jax
 
     from vae_npvc_tpu.train.trainer import Trainer
@@ -181,6 +181,39 @@ def bench(name, config, make_batch, steps=20, scan_k=0):
         row = {"family": f"{name}_scan{scan_k}", "ms_per_step": round(ms, 2),
                "frames_per_s": round(B * T / ms * 1e3),
                "steps_per_call": scan_k}
+        print(json.dumps(row), flush=True)
+        return row
+
+    if dev_res_k:
+        # device-resident A/B: synthetic corpus staged to HBM, crops sampled
+        # inside the K-step scan (Trainer.train_steps_device) — the
+        # production path for `device_resident: true` + `steps_per_call: K`
+        from tools._measure import time_steps
+        B = np.asarray(batch[0]).shape[0]
+        T = np.asarray(batch[0]).shape[1]
+        D = np.asarray(batch[0]).shape[2]
+        rng = np.random.default_rng(0)
+        N, M = 512, max(400, T)
+
+        class _SynthCorpus:
+            crop_length = T
+
+            def padded_arrays(self, num_workers=0):
+                return (rng.normal(size=(N, M, D)).astype(np.float32),
+                        rng.integers(T, M + 1, size=(N,)).astype(np.int32),
+                        rng.integers(0, config.get("y_num", 117),
+                                     size=(N,)).astype(np.int32))
+
+        nbytes = trainer.stage_dataset(_SynthCorpus(), batch_size=B)
+        sec_call, _ = time_steps(
+            lambda: trainer.train_steps_device(dev_res_k),
+            lambda d: float(np.asarray(d["Total"])[-1]), steps)
+        ms = sec_call / dev_res_k * 1e3
+        row = {"family": f"{name}_devres{dev_res_k}",
+               "ms_per_step": round(ms, 2),
+               "frames_per_s": round(B * T / ms * 1e3),
+               "steps_per_call": dev_res_k,
+               "staged_mb": round(nbytes / 1e6)}
         print(json.dumps(row), flush=True)
         return row
 
@@ -237,6 +270,10 @@ def main():
     ap.add_argument("--scan_k", type=int, default=0,
                     help="time Trainer.train_steps with K steps per dispatch "
                          "instead of per-step dispatch (A/B row)")
+    ap.add_argument("--dev_res_k", type=int, default=0,
+                    help="time the device-resident path "
+                         "(train_steps_device, K steps/dispatch, synthetic "
+                         "HBM-staged corpus)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
@@ -247,7 +284,7 @@ def main():
         config, make_batch = fams[n]
         print(f"== {n}", flush=True)
         rows.append(bench(n, config, make_batch, steps=args.steps,
-                          scan_k=args.scan_k))
+                          scan_k=args.scan_k, dev_res_k=args.dev_res_k))
     if args.out:
         json.dump(rows, open(args.out, "w"), indent=2)
         print(f"wrote {args.out}")

@@ -61,7 +61,30 @@ def train(args):
     train_batch = config.get("train_batch_size", config.get("batch_size", 32))
     valid_batch = config.get("valid_batch_size", config.get("batch_size", 1))
     train_set = UttMelSpkDataset(args.train_dir, config)
-    train_iter = prefetch_to_device(
+
+    # device-resident corpus (opt-in): stage every utterance to HBM once and
+    # sample crops inside the jitted K-step scan — zero per-step host→device
+    # traffic. Sampling is iid utterance+crop rather than the host loader's
+    # per-epoch permutation; per-item crop semantics are identical.
+    use_dev = bool(config.get("device_resident", False))
+    if use_dev and not getattr(trainer, "supports_steps_per_call", False):
+        logger.warning("device_resident is not supported by this trainer; "
+                       "using the host loader")
+        use_dev = False
+    if use_dev and jax.process_count() > 1:
+        logger.warning("device_resident is single-host only; "
+                       "using the host loader")
+        use_dev = False
+    if use_dev:
+        limit = config.get("device_resident_limit_bytes", 4 << 30)
+        need = train_set.padded_nbytes()
+        if need > limit:
+            logger.warning(
+                f"device_resident corpus would need {need / 1e9:.1f} GB "
+                f"> limit {limit / 1e9:.1f} GB; using the host loader")
+            use_dev = False
+
+    train_iter = () if use_dev else prefetch_to_device(
         batch_iterator(train_set, train_batch, shuffle=True, drop_last=True,
                        seed=seed, num_workers=num_jobs),
         size=prefetch_factor, put=trainer.shard_batch)
@@ -79,7 +102,7 @@ def train(args):
 
     # initialize / resume
     example = (np.zeros((train_batch, train_set.crop_length,
-                         _feat_dim(train_set)), np.float32),
+                         train_set.feat_dim()), np.float32),
                np.zeros((train_batch,), np.int32))
     trainer.init_state(example)
     iteration = 1
@@ -147,10 +170,17 @@ def train(args):
         logger.info(f"Resumed at iteration {iteration} > max_iter "
                     f"{max_iter}; nothing to train")
         train_iter = ()
+        use_dev = False
+    if use_dev:
+        nbytes = trainer.stage_dataset(train_set, train_batch)
+        logger.info(f"Device-resident corpus: {nbytes / 1e6:.0f} MB staged "
+                    f"to HBM; in-scan crop sampling")
     train_it = iter(train_iter)
     running = True
     while running:
         i = trainer.iteration
+        if i >= max_iter:
+            break
         if profile_dir and not profiling and i >= 2:
             # skip the compile steps, then trace one log interval
             jax.profiler.start_trace(profile_dir)
@@ -160,18 +190,21 @@ def train(args):
             K = min(K, iters_per_log - i % iters_per_log,
                     iters_per_checkpoint - i % iters_per_checkpoint,
                     max_iter - i)
-        batches = []
-        try:
-            for _ in range(max(K, 1)):
-                batches.append(next(train_it))
-        except StopIteration:
-            running = False
-        if not batches:
-            break
-        if len(batches) == 1:
-            detail = trainer.train_step(batches[0])
+        if use_dev:
+            detail = trainer.train_steps_device(max(K, 1))
         else:
-            detail = trainer.train_steps(batches)
+            batches = []
+            try:
+                for _ in range(max(K, 1)):
+                    batches.append(next(train_it))
+            except StopIteration:
+                running = False
+            if not batches:
+                break
+            if len(batches) == 1:
+                detail = trainer.train_step(batches[0])
+            else:
+                detail = trainer.train_steps(batches)
         iteration = trainer.iteration
         if profiling and iteration >= 2 + iters_per_log:
             jax.block_until_ready(detail["Total"])
@@ -243,13 +276,6 @@ def train(args):
         logger.info(f"No validation set; model.loss.best = iteration "
                     f"{trainer.iteration}")
     logger.info("Finished")
-
-
-def _feat_dim(dataset):
-    """Feature dim from the first scp entry's ark header (no full read)."""
-    from ..data import kaldi_io
-    first = next(iter(dataset.feats_scp.values()))
-    return kaldi_io.matrix_header(first)[1]
 
 
 def main():

@@ -76,6 +76,45 @@ class UttMelSpkDataset:
     def __len__(self):
         return self.num_data
 
+    def feat_dim(self):
+        """Feature dim from the first scp entry's ark header (no full read)."""
+        first = next(iter(self.feats_scp.values()))
+        return kaldi_io.matrix_header(first)[1]
+
+    def padded_nbytes(self, crop=None):
+        """Size of the :meth:`padded_arrays` feature tensor, without loading."""
+        M = max(max(self.utt2num_frames.values()),
+                crop or self.crop_length)
+        return self.num_data * M * self.feat_dim() * 4
+
+    def padded_arrays(self, num_workers=8):
+        """Whole corpus as one zero-padded tensor (device-resident staging).
+
+        Returns ``(feats[N, M, D] float32, n_frames[N] int32,
+        spk_ids[N] int32)`` with ``M = max(longest utterance, crop_length)``
+        — padding with zeros reproduces the host path's zero-pad-if-short
+        crop semantics (reference utt2mel_spk.py:68-70) when a crop window
+        runs past an utterance's true length.
+        """
+        utts = [u for u, _ in self.utt2spks]
+        M = max(max(self.utt2num_frames[u] for u in utts), self.crop_length)
+        D = self.feat_dim()
+        feats = np.zeros((self.num_data, M, D), np.float32)
+        n_frames = np.asarray([self.utt2num_frames[u] for u in utts],
+                              np.int32)
+
+        def _load(i):
+            m = kaldi_io.load_mat(self.feats_scp[utts[i]]).astype(np.float32)
+            feats[i, :m.shape[0]] = m
+
+        if num_workers > 0:
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                list(pool.map(_load, range(self.num_data)))
+        else:
+            for i in range(self.num_data):
+                _load(i)
+        return feats, n_frames, self.spk_ids
+
     def get(self, index, rng: np.random.Generator):
         """Read one cropped item. ``rng`` drives the random crop start."""
         utt, spk = self.utt2spks[index][0], self.utt2spks[index][1]

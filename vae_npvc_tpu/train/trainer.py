@@ -346,6 +346,84 @@ class Trainer:
               if arrs[0].shape[1] % n == 0 else self.repl)
         return tuple(jax.device_put(a, sh) for a in arrs)
 
+    # ------------------------------------------------- device-resident data
+    def stage_dataset(self, dataset, batch_size):
+        """Upload the whole training corpus to HBM once.
+
+        Subsequent :meth:`train_steps_device` calls sample random
+        ``crop_length`` windows INSIDE the jitted scan — zero per-step
+        host→device traffic and one dispatch per K steps, the two costs that
+        dominate real training on a remote/tunneled backend (the measured
+        6k-step flagship run sustained 38–141k frames/s against the pure
+        step's 418k; same lever as the vocoder trainer's ``stage_dataset``,
+        train/pwg.py). Sampling is iid (utterance + crop start) rather than
+        the host loader's per-epoch permutation — per-item crop semantics
+        (random start, zero-pad short utterances) are identical.
+
+        Multi-host is not supported (each host would stage a different local
+        corpus under a replicated layout); callers fall back to the host
+        loader. Returns the staged feature bytes.
+        """
+        if jax.process_count() > 1:
+            raise ValueError("device-resident staging is single-host only")
+        feats, n_frames, spk_ids = dataset.padded_arrays()
+        self._dev_corpus = (jax.device_put(feats, self.repl),
+                            jax.device_put(n_frames, self.repl),
+                            jax.device_put(spk_ids, self.repl))
+        self._dev_batch = batch_size
+        self._dev_crop = dataset.crop_length
+        self._dev_step_fn = None
+        return feats.nbytes
+
+    def _build_device_step(self):
+        step = self._train_step
+        base = self.base_rng
+        # sampling stream disjoint from the per-step vq rng (which _train_step
+        # folds from base by state.step)
+        sample_base = jax.random.fold_in(self.base_rng, 0x5A5A5A)
+        B, crop = self._dev_batch, self._dev_crop
+        # pin the sampled batch onto the data axis (indivisible B degenerates
+        # to GSPMD's own choice, same as the host path's replication fallback)
+        batch_sharding = (self.batch_sharding
+                          if B % self.mesh.shape["data"] == 0 else None)
+
+        def sample(rng, feats, n_frames, spk_ids):
+            k1, k2 = jax.random.split(rng)
+            idx = jax.random.randint(k1, (B,), 0, feats.shape[0])
+            # random crop start in [0, len - crop], clamped to 0 for short
+            # utterances (zero padding beyond len reproduces the host pad)
+            hi = jnp.maximum(n_frames[idx] - crop, 0)
+            u = jax.random.uniform(k2, (B,))
+            s = (u * (hi + 1).astype(jnp.float32)).astype(jnp.int32)
+            feat = jax.vmap(lambda i, st: jax.lax.dynamic_slice(
+                feats[i], (st, 0), (crop, feats.shape[2])))(idx, s)
+            spks = spk_ids[idx]
+            if batch_sharding is not None:
+                feat = jax.lax.with_sharding_constraint(feat, batch_sharding)
+                spks = jax.lax.with_sharding_constraint(spks, batch_sharding)
+            return feat, spks
+
+        def multi(state, feats, n_frames, spk_ids, offset, steps):
+            def body(s, i):
+                rng = jax.random.fold_in(sample_base, offset + i)
+                batch = sample(rng, feats, n_frames, spk_ids)
+                return step(s, batch, base)
+            return jax.lax.scan(body, state, steps)
+
+        return jax.jit(multi, donate_argnums=(0,))
+
+    def train_steps_device(self, K):
+        """K optimizer steps sampling from the HBM-staged corpus."""
+        if getattr(self, "_dev_corpus", None) is None:
+            raise ValueError("call stage_dataset first")
+        if self._dev_step_fn is None:
+            self._dev_step_fn = self._build_device_step()
+        offset = jnp.asarray(self._host_iter, jnp.int32)
+        self.state, detail = self._dev_step_fn(
+            self.state, *self._dev_corpus, offset, jnp.arange(K))
+        self._host_iter += K
+        return detail
+
     def train_steps(self, batches):
         """K optimizer steps in ONE device dispatch (``lax.scan``).
 
