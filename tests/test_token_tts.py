@@ -104,6 +104,25 @@ class TestTtsCli:
         assert (out / "iter.8").exists()
         assert (out / "model.loss.best").exists()
 
+    def test_train_tts_cli_steps_per_call(self, tmp_path):
+        """K-step scan dispatch works on the 6-tuple token-mel batches."""
+        import yaml
+
+        from vae_npvc_tpu.bin.train_tts import train as tts_train
+
+        d = make_data(tmp_path)
+        cfg = dict(CFG, max_iter=8, iters_per_checkpoint=8, iters_per_log=4,
+                   batch_size=8, steps_per_call=3)
+        conf = tmp_path / "tts.yaml"
+        conf.write_text(yaml.safe_dump(cfg))
+        out = tmp_path / "exp_spc"
+        tts_train(argparse.Namespace(
+            config=str(conf), output_dir=str(out), checkpoint=None,
+            train_dir=str(d), valid_dir=None))
+        assert (out / "iter.8").exists()
+        log = (out / "train.log").read_text()
+        assert "Iter 4:" in log and "Iter 8:" in log
+
 
 class TestVarianceAndPostnet:
     def test_detail_keys_present(self, tmp_path):

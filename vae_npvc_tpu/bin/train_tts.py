@@ -78,17 +78,49 @@ def train(args):
             logger.warning(f"could not parse {best_file}; best restarts")
     t_log = time.time()
 
+    # K optimizer steps per dispatch (token-mel batches are padded to static
+    # max_tokens/max_frames shapes, so Trainer.train_steps' scan applies);
+    # chunks never cross a log/checkpoint/max_iter boundary
+    steps_per_call = max(1, int(config.get("steps_per_call", 1)))
+    if steps_per_call > 1 and not getattr(trainer, "supports_steps_per_call",
+                                          False):
+        logger.warning("steps_per_call > 1 is not supported by this trainer; "
+                       "using 1")
+        steps_per_call = 1
+
     batches = (train_set.batches(batch_size, shuffle=True, seed=seed)
                if iteration <= max_iter else ())  # finished run reruns as no-op
-    for batch in batches:
-        detail = trainer.train_step(batch)
+    train_it = iter(batches)
+    running = True
+    while running:
+        i = trainer.iteration
+        if i >= max_iter:
+            break
+        K = steps_per_call
+        if K > 1:
+            K = min(K, iters_per_log - i % iters_per_log,
+                    iters_per_checkpoint - i % iters_per_checkpoint,
+                    max_iter - i)
+        chunk = []
+        try:
+            for _ in range(max(K, 1)):
+                chunk.append(next(train_it))
+        except StopIteration:
+            running = False
+        if not chunk:
+            break
+        detail = (trainer.train_step(chunk[0]) if len(chunk) == 1
+                  else trainer.train_steps(chunk))
         iteration = trainer.iteration
         for k, v in detail.items():
             train_log.setdefault(k, []).append(v)
 
         if iteration % iters_per_log == 0 and train_log:
-            host = {k: np.mean(jax.device_get(v)) for k, v in
-                    train_log.items()}
+            # per-step scalars or (K,) chunk vectors; flatten for exact means
+            host = {k: np.mean(np.concatenate(
+                        [np.ravel(np.asarray(x))
+                         for x in jax.device_get(v)]))
+                    for k, v in train_log.items()}
             mseg = f"Iter {iteration}:" + "".join(
                 f"  {k}: {v:.6f}" for k, v in host.items())
             mseg += f"  |  {time.time() - t_log:.1f}s"
