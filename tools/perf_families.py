@@ -166,6 +166,13 @@ def bench(name, config, make_batch, steps=20, scan_k=0, dev_res_k=0):
     trainer.init_state(batch)
     dev_batch = trainer.shard_batch(batch)
 
+    # mel-frame count for throughput: token-TTS batches carry the mel matrix
+    # at index 2 — the SAME derivation as the base rows, so A/B rows are
+    # directly comparable
+    B = np.asarray(batch[0]).shape[0]
+    T = (np.asarray(batch[2]).shape[1] if len(batch) > 2
+         and np.asarray(batch[2]).ndim == 3 else np.asarray(batch[0]).shape[1])
+
     if scan_k:
         # K-steps-per-dispatch A/B (Trainer.train_steps lax.scan): quantifies
         # the per-call dispatch overhead the scan amortizes on the tunneled
@@ -176,8 +183,6 @@ def bench(name, config, make_batch, steps=20, scan_k=0, dev_res_k=0):
             lambda: trainer.train_steps(stacked),
             lambda d: float(np.asarray(d["Total"])[-1]), steps)
         ms = sec_call / scan_k * 1e3
-        B = np.asarray(batch[0]).shape[0]
-        T = np.asarray(batch[0]).shape[1]
         row = {"family": f"{name}_scan{scan_k}", "ms_per_step": round(ms, 2),
                "frames_per_s": round(B * T / ms * 1e3),
                "steps_per_call": scan_k}
@@ -187,10 +192,14 @@ def bench(name, config, make_batch, steps=20, scan_k=0, dev_res_k=0):
     if dev_res_k:
         # device-resident A/B: synthetic corpus staged to HBM, crops sampled
         # inside the K-step scan (Trainer.train_steps_device) — the
-        # production path for `device_resident: true` + `steps_per_call: K`
+        # production path for `device_resident: true` + `steps_per_call: K`.
+        # Only the (feats, spks) mel families have a device-resident path.
+        if len(batch) != 2:
+            row = {"family": f"{name}_devres{dev_res_k}",
+                   "skipped": "device_resident is mel-corpus only"}
+            print(json.dumps(row), flush=True)
+            return row
         from tools._measure import time_steps
-        B = np.asarray(batch[0]).shape[0]
-        T = np.asarray(batch[0]).shape[1]
         D = np.asarray(batch[0]).shape[2]
         rng = np.random.default_rng(0)
         N, M = 512, max(400, T)
@@ -248,9 +257,6 @@ def bench(name, config, make_batch, steps=20, scan_k=0, dev_res_k=0):
     sec, _ = time_steps(step_fn, lambda d: float(d["Total"]), steps)
     ms = sec * 1e3
 
-    B = np.asarray(batch[0]).shape[0]
-    T = (np.asarray(batch[2]).shape[1] if len(batch) > 2
-         and np.asarray(batch[2]).ndim == 3 else np.asarray(batch[0]).shape[1])
     frames = B * T
     tflops = flops / (ms * 1e-3) / 1e12 if flops else 0.0
     row = {"family": name, "ms_per_step": round(ms, 2),

@@ -23,6 +23,51 @@ import numpy as np
 import yaml
 
 
+def resolve_steps_per_call(config, trainer, logger):
+    """steps_per_call from the YAML, clamped to 1 for trainers whose
+    per-iteration control flow is host-side (the GAN phase schedule)."""
+    k = max(1, int(config.get("steps_per_call", 1)))
+    if k > 1 and not getattr(trainer, "supports_steps_per_call", False):
+        logger.warning("steps_per_call > 1 is not supported by this trainer; "
+                       "using 1")
+        k = 1
+    return k
+
+
+def chunk_size(i, steps_per_call, iters_per_log, iters_per_checkpoint,
+               max_iter):
+    """Largest K ≤ steps_per_call from completed-step count ``i`` that does
+    not cross a log/checkpoint/max_iter boundary (cadence unchanged)."""
+    k = steps_per_call
+    if k > 1:
+        k = min(k, iters_per_log - i % iters_per_log,
+                iters_per_checkpoint - i % iters_per_checkpoint,
+                max_iter - i)
+    return max(k, 1)
+
+
+def pull_chunk(iterator, k):
+    """Up to ``k`` items; shorter (possibly empty) when exhausted."""
+    out = []
+    try:
+        for _ in range(k):
+            out.append(next(iterator))
+    except StopIteration:
+        pass
+    return out
+
+
+def flat_mean_log(train_log):
+    """Host means over accumulated detail values — entries are per-step
+    scalars or (K,) per-chunk vectors; flattening weighs every step
+    equally regardless of chunk size."""
+    import jax
+
+    return {k: float(np.mean(np.concatenate(
+                [np.ravel(np.asarray(x)) for x in jax.device_get(v)])))
+            for k, v in train_log.items()}
+
+
 def get_logger(output_dir):
     logger = logging.getLogger("vae_npvc_tpu.train")
     logger.setLevel(logging.INFO)
@@ -157,12 +202,7 @@ def train(args):
     # on a remote/tunneled backend the per-call round-trip is pure overhead,
     # so K>1 amortizes it. Chunks never cross a log/checkpoint/max_iter
     # boundary, so logging cadence and checkpoint contents are unchanged.
-    steps_per_call = max(1, int(config.get("steps_per_call", 1)))
-    if steps_per_call > 1 and not getattr(trainer, "supports_steps_per_call",
-                                          False):
-        logger.warning("steps_per_call > 1 is not supported by this trainer "
-                       "(phase-alternating GAN schedule); using 1")
-        steps_per_call = 1
+    steps_per_call = resolve_steps_per_call(config, trainer, logger)
 
     if iteration > max_iter:
         # a finished run re-invoked (e.g. --checkpoint auto after
@@ -185,19 +225,13 @@ def train(args):
             # skip the compile steps, then trace one log interval
             jax.profiler.start_trace(profile_dir)
             profiling = True
-        K = steps_per_call
-        if K > 1:
-            K = min(K, iters_per_log - i % iters_per_log,
-                    iters_per_checkpoint - i % iters_per_checkpoint,
-                    max_iter - i)
+        K = chunk_size(i, steps_per_call, iters_per_log,
+                       iters_per_checkpoint, max_iter)
         if use_dev:
-            detail = trainer.train_steps_device(max(K, 1))
+            detail = trainer.train_steps_device(K)
         else:
-            batches = []
-            try:
-                for _ in range(max(K, 1)):
-                    batches.append(next(train_it))
-            except StopIteration:
+            batches = pull_chunk(train_it, K)
+            if len(batches) < K:
                 running = False
             if not batches:
                 break
@@ -216,12 +250,7 @@ def train(args):
             train_log.setdefault(k, []).append(v)
 
         if iteration % iters_per_log == 0 and train_log:
-            # entries are per-step scalars or (K,) per-chunk vectors; flatten
-            # so every step weighs equally regardless of chunk size
-            host_log = {k: np.mean(np.concatenate(
-                            [np.ravel(np.asarray(x))
-                             for x in jax.device_get(v)]))
-                        for k, v in train_log.items()}
+            host_log = flat_mean_log(train_log)
             dt = time.time() - t_log
             fps = iters_per_log * frames_per_batch / dt
             mseg = f"Iter {iteration}:"

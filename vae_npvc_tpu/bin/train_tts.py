@@ -22,7 +22,8 @@ from shutil import copyfile
 import numpy as np
 import yaml
 
-from .train import get_logger
+from .train import (chunk_size, flat_mean_log, get_logger, pull_chunk,
+                    resolve_steps_per_call)
 
 
 def train(args):
@@ -80,13 +81,8 @@ def train(args):
 
     # K optimizer steps per dispatch (token-mel batches are padded to static
     # max_tokens/max_frames shapes, so Trainer.train_steps' scan applies);
-    # chunks never cross a log/checkpoint/max_iter boundary
-    steps_per_call = max(1, int(config.get("steps_per_call", 1)))
-    if steps_per_call > 1 and not getattr(trainer, "supports_steps_per_call",
-                                          False):
-        logger.warning("steps_per_call > 1 is not supported by this trainer; "
-                       "using 1")
-        steps_per_call = 1
+    # shared chunking helpers keep boundary math identical to bin/train.py
+    steps_per_call = resolve_steps_per_call(config, trainer, logger)
 
     batches = (train_set.batches(batch_size, shuffle=True, seed=seed)
                if iteration <= max_iter else ())  # finished run reruns as no-op
@@ -96,16 +92,10 @@ def train(args):
         i = trainer.iteration
         if i >= max_iter:
             break
-        K = steps_per_call
-        if K > 1:
-            K = min(K, iters_per_log - i % iters_per_log,
-                    iters_per_checkpoint - i % iters_per_checkpoint,
-                    max_iter - i)
-        chunk = []
-        try:
-            for _ in range(max(K, 1)):
-                chunk.append(next(train_it))
-        except StopIteration:
+        K = chunk_size(i, steps_per_call, iters_per_log,
+                       iters_per_checkpoint, max_iter)
+        chunk = pull_chunk(train_it, K)
+        if len(chunk) < K:
             running = False
         if not chunk:
             break
@@ -116,11 +106,7 @@ def train(args):
             train_log.setdefault(k, []).append(v)
 
         if iteration % iters_per_log == 0 and train_log:
-            # per-step scalars or (K,) chunk vectors; flatten for exact means
-            host = {k: np.mean(np.concatenate(
-                        [np.ravel(np.asarray(x))
-                         for x in jax.device_get(v)]))
-                    for k, v in train_log.items()}
+            host = flat_mean_log(train_log)
             mseg = f"Iter {iteration}:" + "".join(
                 f"  {k}: {v:.6f}" for k, v in host.items())
             mseg += f"  |  {time.time() - t_log:.1f}s"

@@ -81,11 +81,15 @@ class UttMelSpkDataset:
         first = next(iter(self.feats_scp.values()))
         return kaldi_io.matrix_header(first)[1]
 
-    def padded_nbytes(self, crop=None):
+    def _padded_max_frames(self):
+        """Shared M for padded_nbytes/padded_arrays: only utterances actually
+        in utt2spk_id count (utt2num_frames may retain filtered entries)."""
+        return max(max(self.utt2num_frames[u] for u, _ in self.utt2spks),
+                   self.crop_length)
+
+    def padded_nbytes(self):
         """Size of the :meth:`padded_arrays` feature tensor, without loading."""
-        M = max(max(self.utt2num_frames.values()),
-                crop or self.crop_length)
-        return self.num_data * M * self.feat_dim() * 4
+        return self.num_data * self._padded_max_frames() * self.feat_dim() * 4
 
     def padded_arrays(self, num_workers=8):
         """Whole corpus as one zero-padded tensor (device-resident staging).
@@ -97,7 +101,7 @@ class UttMelSpkDataset:
         runs past an utterance's true length.
         """
         utts = [u for u, _ in self.utt2spks]
-        M = max(max(self.utt2num_frames[u] for u in utts), self.crop_length)
+        M = self._padded_max_frames()
         D = self.feat_dim()
         feats = np.zeros((self.num_data, M, D), np.float32)
         n_frames = np.asarray([self.utt2num_frames[u] for u in utts],

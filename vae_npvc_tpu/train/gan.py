@@ -62,11 +62,12 @@ class GanState:
 
 
 class GanTrainer(Trainer):
+    """3-phase WGAN-GP trainer; same external API as the basic Trainer."""
+
     # the critic/generator alternation is host-side per-iteration control
     # flow with phase-dependent detail keys — the base class's K-step scan
     # dispatch does not apply (bin/train.py falls back to sequential steps)
     supports_steps_per_call = False
-    """3-phase WGAN-GP trainer; same external API as the basic Trainer."""
 
     def __init__(self, config, mesh=None, seed=None):
         super().__init__(config, mesh=mesh, seed=seed)
