@@ -93,6 +93,43 @@ class TestTrainStepsDevice:
         d = tr.train_steps_device(2)
         assert np.isfinite(np.asarray(d["Total"])).all()
 
+    def test_indexed_matches_host_loader_trajectory(self, tmp_path):
+        """Epoch mode: train_steps_indices on the staged corpus follows the
+        host loader's EXACT data order (index_iterator is the shared
+        source), so the training trajectory matches the sequential host
+        path batch for batch."""
+        from vae_npvc_tpu.data.dataset import batch_iterator, index_iterator
+
+        data = _toy_dir(tmp_path)
+        cfg = dict(toy_config(), crop_length=16, use_native_loader=False)
+        ds = UttMelSpkDataset(data, cfg)
+        init = (np.zeros((4, 16, 10), np.float32), np.zeros((4,), np.int32))
+
+        host = Trainer(cfg)
+        host.init_state(init)
+        host_losses = []
+        it = batch_iterator(ds, 4, shuffle=True, drop_last=True, seed=5,
+                            num_workers=0, epochs=None)
+        for _, batch in zip(range(5), it):
+            host_losses.append(float(host.train_step(batch)["Total"]))
+
+        dev = Trainer(cfg)
+        dev.init_state(init)
+        dev.stage_dataset(ds, batch_size=4)
+        pairs = []
+        for _, p in zip(range(5), index_iterator(ds, 4, shuffle=True,
+                                                 drop_last=True, seed=5)):
+            pairs.append(p)
+        d1 = dev.train_steps_indices(np.stack([p[0] for p in pairs[:3]]),
+                                     np.stack([p[1] for p in pairs[:3]]))
+        d2 = dev.train_steps_indices(np.stack([p[0] for p in pairs[3:]]),
+                                     np.stack([p[1] for p in pairs[3:]]))
+        dev_losses = list(np.asarray(d1["Total"])) + \
+            list(np.asarray(d2["Total"]))
+        np.testing.assert_allclose(dev_losses, host_losses,
+                                   rtol=1e-5, atol=1e-6)
+        assert dev.iteration == host.iteration == 5
+
     def test_requires_staging(self):
         tr = Trainer(toy_config())
         tr.init_state((np.zeros((2, 16, 10), np.float32),
@@ -128,7 +165,32 @@ class TestTrainCliDeviceResident:
         assert (out / "iter.6").exists() and (out / "iter.12").exists()
         log = (out / "train.log").read_text()
         assert "Device-resident corpus" in log
+        assert "epoch sampling" in log          # the default mode
         assert "Iter 6:" in log and "Iter 12:" in log
+
+    def test_cli_device_resident_iid(self, tmp_path):
+        from vae_npvc_tpu.bin.train import train
+
+        data = _toy_dir(tmp_path)
+        cfg = dict(toy_config(), batch_size=4, crop_length=16,
+                   max_iter=8, iters_per_checkpoint=8, iters_per_log=4,
+                   steps_per_call=4, device_resident=True,
+                   device_resident_sampling="iid", num_jobs=0)
+        cfg_path = tmp_path / "conf.yaml"
+        yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+        class Args:
+            config = str(cfg_path)
+            output_dir = str(tmp_path / "exp_iid")
+            checkpoint = None
+            train_dir = str(data)
+            valid_dir = None
+            profile_dir = None
+
+        train(Args())
+        log = (tmp_path / "exp_iid" / "train.log").read_text()
+        assert "iid sampling" in log
+        assert "Iter 8:" in log
 
     def test_cli_falls_back_over_limit(self, tmp_path):
         from vae_npvc_tpu.bin.train import train

@@ -108,10 +108,13 @@ def train(args):
     train_set = UttMelSpkDataset(args.train_dir, config)
 
     # device-resident corpus (opt-in): stage every utterance to HBM once and
-    # sample crops inside the jitted K-step scan — zero per-step host→device
-    # traffic. Sampling is iid utterance+crop rather than the host loader's
-    # per-epoch permutation; per-item crop semantics are identical.
+    # gather crops inside the jitted K-step scan — only indices cross the
+    # host→device boundary per step. The default "epoch" sampling follows
+    # the host loader's exact epoch-permutation + crop order
+    # (data.dataset.index_iterator is the single source of both); "iid"
+    # samples utterance+crop on-device with zero host involvement.
     use_dev = bool(config.get("device_resident", False))
+    dev_sampling = config.get("device_resident_sampling", "epoch")
     if use_dev and not getattr(trainer, "supports_steps_per_call", False):
         logger.warning("device_resident is not supported by this trainer; "
                        "using the host loader")
@@ -211,10 +214,16 @@ def train(args):
                     f"{max_iter}; nothing to train")
         train_iter = ()
         use_dev = False
+    idx_it = None
     if use_dev:
         nbytes = trainer.stage_dataset(train_set, train_batch)
         logger.info(f"Device-resident corpus: {nbytes / 1e6:.0f} MB staged "
-                    f"to HBM; in-scan crop sampling")
+                    f"to HBM; in-scan crop gathering "
+                    f"({dev_sampling} sampling)")
+        if dev_sampling == "epoch":
+            from ..data.dataset import index_iterator
+            idx_it = index_iterator(train_set, train_batch, shuffle=True,
+                                    drop_last=True, seed=seed)
     train_it = iter(train_iter)
     running = True
     while running:
@@ -227,7 +236,12 @@ def train(args):
             profiling = True
         K = chunk_size(i, steps_per_call, iters_per_log,
                        iters_per_checkpoint, max_iter)
-        if use_dev:
+        if use_dev and idx_it is not None:
+            pairs = pull_chunk(idx_it, K)   # infinite iterator: always K
+            detail = trainer.train_steps_indices(
+                np.stack([p[0] for p in pairs]),
+                np.stack([p[1] for p in pairs]))
+        elif use_dev:
             detail = trainer.train_steps_device(K)
         else:
             batches = pull_chunk(train_it, K)

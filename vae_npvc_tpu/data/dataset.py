@@ -121,13 +121,16 @@ class UttMelSpkDataset:
 
     def get(self, index, rng: np.random.Generator):
         """Read one cropped item. ``rng`` drives the random crop start."""
+        # crop_start() is the single crop-semantics definition shared with
+        # the native fast path (same per-item seeds -> identical crops)
+        return self.get_at(index, self.crop_start(index, rng))
+
+    def get_at(self, index, start):
+        """Read one item at a given crop start (see :func:`index_iterator`)."""
         utt, spk = self.utt2spks[index][0], self.utt2spks[index][1]
         feat_length = self.utt2num_frames[utt]
         crop = self.crop_length
-
-        # crop_start() is the single crop-semantics definition shared with
-        # the native fast path (same per-item seeds -> identical crops)
-        start = self.crop_start(index, rng)
+        start = int(start)
         end = min(start + crop, feat_length)
 
         rx = f"{self.feats_scp[utt]}[{start}:{end - 1}]"
@@ -135,6 +138,35 @@ class UttMelSpkDataset:
         if feat.shape[0] < crop:
             feat = np.pad(feat, ((0, crop - feat.shape[0]), (0, 0)))
         return feat, np.int32(spk)
+
+
+def index_iterator(dataset, batch_size, *, shuffle, drop_last, seed=0,
+                   epochs=None):
+    """Yield ``(indices[B] int64, crop_starts[B] int64)`` per batch.
+
+    The single source of the epoch-permutation + per-item crop-seed order:
+    :func:`batch_iterator` loads these windows from disk, and the
+    device-resident trainer path gathers the SAME windows from the
+    HBM-staged corpus (Trainer.train_steps_indices) — identical data order
+    by construction, not by parallel reimplementation.
+    """
+    order_rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        idx = np.arange(len(dataset))
+        if shuffle:
+            order_rng.shuffle(idx)
+        for lo in range(0, len(idx), batch_size):
+            chunk = idx[lo:lo + batch_size]
+            if drop_last and len(chunk) < batch_size:
+                break
+            # independent crop rng per item, reproducible across workers
+            seeds = order_rng.integers(0, 2 ** 63, size=len(chunk))
+            starts = np.asarray(
+                [dataset.crop_start(i, np.random.default_rng(sd))
+                 for i, sd in zip(chunk, seeds)], np.int64)
+            yield chunk, starts
+        epoch += 1
 
 
 def batch_iterator(dataset, batch_size, *, shuffle, drop_last, seed=0,
@@ -148,41 +180,29 @@ def batch_iterator(dataset, batch_size, *, shuffle, drop_last, seed=0,
         raise ValueError(
             f"batch_size {batch_size} > dataset size {len(dataset)} with "
             f"drop_last=True would yield no batches ever")
-    order_rng = np.random.default_rng(seed)
     pool = ThreadPoolExecutor(max_workers=num_workers) if num_workers > 0 else None
-    epoch = 0
     try:
-        while epochs is None or epoch < epochs:
-            idx = np.arange(len(dataset))
-            if shuffle:
-                order_rng.shuffle(idx)
-            for lo in range(0, len(idx), batch_size):
-                chunk = idx[lo:lo + batch_size]
-                if drop_last and len(chunk) < batch_size:
-                    break
-                # independent crop rng per item, reproducible across workers
-                seeds = order_rng.integers(0, 2 ** 63, size=len(chunk))
-                if dataset.native is not None:
-                    starts = np.asarray(
-                        [dataset.crop_start(i, np.random.default_rng(sd))
-                         for i, sd in zip(chunk, seeds)], np.int64)
-                    feats = dataset.native.load_batch(
-                        dataset._native_row[chunk], starts,
-                        dataset.crop_length,
-                        nthreads=max(num_workers, 1))
-                    yield feats, dataset.spk_ids[chunk]
-                    continue
-                if pool is not None:
-                    items = list(pool.map(
-                        lambda a: dataset.get(a[0], np.random.default_rng(a[1])),
-                        zip(chunk, seeds)))
-                else:
-                    items = [dataset.get(i, np.random.default_rng(s))
-                             for i, s in zip(chunk, seeds)]
-                feats = np.stack([it[0] for it in items])
-                spks = np.asarray([it[1] for it in items], np.int32)
-                yield feats, spks
-            epoch += 1
+        for chunk, starts in index_iterator(dataset, batch_size,
+                                            shuffle=shuffle,
+                                            drop_last=drop_last, seed=seed,
+                                            epochs=epochs):
+            if dataset.native is not None:
+                feats = dataset.native.load_batch(
+                    dataset._native_row[chunk], starts,
+                    dataset.crop_length,
+                    nthreads=max(num_workers, 1))
+                yield feats, dataset.spk_ids[chunk]
+                continue
+            if pool is not None:
+                items = list(pool.map(
+                    lambda a: dataset.get_at(a[0], a[1]),
+                    zip(chunk, starts)))
+            else:
+                items = [dataset.get_at(i, s)
+                         for i, s in zip(chunk, starts)]
+            feats = np.stack([it[0] for it in items])
+            spks = np.asarray([it[1] for it in items], np.int32)
+            yield feats, spks
     finally:
         if pool is not None:
             try:

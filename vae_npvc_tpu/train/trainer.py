@@ -356,9 +356,11 @@ class Trainer:
         dominate real training on a remote/tunneled backend (the measured
         6k-step flagship run sustained 38–141k frames/s against the pure
         step's 418k; same lever as the vocoder trainer's ``stage_dataset``,
-        train/pwg.py). Sampling is iid (utterance + crop start) rather than
-        the host loader's per-epoch permutation — per-item crop semantics
-        (random start, zero-pad short utterances) are identical.
+        train/pwg.py). Two sampling modes: :meth:`train_steps_indices`
+        gathers host-chosen windows (the loader's exact epoch-permutation
+        order, indices only crossing the wire), :meth:`train_steps_device`
+        samples iid on-device; per-item crop semantics (random start,
+        zero-pad short utterances) are identical in both.
 
         Multi-host is not supported (each host would stage a different local
         corpus under a replicated layout); callers fall back to the host
@@ -373,6 +375,7 @@ class Trainer:
         self._dev_batch = batch_size
         self._dev_crop = dataset.crop_length
         self._dev_step_fn = None
+        self._idx_step_fn = None
         return feats.nbytes
 
     def _build_device_step(self):
@@ -413,7 +416,7 @@ class Trainer:
         return jax.jit(multi, donate_argnums=(0,))
 
     def train_steps_device(self, K):
-        """K optimizer steps sampling from the HBM-staged corpus."""
+        """K optimizer steps sampling iid from the HBM-staged corpus."""
         if getattr(self, "_dev_corpus", None) is None:
             raise ValueError("call stage_dataset first")
         if self._dev_step_fn is None:
@@ -422,6 +425,50 @@ class Trainer:
         self.state, detail = self._dev_step_fn(
             self.state, *self._dev_corpus, offset, jnp.arange(K))
         self._host_iter += K
+        return detail
+
+    def _build_indexed_step(self):
+        step = self._train_step
+        base = self.base_rng
+        crop = self._dev_crop
+        batch_sharding = (self.batch_sharding
+                          if self._dev_batch % self.mesh.shape["data"] == 0
+                          else None)
+
+        def multi(state, feats, spk_ids, idx, starts):
+            def body(s, x):
+                ii, ss = x
+                feat = jax.vmap(lambda i, st: jax.lax.dynamic_slice(
+                    feats[i], (st, 0), (crop, feats.shape[2])))(ii, ss)
+                spks = spk_ids[ii]
+                if batch_sharding is not None:
+                    feat = jax.lax.with_sharding_constraint(
+                        feat, batch_sharding)
+                    spks = jax.lax.with_sharding_constraint(
+                        spks, batch_sharding)
+                return step(s, (feat, spks), base)
+            return jax.lax.scan(body, state, (idx, starts))
+
+        return jax.jit(multi, donate_argnums=(0,))
+
+    def train_steps_indices(self, idx, starts):
+        """K steps gathering host-chosen windows from the staged corpus.
+
+        ``idx``/``starts`` are (K, B) int arrays from
+        :func:`data.dataset.index_iterator` — the host loader's exact
+        epoch-permutation + crop order, but only ~KB of indices cross the
+        host→device boundary instead of the mel windows themselves.
+        """
+        if getattr(self, "_dev_corpus", None) is None:
+            raise ValueError("call stage_dataset first")
+        if getattr(self, "_idx_step_fn", None) is None:
+            self._idx_step_fn = self._build_indexed_step()
+        feats, _, spk_ids = self._dev_corpus
+        idx = jnp.asarray(np.asarray(idx), jnp.int32)
+        starts = jnp.asarray(np.asarray(starts), jnp.int32)
+        self.state, detail = self._idx_step_fn(self.state, feats, spk_ids,
+                                               idx, starts)
+        self._host_iter += int(idx.shape[0])
         return detail
 
     def train_steps(self, batches):
