@@ -150,6 +150,10 @@ def index_iterator(dataset, batch_size, *, shuffle, drop_last, seed=0,
     HBM-staged corpus (Trainer.train_steps_indices) — identical data order
     by construction, not by parallel reimplementation.
     """
+    if drop_last and batch_size > len(dataset):
+        raise ValueError(
+            f"batch_size {batch_size} > dataset size {len(dataset)} with "
+            f"drop_last=True would yield no batches ever")
     order_rng = np.random.default_rng(seed)
     epoch = 0
     while epochs is None or epoch < epochs:
