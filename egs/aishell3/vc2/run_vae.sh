@@ -76,6 +76,10 @@ with open(f"{dump}/{x}/utt2spk_id", "w") as wf:
     for u in utts:
         wf.write(f"{u} {ids[u]}\n")
 EOF
+        # the speaker-name -> id map rides along: stage 5's trials name
+        # targets by speaker (decode resolves them via spk2spk_id,
+        # reference decoder/basic.py:50-53)
+        cp ${dumpdir}/${all_set}/spk2spk_id ${dumpdir}/${x}/ 2>/dev/null || true
     done
 fi
 
