@@ -130,6 +130,29 @@ class TestTrainStepsDevice:
                                    rtol=1e-5, atol=1e-6)
         assert dev.iteration == host.iteration == 5
 
+    def test_sharded_gather_on_virtual_mesh(self, tmp_path):
+        """Batch divisible by the 8-device mesh: the in-scan gather carries
+        the data-axis sharding constraint (both iid and indexed paths)."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            import pytest
+            pytest.skip("needs 8 virtual devices")
+        data = _toy_dir(tmp_path)
+        cfg = dict(toy_config(), crop_length=16, use_native_loader=False)
+        ds = UttMelSpkDataset(data, cfg)
+        tr = Trainer(cfg)
+        tr.init_state((np.zeros((16, 16, 10), np.float32),
+                       np.zeros((16,), np.int32)))
+        tr.stage_dataset(ds, batch_size=16)
+        d = tr.train_steps_device(2)
+        assert np.isfinite(np.asarray(d["Total"])).all()
+        idx = np.tile(np.arange(6, dtype=np.int32), 3)[:16][None].repeat(2, 0)
+        starts = np.zeros((2, 16), np.int32)
+        d2 = tr.train_steps_indices(idx, starts)
+        assert np.isfinite(np.asarray(d2["Total"])).all()
+        assert tr.iteration == 4
+
     def test_requires_staging(self):
         tr = Trainer(toy_config())
         tr.init_state((np.zeros((2, 16, 10), np.float32),
