@@ -30,20 +30,19 @@ if _os.environ.get("VAE_NPVC_JAX_PLATFORM"):
     except RuntimeError:
         pass
 
-_cache_pref = _os.environ.get("VAE_NPVC_COMPILATION_CACHE", "")
-if _cache_pref not in ("0", "false") and not (
-        _cache_pref == "" and _os.environ.get("VAE_NPVC_JAX_PLATFORM") == "cpu"):
+if _os.environ.get("VAE_NPVC_COMPILATION_CACHE", "1") not in ("0", "false"):
     # Persistent XLA compilation cache: a preemption-resumed training CLI (or
     # any restarted job) reloads its compiled executables instead of paying
     # the full first-compile again (~20-40 s per jitted fn on the TPU
-    # backend; a toy CPU train CLI restart measured 41.5 s -> 17.6 s). On
-    # by default except for explicit-CPU runs, where XLA's AOT loader logs
-    # a noisy false-positive machine-feature warning per reload — set
-    # VAE_NPVC_COMPILATION_CACHE=1 (or a path) to force it on there, 0 to
-    # disable everywhere.
+    # backend, minutes for the big conv models on CPU; a toy CPU train CLI
+    # restart measured 41.5 s -> 17.6 s). Set VAE_NPVC_COMPILATION_CACHE=0
+    # to disable, or point it at a directory. Known-cosmetic: XLA's CPU AOT
+    # loader logs a false-positive machine-feature warning per cache reload
+    # (compiler preference flags are compared against detected host
+    # features); the executables load and run correctly.
     import jax as _jax2
 
-    _cache = _cache_pref
+    _cache = _os.environ.get("VAE_NPVC_COMPILATION_CACHE", "")
     if _cache in ("", "1", "true"):
         _cache = _os.path.join(_os.environ.get("TMPDIR", "/tmp"),
                                "vae_npvc_jax_cache")

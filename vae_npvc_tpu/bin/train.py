@@ -115,6 +115,10 @@ def train(args):
     # samples utterance+crop on-device with zero host involvement.
     use_dev = bool(config.get("device_resident", False))
     dev_sampling = config.get("device_resident_sampling", "epoch")
+    if dev_sampling not in ("epoch", "iid"):
+        raise ValueError(
+            f"device_resident_sampling must be 'epoch' or 'iid', got "
+            f"{dev_sampling!r}")
     if use_dev and not getattr(trainer, "supports_steps_per_call", False):
         logger.warning("device_resident is not supported by this trainer; "
                        "using the host loader")

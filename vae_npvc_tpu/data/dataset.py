@@ -179,11 +179,9 @@ def batch_iterator(dataset, batch_size, *, shuffle, drop_last, seed=0,
 
     Runs forever when ``epochs`` is None (training); one pass when given
     (validation). Worker threads parallelize the per-item ark range reads.
+    The batch_size-vs-corpus guard lives in :func:`index_iterator` (both are
+    generators, so the check is equally deferred either way).
     """
-    if drop_last and batch_size > len(dataset):
-        raise ValueError(
-            f"batch_size {batch_size} > dataset size {len(dataset)} with "
-            f"drop_last=True would yield no batches ever")
     pool = ThreadPoolExecutor(max_workers=num_workers) if num_workers > 0 else None
     try:
         for chunk, starts in index_iterator(dataset, batch_size,

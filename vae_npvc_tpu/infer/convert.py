@@ -275,14 +275,17 @@ class Converter:
         jobs = []
         for parts in trials:
             utt, targets = parts[0], parts[1:]
-            try:
-                tgt = [spk_map[t] if spk_map else int(t) for t in targets]
-            except (ValueError, KeyError) as e:
-                raise ValueError(
-                    f"trial target {e} in {decode_dir}/trials is not "
-                    f"{'in spk2spk_id' if spk_map else 'an integer id'}; "
-                    f"named targets need a spk2spk_id file in the decode "
-                    f"dir (reference decoder/basic.py:50-53)") from e
+            tgt = []
+            for t in targets:
+                try:
+                    tgt.append(spk_map[t] if spk_map else int(t))
+                except (ValueError, KeyError) as e:
+                    raise ValueError(
+                        f"trial target {t!r} in {decode_dir}/trials is not "
+                        f"{'in spk2spk_id' if spk_map else 'an integer id'}; "
+                        f"named targets need a spk2spk_id file in the "
+                        f"decode dir (reference decoder/basic.py:50-53)"
+                    ) from e
             T = kaldi_io.matrix_header(feats_scp[utt])[0]
             jobs.append((utt, feats_scp[utt], T, tgt))
 
