@@ -59,7 +59,7 @@ def sinusoidal_positions(length: int, dim: int) -> jnp.ndarray:
 
 
 def group_norm(x, scale, bias, num_groups, eps=1e-5, mask=None,
-               seq_axis=None):
+               seq_axis=None, glu=False):
     """Torch-semantics GroupNorm for (B, T, C): stats over (T, C//G) per group.
 
     With ``mask`` (B, T, 1), statistics cover only valid frames — this makes a
@@ -70,8 +70,21 @@ def group_norm(x, scale, bias, num_groups, eps=1e-5, mask=None,
     With ``seq_axis`` (a mesh axis name, inside shard_map), the time axis is
     sharded across chips and the statistics are psum-ed so the result matches
     the unsharded computation (sequence-parallel inference).
+
+    With ``glu`` the tanh⊙sigmoid gate over the channel halves is applied as
+    an epilogue (the reference's Layernorm→GLU pairing, layers.py:98-126 and
+    :181-249). On the unmasked/unsharded training hot path the whole
+    stats→normalize→affine(→GLU) chain runs as one fused Pallas kernel
+    (ops/groupnorm_pallas.py) when shapes fit; all other paths — and any
+    backend where the kernel fails its compile probe — use the stock XLA
+    lowering below.
     """
     B, T, C = x.shape
+    if mask is None and seq_axis is None:
+        from ..ops import groupnorm_pallas as _gnp
+        if _gnp.wants(x.shape, num_groups, glu) and _gnp.compiled_ok():
+            return _gnp.fused_group_norm(x, scale, bias, num_groups, eps,
+                                         glu=glu)
     G = num_groups
     xf = x.astype(jnp.float32).reshape(B, T, G, C // G)
     if mask is None:
@@ -105,16 +118,21 @@ def group_norm(x, scale, bias, num_groups, eps=1e-5, mask=None,
     out = (xn * scale + bias).astype(x.dtype)
     if mask is not None:
         out = out * mask.astype(out.dtype)
+    if glu:
+        H = C // 2
+        out = jnp.tanh(out[..., :H]) * jax.nn.sigmoid(out[..., H:])
     return out
 
 
 class GroupNorm(nn.Module):
     """Affine GroupNorm with torch statistics semantics (optionally masked /
-    sequence-sharded)."""
+    sequence-sharded; ``glu=True`` appends the channel-halves tanh⊙sigmoid
+    gate so the norm+gate pair can fuse on TPU — param shapes unchanged)."""
     num_groups: int
     num_channels: int
     eps: float = 1e-5
     seq_axis: Any = None
+    glu: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -123,7 +141,7 @@ class GroupNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.num_channels,),
                           jnp.float32)
         return group_norm(x, scale, bias, self.num_groups, self.eps, mask,
-                          self.seq_axis)
+                          self.seq_axis, glu=self.glu)
 
 
 def _kaiming_v_init(key, shape, dtype=jnp.float32):
@@ -382,8 +400,10 @@ class GLUResSkip(nn.Module):
             hc = WNConv1d(2 * C, 1, use_weight_norm=self.use_weight_norm,
                           dtype=self.dtype, name="conv_cond")(c)
             h = h + hc  # broadcasts (B, 1, 2C) over time
-        h = GroupNorm(2, 2 * C, seq_axis=self.seq_axis, name="norm")(h, mask)
-        h = jnp.tanh(h[..., :C]) * jax.nn.sigmoid(h[..., C:])
+        # norm + gate in one module so the pair fuses on TPU
+        # (ops/groupnorm_pallas.py); params still live under "norm"
+        h = GroupNorm(2, 2 * C, seq_axis=self.seq_axis, glu=True,
+                      name="norm")(h, mask)
         rs = WNConv1d(C + self.skip_channels, 1,
                       use_weight_norm=self.use_weight_norm, dtype=self.dtype,
                       name="res_skip")(h)
@@ -425,8 +445,8 @@ class DeConvGLU(nn.Module):
         h = WNConv1d(2 * self.features, self.kernel_size,
                      dilation=self.dilation, use_weight_norm=False,
                      dtype=self.dtype, name="deconv")(x)
-        h = GroupNorm(2, 2 * self.features, name="norm")(h, mask)
-        return jnp.tanh(h[..., :self.features])             * jax.nn.sigmoid(h[..., self.features:])
+        return GroupNorm(2, 2 * self.features, glu=True,
+                         name="norm")(h, mask)
 
 
 class Conditions(nn.Module):
