@@ -117,6 +117,32 @@ def test_wants_gating():
         gnp.set_enabled(True)
 
 
+def test_sharded_batch_parity():
+    """Batch-sharded fused GN under shard_map on the 8-device mesh (the
+    multi-chip integration pattern, same as the sharded VQ-kernel leg in
+    __graft_entry__.dryrun_multichip): per-shard stats are exact because
+    GroupNorm statistics never cross batch rows."""
+    from jax.sharding import PartitionSpec as P
+
+    from vae_npvc_tpu.parallel.mesh import data_mesh
+
+    mesh = data_mesh()
+    n = mesh.shape["data"]
+    B, T, C = 2 * n, 16, 256
+    x = _rand((B, T, C), seed=31, scale=2.0)
+    scale, bias = _params(C, seed=32)
+
+    fn = jax.jit(jax.shard_map(
+        lambda x: gnp.fused_group_norm(x, scale, bias, 2, glu=True,
+                                       interpret=True),
+        mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+        check_vma=False))
+    got = fn(x)
+    want = group_norm(x, scale, bias, 2, glu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_module_glu_refactor_equivalence():
     """GroupNorm(glu=True) == GroupNorm + explicit gate (the pre-refactor
     GLUResSkip/DeConvGLU composition), including the masked path."""
