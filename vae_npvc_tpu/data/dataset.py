@@ -52,8 +52,8 @@ class UttMelSpkDataset:
         self.utt2spks = kaldi_io.load_list_data(data_dir / "utt2spk_id")
         self.num_data = len(self.utt2spks)
 
-        # native C++ batch loader fast path (uncompressed FM arks); indices in
-        # the shared library follow feats.scp line order
+        # native C++ batch loader fast path (FM + Kaldi-compressed CM/CM2/CM3
+        # arks); indices in the shared library follow feats.scp line order
         self.native = None
         self._native_row = None
         if config.get("use_native_loader", True):

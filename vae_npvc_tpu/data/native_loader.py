@@ -1,9 +1,10 @@
 """ctypes bridge to the C++ ark batch loader (native/ark_loader.cc).
 
 Builds the shared library with g++ on first use (cached beside the source;
-rebuilt when the source is newer). Falls back cleanly when compilation fails
-or the scp points at compressed/double matrices — callers check
-:func:`NativeArkLoader.open` for ``None``.
+rebuilt when the source is newer). Handles FM plus all three Kaldi
+compressed formats (CM/CM2/CM3, decoded bit-identically to kaldi_io); falls
+back cleanly when compilation fails or the scp points at double matrices or
+range rxspecifiers — callers check :func:`NativeArkLoader.open` for ``None``.
 """
 
 from __future__ import annotations
