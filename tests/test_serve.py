@@ -1,0 +1,180 @@
+"""Online serving: engine pipeline equivalence, request coalescing, HTTP API.
+
+The serving subsystem has no reference counterpart (the reference's
+inference surface is the batch decode.py CLI); these tests pin the new
+contract: the warm engine must produce the SAME mel output as the offline
+Converter path for the same checkpoint, concurrent same-bucket requests
+must coalesce into fewer device calls, and the HTTP layer must round-trip
+WAV bytes end to end.
+"""
+
+import json
+import threading
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+
+from tests.toy_config import toy_config
+from vae_npvc_tpu.data import cmvn as cmvn_mod
+from vae_npvc_tpu.data import features
+from vae_npvc_tpu.infer.convert import Converter
+from vae_npvc_tpu.serve import ConversionEngine
+from vae_npvc_tpu.train.trainer import Trainer
+
+FEAT = {"fs": 8000, "n_fft": 128, "n_shift": 32, "n_mels": 10,
+        "fmin": 0.0, "fmax": None, "win_length": None}
+
+
+@pytest.fixture(scope="module")
+def toy_engine_parts(tmp_path_factory):
+    """Train a toy flat model one step; return (cfg, ckpt path, stats)."""
+    tmp = tmp_path_factory.mktemp("serve")
+    cfg = toy_config()
+    tr = Trainer(cfg)
+    rng = np.random.default_rng(0)
+    batch = (rng.normal(size=(2, 32, 10)).astype(np.float32),
+             np.zeros((2,), np.int32))
+    tr.init_state(batch)
+    tr.train_step(batch)
+    ck = tmp / "m.ckpt"
+    tr.save_checkpoint(ck)
+    # plausible log-mel-scale CMVN stats (count=1000, mean≈-3, var≈1)
+    D = 10
+    stats = np.zeros((2, D + 1), np.float64)
+    stats[0, :-1] = -3.0 * 1000
+    stats[0, -1] = 1000
+    stats[1, :-1] = (1.0 + 3.0 ** 2) * 1000
+    return cfg, ck, stats
+
+
+def _engine(parts, **kw):
+    cfg, ck, stats = parts
+    kw.setdefault("vocoder", "none")
+    kw.setdefault("bucket_frames", 32)
+    kw.setdefault("batch_window_ms", 30.0)
+    return ConversionEngine(cfg, ck, stats, feature=FEAT,
+                            spk2spk_id={"A": 0, "B": 1, "C": 2}, **kw)
+
+
+def test_engine_matches_offline_converter(toy_engine_parts):
+    """Engine mel output == hand-run Converter pipeline on the same wav."""
+    cfg, ck, stats = toy_engine_parts
+    eng = _engine(toy_engine_parts)
+    try:
+        rng = np.random.default_rng(1)
+        wav = rng.normal(size=(2000,)).astype(np.float32) * 0.1
+        mel_out, fs = eng.convert(wav, 8000, "B", return_mel=True)
+        assert fs == 8000
+
+        # offline: same front-end, same padding contract, Converter jit
+        cv = Converter(cfg)
+        cv.load_checkpoint(ck)
+        T_true = features.num_frames(wav.size, 32)
+        T_pad = 32 * ((max(T_true, cv.min_frames) + 31) // 32)
+        n_pad = T_pad * 32 - 1
+        xp = np.zeros((1, n_pad), np.float32)
+        xp[0, :wav.size] = wav
+        import jax
+        mel = np.asarray(jax.jit(lambda w: features.logmelspectrogram(
+            w, **FEAT))(xp))[0]
+        feats = np.zeros_like(mel)
+        feats[:T_true] = cmvn_mod.apply(mel[:T_true], stats)
+        out = cv._infer_with_fallback(
+            feats[None], np.asarray([1], np.int32),
+            np.asarray([T_true], np.int32))[0]
+        ref = cmvn_mod.apply(out[:T_true], stats, reverse=True)
+        np.testing.assert_allclose(mel_out, ref, rtol=1e-5, atol=1e-5)
+    finally:
+        eng.close()
+
+
+def test_engine_wav_output_and_unknown_target(toy_engine_parts):
+    eng = _engine(toy_engine_parts, vocoder="gl", gl_iters=2)
+    try:
+        wav = np.sin(np.linspace(0, 100, 1500)).astype(np.float32)
+        out, fs = eng.convert(wav, 16000, "A")   # exercises resample too
+        assert out.ndim == 1 and out.size > 0 and np.all(np.isfinite(out))
+        assert fs == 8000
+        with pytest.raises(KeyError):
+            eng.resolve_target("nope")
+        assert eng.resolve_target("2") == 2      # numeric fallback
+    finally:
+        eng.close()
+
+
+def test_engine_coalesces_concurrent_requests(toy_engine_parts):
+    """N concurrent same-length requests ride fewer device calls than N,
+    and each result equals its own serial run."""
+    eng = _engine(toy_engine_parts, max_batch=8, batch_window_ms=150.0)
+    try:
+        rng = np.random.default_rng(2)
+        wavs = [rng.normal(size=(900,)).astype(np.float32) * 0.1
+                for _ in range(6)]
+        eng.warmup(1)                 # compile first so the window isn't
+        calls0 = eng.batcher.calls    # consumed by compilation
+        with ThreadPoolExecutor(6) as ex:
+            outs = list(ex.map(
+                lambda i: eng.convert(wavs[i], 8000, i % 3,
+                                      return_mel=True)[0], range(6)))
+        batched_calls = eng.batcher.calls - calls0
+        assert batched_calls < 6      # coalescing actually happened
+        for i, o in enumerate(outs):  # and results are per-request correct
+            serial, _ = eng.convert(wavs[i], 8000, i % 3, return_mel=True)
+            np.testing.assert_allclose(o, serial, rtol=1e-5, atol=1e-6)
+    finally:
+        eng.close()
+
+
+def test_http_server_end_to_end(toy_engine_parts):
+    import io
+
+    from scipy.io import wavfile
+
+    from vae_npvc_tpu.bin.serve import serve
+
+    eng = _engine(toy_engine_parts, vocoder="gl", gl_iters=2)
+    httpd = serve(eng, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        health = json.load(urllib.request.urlopen(f"{base}/health"))
+        assert health["status"] == "ok"
+        spk = json.load(urllib.request.urlopen(f"{base}/speakers"))
+        assert spk == {"A": 0, "B": 1, "C": 2}
+
+        buf = io.BytesIO()
+        pcm = (np.sin(np.linspace(0, 80, 1200)) * 0.5 * 32767).astype(
+            np.int16)
+        wavfile.write(buf, 8000, pcm)
+        req = urllib.request.Request(
+            f"{base}/convert?target=B", data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.headers["Content-Type"] == "audio/wav"
+            sr, out = wavfile.read(io.BytesIO(resp.read()))
+        assert sr == 8000 and out.size > 0
+
+        # mel-level API returns a loadable .npy float32 matrix
+        req = urllib.request.Request(
+            f"{base}/convert?target=B&mel=1", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req) as resp:
+            mel = np.load(io.BytesIO(resp.read()))
+        assert mel.ndim == 2 and mel.shape[1] == 10
+
+        # error paths: bad target → 400 json, not a crash
+        req = urllib.request.Request(
+            f"{base}/convert?target=nope", data=buf.getvalue(),
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+
+        stats = json.load(urllib.request.urlopen(f"{base}/stats"))
+        assert stats["requests"] >= 2
+    finally:
+        httpd.shutdown()
+        eng.close()

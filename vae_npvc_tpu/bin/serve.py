@@ -1,0 +1,209 @@
+"""Online voice-conversion HTTP server over :class:`serve.ConversionEngine`.
+
+The reference has no online serving path — its inference surface is the
+batch ``decode.py`` CLI over trials files (reference: vae_npvc/bin/decode.py,
+egs/vcc20/vae1/run.sh stages 5-6). This is the production-deployment layer
+the task mandates on top of the same model code: a dependency-free threaded
+HTTP server (stdlib ``http.server``) whose handler threads submit work to
+the engine; the engine's single batcher thread owns the device, coalescing
+concurrent requests into batched calls.
+
+Endpoints
+---------
+``GET  /health``                     liveness + checkpoint iteration
+``GET  /speakers``                   target-name → id map
+``GET  /stats``                      request/batching/latency counters
+``POST /convert?target=NAME``        body = WAV file → converted WAV
+``POST /convert?target=NAME&mel=1``  → float32 mel matrix (``.npy`` bytes),
+                                     the mel-level API for external vocoders
+
+Example::
+
+    vae-npvc-serve --config conf/train_pytorch_vqvae.yaml \
+        --checkpoint exp/.../model.loss.best --cmvn dump/.../cmvn.ark \
+        --spk2spk_id data/spk2spk_id --port 8080
+    curl -s -X POST --data-binary @in.wav \
+        'http://localhost:8080/convert?target=TEF1' -o out.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import logging
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+logger = logging.getLogger("vae_npvc_tpu.serve.http")
+
+
+def _wav_bytes(x, fs):
+    from scipy.io import wavfile
+
+    buf = io.BytesIO()
+    pcm = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
+    wavfile.write(buf, int(fs), (pcm * 32767.0).astype(np.int16))
+    return buf.getvalue()
+
+
+def _read_wav_bytes(body):
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(io.BytesIO(body))
+    if data.dtype.kind == "i":
+        data = data.astype(np.float32) / float(np.iinfo(data.dtype).max)
+    elif data.dtype.kind == "u":          # 8-bit WAV is unsigned
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim > 1:                     # downmix multi-channel
+        data = data.mean(axis=1)
+    return data, int(sr)
+
+
+def make_handler(engine):
+    """Build a request-handler class bound to ``engine`` (testable without
+    argparse/socket setup in-process)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        # ------------------------------------------------------- plumbing
+        def log_message(self, fmt, *args):  # route to logging, not stderr
+            logger.info("%s %s", self.address_string(), fmt % args)
+
+        def _send(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, code, obj):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def _error(self, code, msg):
+            self._json(code, {"error": msg})
+
+        # ------------------------------------------------------- routes
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/health":
+                self._json(200, {"status": "ok",
+                                 "iteration": engine.iteration,
+                                 "vocoder": engine.vocoder})
+            elif path == "/speakers":
+                self._json(200, engine.speakers())
+            elif path == "/stats":
+                self._json(200, engine.stats_snapshot())
+            else:
+                self._error(404, f"no route {path}")
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/convert":
+                return self._error(404, f"no route {url.path}")
+            q = parse_qs(url.query)
+            target = q.get("target", [None])[0]
+            if target is None:
+                return self._error(400, "missing ?target=")
+            want_mel = q.get("mel", ["0"])[0] not in ("0", "", "false")
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                return self._error(400, "empty body (expected WAV)")
+            body = self.rfile.read(length)
+            t0 = time.monotonic()
+            try:
+                wav, sr = _read_wav_bytes(body)
+                out, fs = engine.convert(wav, sr, target,
+                                         return_mel=want_mel)
+            except KeyError as e:
+                return self._error(400, str(e))
+            except Exception as e:  # noqa: BLE001 — report, keep serving
+                logger.exception("convert failed")
+                return self._error(500, f"{type(e).__name__}: {e}")
+            ms = (time.monotonic() - t0) * 1e3
+            logger.info("convert target=%s in=%.2fs out=%s %.0fms", target,
+                        len(wav) / max(sr, 1), out.shape, ms)
+            if want_mel:
+                buf = io.BytesIO()
+                np.save(buf, out.astype(np.float32))
+                self._send(200, buf.getvalue(), "application/octet-stream")
+            else:
+                self._send(200, _wav_bytes(out, fs), "audio/wav")
+
+    return Handler
+
+
+def serve(engine, host="0.0.0.0", port=8080):
+    """Run the HTTP server (blocking). Returns the server object if you
+    need to ``shutdown()`` it from another thread (tests do)."""
+    httpd = ThreadingHTTPServer((host, port), make_handler(engine))
+    httpd.daemon_threads = True
+    return httpd
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Online voice-conversion HTTP server")
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--cmvn", required=True,
+                   help="training-time CMVN stats ark")
+    p.add_argument("--spk2spk_id", default=None)
+    p.add_argument("--vocoder", default="gl",
+                   choices=("gl", "jpwg", "none"))
+    p.add_argument("--voc_config", default=None)
+    p.add_argument("--voc_checkpoint", default=None)
+    p.add_argument("--gl_iters", type=int, default=64)
+    p.add_argument("--feature", default=None,
+                   help="YAML with fs/n_fft/n_shift/n_mels/fmin/fmax "
+                        "overrides (default: vcc20 recipe values)")
+    p.add_argument("--bucket_frames", type=int, default=None)
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--batch_window_ms", type=float, default=5.0)
+    p.add_argument("--warmup_buckets", type=int, default=2,
+                   help="bucket shapes to precompile before listening "
+                        "(0 = lazy compile on first request)")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    args = p.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+
+    from ..serve import ConversionEngine
+
+    feature = None
+    if args.feature:
+        import yaml
+
+        feature = yaml.safe_load(open(args.feature))
+    engine = ConversionEngine(
+        args.config, args.checkpoint, args.cmvn, feature=feature,
+        spk2spk_id=args.spk2spk_id, vocoder=args.vocoder,
+        voc_config=args.voc_config, voc_checkpoint=args.voc_checkpoint,
+        gl_iters=args.gl_iters, bucket_frames=args.bucket_frames,
+        max_batch=args.max_batch, batch_window_ms=args.batch_window_ms)
+    if args.warmup_buckets:
+        logger.info("warming up %d bucket shape(s)...", args.warmup_buckets)
+        engine.warmup(args.warmup_buckets)
+    httpd = serve(engine, args.host, args.port)
+    logger.info("listening on %s:%d (targets: %s)", args.host, args.port,
+                sorted(engine.speakers()))
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        engine.close()
+
+
+if __name__ == "__main__":
+    main()

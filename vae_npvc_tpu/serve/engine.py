@@ -1,0 +1,365 @@
+"""Online conversion engine: wav in → converted wav out, warm and batched.
+
+Serving-oriented re-design of the reference's offline chain (reference:
+egs/vcc20/vae1/run.sh stages 5-6 — decode.py over a trials file, then
+``apply-cmvn --reverse`` and Griffin-Lim/PWG synthesis as separate job
+arrays over ark files). Here the whole chain runs in-process per request:
+
+    resample → log-mel fbank (device) → CMVN apply (host, trivial)
+    → model.infer (device, masked+bucketed) → CMVN reverse
+    → Griffin-Lim or native JPWG vocoder (device)
+
+TPU-first properties:
+
+- **Few compiled shapes**: requests are padded to ``bucket_frames``
+  multiples, so every stage (fbank gather+rfft, model infer, vocoder) hits
+  a small, warm set of executables; ``warmup()`` precompiles them before
+  the first request. Length masks inside the model make padded runs equal
+  unpadded ones (tests/test_masked_inference.py).
+- **Request coalescing**: concurrent requests landing in the same bucket
+  within ``batch_window_ms`` ride one device call (`_InferBatcher`), so a
+  busy server amortizes dispatch + keeps the MXU batch-fed; a lone request
+  pays at most the window.
+- **Device failure fallback**: model inference inherits the Converter's
+  device→CPU retry (the analog of reference decoder/basic.py:27-36).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from pathlib import Path
+
+import numpy as np
+
+from ..data import cmvn as cmvn_mod
+from ..data import features
+from ..infer.convert import Converter, _bucket
+
+logger = logging.getLogger("vae_npvc_tpu.serve")
+
+# the vcc20 recipe's front-end settings (egs/vcc20/vae1/run.sh:13-18)
+DEFAULT_FEATURE = {
+    "fs": 24000, "n_fft": 1024, "n_shift": 256, "n_mels": 80,
+    "fmin": 80.0, "fmax": 7600.0, "win_length": None,
+}
+
+
+class _InferBatcher:
+    """Coalesces concurrent same-bucket requests into one batched call.
+
+    A single worker thread drains a queue of ``(feats (T_pad, D), length,
+    target, Future)`` items: it groups by padded length, waits up to
+    ``window_ms`` for more work in the group (stopping early at
+    ``max_batch``), then runs ``runner(feats, targets, lengths)`` once for
+    the group. One worker also serializes device calls — concurrent HTTP
+    threads never contend for the accelerator.
+    """
+
+    def __init__(self, runner, max_batch: int = 8, window_ms: float = 5.0):
+        self.runner = runner
+        self.max_batch = int(max_batch)
+        self.window_s = float(window_ms) / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self.calls = 0                       # batched device calls
+        self.items = 0                       # requests served
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="vae-npvc-infer-batcher")
+        self._thread.start()
+
+    def submit(self, feats, length, target) -> Future:
+        fut: Future = Future()
+        self._q.put((feats, int(length), int(target), fut))
+        return fut
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------- worker
+    def _take_group(self, first):
+        """Collect up to max_batch items sharing first's bucket, waiting at
+        most window_s; off-bucket items are put back for the next round."""
+        group, stash = [first], []
+        deadline = time.monotonic() + self.window_s
+        T_pad = first[0].shape[0]
+        while len(group) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                item = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if item is None:
+                stash.append(item)
+                break
+            if item[0].shape[0] == T_pad:
+                group.append(item)
+            else:
+                stash.append(item)
+        for item in stash:
+            self._q.put(item)
+        return group
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            group = self._take_group(item)
+            feats = np.stack([g[0] for g in group])
+            lengths = np.asarray([g[1] for g in group], np.int32)
+            tgts = np.asarray([g[2] for g in group], np.int32)
+            try:
+                out = self.runner(feats, tgts, lengths)
+            except Exception as e:  # noqa: BLE001 — deliver to every waiter
+                for g in group:
+                    g[3].set_exception(e)
+                continue
+            self.calls += 1
+            self.items += len(group)
+            for b, g in enumerate(group):
+                g[3].set_result(np.asarray(out[b]))
+
+
+class ConversionEngine:
+    """Warm end-to-end voice-conversion engine for online serving.
+
+    Parameters
+    ----------
+    config : dict | str | Path
+        The experiment YAML (reference flat key set) the checkpoint trains.
+    checkpoint : str | Path
+        ``bin/train.py`` msgpack checkpoint (e.g. ``model.loss.best``).
+    cmvn : str | Path | np.ndarray
+        Kaldi CMVN stats ark (``compute_stats`` output) used at training
+        time; applied forward on input mels and reversed on outputs
+        (reference run.sh:115-120 dump + stage-6 ``apply-cmvn --reverse``).
+    feature : dict, optional
+        Front-end settings (fs/n_fft/n_shift/n_mels/fmin/fmax/win_length);
+        defaults to the vcc20 recipe values (DEFAULT_FEATURE).
+    spk2spk_id : dict | str | Path, optional
+        Speaker-name → integer-id map (decode-dir contract,
+        reference decoder/basic.py:50-53). Without it targets must be
+        integer ids.
+    vocoder : {"gl", "jpwg", "none"}
+        Griffin-Lim (default), the native JAX Parallel WaveGAN, or mel-only.
+    """
+
+    def __init__(self, config, checkpoint, cmvn, *, feature=None,
+                 spk2spk_id=None, vocoder="gl", voc_config=None,
+                 voc_checkpoint=None, gl_iters=64, bucket_frames=None,
+                 max_batch=8, batch_window_ms=5.0, seed=0):
+        import yaml
+
+        if not isinstance(config, dict):
+            config = yaml.safe_load(open(config))
+        self.config = config
+        self.converter = Converter(config)
+        self.iteration = self.converter.load_checkpoint(checkpoint)
+        self.feature = dict(DEFAULT_FEATURE, **(feature or {}))
+        self.fs = int(self.feature["fs"])
+        self.n_shift = int(self.feature["n_shift"])
+        self.stats = (cmvn if isinstance(cmvn, np.ndarray)
+                      else cmvn_mod.read_stats(cmvn))
+        self.spk_map = None
+        if spk2spk_id is not None:
+            if isinstance(spk2spk_id, (str, Path)):
+                from ..data import kaldi_io
+                spk2spk_id = {k: int(v) for k, v in kaldi_io.load_dict_data(
+                    spk2spk_id).items()}
+            self.spk_map = dict(spk2spk_id)
+        self.bucket_frames = int(bucket_frames or
+                                 config.get("decode_bucket_size", 256))
+        self.gl_iters = int(gl_iters)
+        self.seed = int(seed)
+        self.vocoder = vocoder
+        self._voc = None
+        if vocoder == "jpwg":
+            self._voc = _JPWG(voc_config, voc_checkpoint,
+                              self.feature["n_mels"])
+        elif vocoder not in ("gl", "none"):
+            raise ValueError(f"unknown vocoder {vocoder!r}")
+        self.batcher = _InferBatcher(self.converter._infer_with_fallback,
+                                     max_batch=max_batch,
+                                     window_ms=batch_window_ms)
+        self._jits = {}
+        self._stats_lock = threading.Lock()
+        self.n_requests = 0
+        self.latency_ms: list = []           # rolling (last 1024)
+
+    # ------------------------------------------------------------ helpers
+    def close(self):
+        self.batcher.close()
+
+    def speakers(self):
+        if self.spk_map is not None:
+            return dict(self.spk_map)
+        return {str(i): i for i in range(int(self.config.get("y_num", 0)))}
+
+    def resolve_target(self, target):
+        if self.spk_map is not None and str(target) in self.spk_map:
+            return self.spk_map[str(target)]
+        try:
+            return int(target)
+        except (TypeError, ValueError):
+            raise KeyError(
+                f"unknown target speaker {target!r}; known: "
+                f"{sorted(self.speakers())}") from None
+
+    def _mel_jit(self):
+        import jax
+
+        fn = self._jits.get("mel")
+        if fn is None:
+            feat = {k: v for k, v in self.feature.items() if k != "fs"}
+            fn = jax.jit(lambda w: features.logmelspectrogram(
+                w, fs=self.fs, **feat))
+            self._jits["mel"] = fn
+        return fn
+
+    def _gl_jit(self):
+        import jax
+
+        fn = self._jits.get("gl")
+        if fn is None:
+            feat = {k: v for k, v in self.feature.items() if k != "fs"}
+            fn = jax.jit(lambda m: features.griffin_lim(
+                m, fs=self.fs, **feat, n_iter=self.gl_iters,
+                seed=self.seed))
+            self._jits["gl"] = fn
+        return fn
+
+    # ------------------------------------------------------------ pipeline
+    def convert(self, wav, sr, target, *, return_mel=False):
+        """Convert a waveform to ``target``'s voice.
+
+        ``wav``: 1-D float array (any scale; only the mel front-end sees
+        it, matching training where inputs came through make_fbank).
+        Returns ``(wav_out, fs)`` — or ``(mel_out (T, M), fs)`` with
+        ``return_mel`` (the mel-level API for external vocoders).
+        """
+        t0 = time.monotonic()
+        tgt = self.resolve_target(target)
+        x = features.resample(np.asarray(wav, np.float32).ravel(),
+                              int(sr), self.fs)
+        if x.size == 0:
+            raise ValueError("empty waveform")
+        T_true = features.num_frames(x.size, self.n_shift)
+        T_pad = _bucket(max(T_true, self.converter.min_frames),
+                        self.bucket_frames)
+        # largest sample count yielding exactly T_pad frames (1 + n//shift),
+        # so any true length T_true ≤ T_pad fits without truncation
+        n_pad = T_pad * self.n_shift - 1
+        xp = np.zeros((1, n_pad), np.float32)
+        xp[0, :x.size] = x
+        mel = np.asarray(self._mel_jit()(xp))[0]          # (T_pad, M)
+
+        feats = np.zeros_like(mel)
+        feats[:T_true] = cmvn_mod.apply(mel[:T_true], self.stats)
+        out = self.batcher.submit(feats, T_true, tgt).result()
+        T_out = min(T_true, out.shape[0])
+        mel_out = cmvn_mod.apply(out[:T_out], self.stats, reverse=True)
+
+        if return_mel or self.vocoder == "none":
+            result = mel_out.astype(np.float32)
+        else:
+            result = self._vocode(mel_out, T_pad)
+        with self._stats_lock:
+            self.n_requests += 1
+            self.latency_ms.append((time.monotonic() - t0) * 1e3)
+            if len(self.latency_ms) > 1024:
+                del self.latency_ms[:512]
+        return result, self.fs
+
+    def _vocode(self, mel_out, T_pad):
+        """Synthesize on the BUCKET shape (one executable per bucket): the
+        valid mel is placed in a log-mel-silence canvas (log10(EPS) →
+        magnitude EPS contributes nothing) and the wav is cut to the true
+        length afterwards."""
+        T_out = mel_out.shape[0]
+        canvas = np.full((T_pad, mel_out.shape[1]), np.log10(features.EPS),
+                         np.float32)
+        canvas[:T_out] = mel_out
+        if self.vocoder == "jpwg":
+            wav = self._voc.synthesize(canvas, T_pad, self.seed)
+            return wav[:T_out * self._voc.hop].astype(np.float32)
+        wav = np.asarray(self._gl_jit()(canvas[None]))[0]
+        return wav[:T_out * self.n_shift].astype(np.float32)
+
+    def warmup(self, n_buckets=1):
+        """Precompile the first ``n_buckets`` bucket shapes end to end."""
+        tgt = next(iter(self.speakers().values()), 0)
+        for i in range(1, n_buckets + 1):
+            n = (i * self.bucket_frames - 1) * self.n_shift
+            self.convert(np.zeros((max(n, self.n_shift),), np.float32),
+                         self.fs, tgt)
+        with self._stats_lock:       # warmup doesn't count as traffic
+            self.n_requests = 0
+            self.latency_ms.clear()
+        logger.info(f"warmup done: {n_buckets} bucket(s) compiled")
+
+    def stats_snapshot(self):
+        with self._stats_lock:
+            lat = np.asarray(self.latency_ms, np.float64)
+            return {
+                "requests": self.n_requests,
+                "infer_calls": self.batcher.calls,
+                "infer_items": self.batcher.items,
+                "mean_batch": (self.batcher.items / self.batcher.calls
+                               if self.batcher.calls else 0.0),
+                "latency_ms_p50": float(np.percentile(lat, 50)) if lat.size
+                else None,
+                "latency_ms_p99": float(np.percentile(lat, 99)) if lat.size
+                else None,
+                "iteration": self.iteration,
+                "vocoder": self.vocoder,
+            }
+
+
+class _JPWG:
+    """Native Parallel WaveGAN synthesis backend (models/pwg.py) for the
+    engine: one compiled chunk shape via jpwg_synthesize_chunked."""
+
+    def __init__(self, config, checkpoint, n_mels):
+        import jax
+        import jax.numpy as jnp
+        import yaml
+        from flax import serialization
+
+        from ..infer.vocoder import jpwg_receptive_frames
+        from ..models.pwg import PWGGenerator
+
+        if config is None or checkpoint is None:
+            raise ValueError("vocoder='jpwg' needs voc_config and "
+                             "voc_checkpoint")
+        if not isinstance(config, dict):
+            config = yaml.safe_load(open(config))
+        self.config = config
+        self.hop = int(np.prod(config.get("upsample_scales", (4, 4, 4, 4))))
+        self.gen = PWGGenerator(arch=config)
+        with open(checkpoint, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        tpl = self.gen.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64 * self.hop, 1), jnp.float32),
+                            jnp.zeros((1, 64, int(n_mels)), jnp.float32)
+                            )["params"]
+        self.params = serialization.from_state_dict(tpl, payload["generator"])
+        self.halo = jpwg_receptive_frames(config)
+
+    def synthesize(self, mel, chunk_frames, seed):
+        import jax
+
+        from ..infer.vocoder import jpwg_synthesize_chunked
+
+        z = np.asarray(jax.random.normal(
+            jax.random.PRNGKey(seed), (mel.shape[0] * self.hop, 1)),
+            np.float32)
+        return jpwg_synthesize_chunked(
+            self.gen, self.params, mel.astype(np.float32), z,
+            chunk_frames=int(chunk_frames), halo_frames=self.halo,
+            hop=self.hop).astype(np.float32)
