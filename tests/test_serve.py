@@ -107,7 +107,7 @@ def test_engine_wav_output_and_unknown_target(toy_engine_parts):
 def test_engine_coalesces_concurrent_requests(toy_engine_parts):
     """N concurrent same-length requests ride fewer device calls than N,
     and each result equals its own serial run."""
-    eng = _engine(toy_engine_parts, max_batch=8, batch_window_ms=150.0)
+    eng = _engine(toy_engine_parts, max_batch=8, batch_window_ms=400.0)
     try:
         rng = np.random.default_rng(2)
         wavs = [rng.normal(size=(900,)).astype(np.float32) * 0.1

@@ -1,0 +1,136 @@
+"""Serving-path benchmark: end-to-end conversion latency, RTF, coalescing.
+
+Measures the online :class:`serve.ConversionEngine` (wav in → converted wav
+out) at the flagship flat-model shape — the serving analog of bench.py's
+training number. The model is fresh-init (latency doesn't depend on training
+quality); the CMVN stats are synthetic. Reported per leg:
+
+- sequential p50/p99 latency (ms) and RTF for ~2s and ~6s utterances;
+- concurrent-load throughput (requests/s) and the achieved mean device
+  batch under 8 client threads (the coalescing win).
+
+Usage (on-chip):  python tools/serve_bench.py [--vocoder gl|none]
+                  [--out serve_bench.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def build_engine(vocoder, window_ms, tiny=False):
+    from __graft_entry__ import _flagship_config
+    from vae_npvc_tpu.serve import ConversionEngine
+    from vae_npvc_tpu.train.trainer import Trainer
+
+    feature = None
+    if tiny:  # CPU smoke mode: toy arch + tiny front-end
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                               / "tests"))
+        from toy_config import toy_config
+
+        cfg = toy_config()
+        feature = {"fs": 8000, "n_fft": 128, "n_shift": 32, "n_mels": 10,
+                   "fmin": 0.0, "fmax": None, "win_length": None}
+    else:
+        cfg = _flagship_config()
+    D = feature["n_mels"] if tiny else 80
+    tr = Trainer(cfg)
+    rng = np.random.default_rng(0)
+    batch = (rng.normal(size=(2, 256, D)).astype(np.float32),
+             np.zeros((2,), np.int32))
+    tr.init_state(batch)
+    tmp = Path(tempfile.mkdtemp(prefix="serve_bench_"))
+    ck = tmp / "m.ckpt"
+    tr.save_checkpoint(ck)
+    del tr
+    stats = np.zeros((2, D + 1), np.float64)
+    stats[0, :-1] = -3.0 * 1000
+    stats[0, -1] = 1000
+    stats[1, :-1] = (1.0 + 9.0) * 1000
+    return ConversionEngine(cfg, ck, stats, vocoder=vocoder,
+                            feature=feature, batch_window_ms=window_ms,
+                            gl_iters=4 if tiny else 64)
+
+
+def latency_leg(eng, seconds, n=20):
+    rng = np.random.default_rng(1)
+    wav = (rng.normal(size=(int(seconds * eng.fs),)) * 0.1).astype(np.float32)
+    eng.convert(wav, eng.fs, 0)      # untimed: compile this leg's bucket
+    lat = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out, _ = eng.convert(wav, eng.fs, 0)
+        assert np.all(np.isfinite(np.asarray(out)))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat = np.asarray(lat)
+    return {"audio_s": seconds,
+            "p50_ms": float(np.percentile(lat, 50)),
+            "p99_ms": float(np.percentile(lat, 99)),
+            "rtf_p50": float(np.percentile(lat, 50) / 1e3 / seconds)}
+
+
+def concurrent_leg(eng, seconds=2.0, clients=8, per_client=8):
+    rng = np.random.default_rng(2)
+    wavs = [(rng.normal(size=(int(seconds * eng.fs),)) * 0.1
+             ).astype(np.float32) for _ in range(clients)]
+    calls0, items0 = eng.batcher.calls, eng.batcher.items
+
+    def client(i):
+        for _ in range(per_client):
+            eng.convert(wavs[i], eng.fs, i % 4)
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(clients) as ex:
+        list(ex.map(client, range(clients)))
+    wall = time.perf_counter() - t0
+    n = clients * per_client
+    calls = eng.batcher.calls - calls0
+    return {"clients": clients, "requests": n,
+            "throughput_rps": n / wall,
+            "mean_device_batch": (eng.batcher.items - items0) / max(calls, 1),
+            "audio_s_per_wall_s": n * seconds / wall}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vocoder", default="gl", choices=("gl", "none"))
+    ap.add_argument("--window_ms", type=float, default=5.0)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--tiny", action="store_true",
+                    help="toy arch on CPU (smoke-test the tool itself)")
+    args = ap.parse_args()
+
+    import jax
+
+    eng = build_engine(args.vocoder, args.window_ms, tiny=args.tiny)
+    n = 5 if args.tiny else 20
+    try:
+        eng.warmup(3)  # compile the first three bucket shapes
+        res = {
+            "backend": jax.default_backend(),
+            "vocoder": args.vocoder,
+            "tiny": args.tiny,
+            "bucket_frames": eng.bucket_frames,
+            "sequential": [latency_leg(eng, 2.0, n), latency_leg(eng, 6.0, n)],
+            "concurrent": concurrent_leg(eng, per_client=2 if args.tiny else 8),
+        }
+    finally:
+        eng.close()
+    print(json.dumps(res, indent=2))
+    if args.out:
+        Path(args.out).write_text(json.dumps(res, indent=2))
+
+
+if __name__ == "__main__":
+    main()
