@@ -196,3 +196,68 @@ def test_roundtrip_vqvae2_identity(tmp_path):
         np.testing.assert_allclose(sd0[k].float().numpy(),
                                    sd1[k].float().numpy(),
                                    rtol=1e-6, atol=1e-6, err_msg=k)
+
+
+def _roundtrip_identity(tmp_path, ref_module_name, cfg, tag):
+    import importlib
+
+    from vae_npvc_tpu.utils.torch_convert import convert_checkpoint_file
+    from vae_npvc_tpu.utils.torch_export import export_checkpoint_file
+
+    ref_mod = importlib.import_module(f"vae_npvc.model.{ref_module_name}")
+    torch.manual_seed(4)
+    ref = ref_mod.Model(cfg)
+    src = tmp_path / f"{tag}.pt"
+    torch.save({"model": ref.state_dict(), "iteration": 2}, src)
+    ours = tmp_path / f"{tag}.msgpack"
+    convert_checkpoint_file(src, cfg, ours)
+    back = tmp_path / f"{tag}_back.pt"
+    assert export_checkpoint_file(ours, cfg, back) == 2
+    sd0 = ref.state_dict()
+    sd1 = torch.load(back, map_location="cpu", weights_only=False)["model"]
+    assert set(sd0) == set(sd1)
+    for k in sd0:
+        np.testing.assert_allclose(sd0[k].float().numpy(),
+                                   sd1[k].float().numpy(),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
+
+
+def test_roundtrip_vqvae2a_identity(tmp_path):
+    cfg = {
+        "model_type": "vae_npvc.model.vqvae2a",
+        "levels": 3, "y_dim": 8, "y_num": 5, "beta": 0.01,
+        "use_gst": True, "use_ema": False, "jitter_p": 0.0,
+        "use_quantizers": True, "use_embeds": True,
+        "pooling_last": True, "upsample_last": False,
+        "encoder.0": _enc2(10, 1),
+        "encoder.1": _enc2(14, 2),
+        "encoder.2": _enc2(14, 2),
+        "decoder.2": _dec2(8, 8, 8),
+        "decoder.1": _dec2(16, 8, 8),
+        "decoder.0": _dec2(16, 8, 10),
+        "quantizer.0": {"z_dim": 8, "z_num": 24, "normalize": True},
+        "quantizer.1": {"z_dim": 8, "z_num": 24, "normalize": True},
+        "quantizer.2": {"ref_embed_dim": 8, "gst_tokens": 4,
+                        "gst_token_dim": 8, "gst_heads": 2},
+    }
+    _roundtrip_identity(tmp_path, "vqvae2a", cfg, "v2a")
+
+
+def test_roundtrip_vqvae2b_identity(tmp_path):
+    dec_b = dict(_dec2(8, 8, 8))
+    final = dict(_dec2(16, 0, 10))
+    final["cond_channels"] = 0
+    cfg = {
+        "model_type": "vae_npvc.model.vqvae2b",
+        "levels": 2, "y_dim": 8, "y_num": 5, "beta": 0.01,
+        "use_gst": False, "use_ema": False, "jitter_p": 0.0,
+        "pooling_last": True,
+        "encoder.0": _enc2(10, 1),
+        "encoder.1": _enc2(14, 2),
+        "decoder.0": dec_b,
+        "decoder.1": dict(dec_b),
+        "final_decoder": final,
+        "quantizer.0": {"z_dim": 8, "z_num": 24, "normalize": True},
+        "quantizer.1": {"z_dim": 8, "z_num": 24, "normalize": True},
+    }
+    _roundtrip_identity(tmp_path, "vqvae2b", cfg, "v2b")
