@@ -178,3 +178,33 @@ def test_http_server_end_to_end(toy_engine_parts):
     finally:
         httpd.shutdown()
         eng.close()
+
+
+def test_engine_jpwg_vocoder(toy_engine_parts, tmp_path):
+    """The native-vocoder backend: forge a tiny JPWG checkpoint, engine
+    synthesizes hop-aligned finite audio through the chunked-halo path."""
+    from vae_npvc_tpu.train.pwg import PwgTrainer
+
+    pwg_cfg = {"fs": 8000, "n_fft": 64, "n_shift": 32, "n_mels": 10,
+               "layers": 4, "stacks": 2, "residual_channels": 8,
+               "gate_channels": 16, "skip_channels": 8,
+               "upsample_scales": [4, 8], "disc_layers": 3,
+               "disc_channels": 8, "discriminator_train_start_steps": 0,
+               "stft_loss_params": [[64, 16, 32]], "seed": 0}
+    pwg = PwgTrainer(pwg_cfg)
+    rng = np.random.default_rng(3)
+    pwg.init_state((rng.normal(size=(2, 16 * 32)).astype(np.float32),
+                    rng.normal(size=(2, 16, 10)).astype(np.float32)))
+    voc_ck = tmp_path / "jpwg.ckpt"
+    pwg.save_checkpoint(voc_ck)
+
+    eng = _engine(toy_engine_parts, vocoder="jpwg", voc_config=pwg_cfg,
+                  voc_checkpoint=voc_ck)
+    try:
+        wav = (rng.normal(size=(1200,)) * 0.1).astype(np.float32)
+        out, fs = eng.convert(wav, 8000, "A")
+        T_true = features.num_frames(1200, 32)
+        assert out.shape == (T_true * 32,)
+        assert np.all(np.isfinite(out))
+    finally:
+        eng.close()
