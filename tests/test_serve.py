@@ -208,3 +208,41 @@ def test_engine_jpwg_vocoder(toy_engine_parts, tmp_path):
         assert np.all(np.isfinite(out))
     finally:
         eng.close()
+
+
+def test_engine_bundle_backend_matches_converter_backend(toy_engine_parts,
+                                                         tmp_path):
+    """Engine over an exported StableHLO bundle == engine over the live
+    model (mel-level, same request), and the bundle's embedded speaker map
+    is picked up when none is passed."""
+    from vae_npvc_tpu.infer.export_serving import export_bundle
+
+    cfg, ck, stats = toy_engine_parts
+    export_bundle(cfg, ck, tmp_path / "bundle", buckets=[32, 64],
+                  batch_size=4, n_targets=1, platforms=("cpu",),
+                  spk2spk_id={"A": 0, "B": 1, "C": 2})
+
+    eng_live = _engine(toy_engine_parts)
+    eng_art = ConversionEngine(None, None, stats,
+                               bundle=tmp_path / "bundle", feature=FEAT,
+                               vocoder="none", bucket_frames=32,
+                               batch_window_ms=30.0)
+    try:
+        assert eng_art.resolve_target("B") == 1   # map from the bundle
+        assert eng_art.iteration == 1
+        rng = np.random.default_rng(5)
+        wav = rng.normal(size=(1700,)).astype(np.float32) * 0.1
+        mel_live, _ = eng_live.convert(wav, 8000, "B", return_mel=True)
+        mel_art, _ = eng_art.convert(wav, 8000, "B", return_mel=True)
+        assert mel_art.shape == mel_live.shape
+        # batch padding differs (bundle pads to its exported batch), so
+        # equality is ulp-level, not bit-level
+        np.testing.assert_allclose(mel_art, mel_live, rtol=1e-5, atol=1e-5)
+    finally:
+        eng_live.close()
+        eng_art.close()
+
+
+def test_engine_requires_backend():
+    with pytest.raises(ValueError, match="bundle"):
+        ConversionEngine(None, None, np.zeros((2, 11)))

@@ -150,8 +150,14 @@ def serve(engine, host="0.0.0.0", port=8080):
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="Online voice-conversion HTTP server")
-    p.add_argument("--config", required=True)
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--config", default=None,
+                   help="experiment YAML (with --checkpoint; not needed "
+                        "with --bundle)")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--bundle", default=None,
+                   help="exported serving-bundle dir "
+                        "(vae-npvc-export-serving) — serves the serialized "
+                        "StableHLO artifacts; replaces --config/--checkpoint")
     p.add_argument("--cmvn", required=True,
                    help="training-time CMVN stats ark")
     p.add_argument("--spk2spk_id", default=None)
@@ -184,9 +190,12 @@ def main(argv=None):
         import yaml
 
         feature = yaml.safe_load(open(args.feature))
+    if args.bundle is None and (args.config is None
+                                or args.checkpoint is None):
+        p.error("pass --config + --checkpoint, or --bundle")
     engine = ConversionEngine(
-        args.config, args.checkpoint, args.cmvn, feature=feature,
-        spk2spk_id=args.spk2spk_id, vocoder=args.vocoder,
+        args.config, args.checkpoint, args.cmvn, bundle=args.bundle,
+        feature=feature, spk2spk_id=args.spk2spk_id, vocoder=args.vocoder,
         voc_config=args.voc_config, voc_checkpoint=args.voc_checkpoint,
         gl_iters=args.gl_iters, bucket_frames=args.bucket_frames,
         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms)

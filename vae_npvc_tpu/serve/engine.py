@@ -131,10 +131,17 @@ class ConversionEngine:
 
     Parameters
     ----------
-    config : dict | str | Path
+    config : dict | str | Path | None
         The experiment YAML (reference flat key set) the checkpoint trains.
-    checkpoint : str | Path
+        May be None when ``bundle`` is given.
+    checkpoint : str | Path | None
         ``bin/train.py`` msgpack checkpoint (e.g. ``model.loss.best``).
+        May be None when ``bundle`` is given.
+    bundle : str | Path, optional
+        Exported serving-bundle directory (``vae-npvc-export-serving``);
+        model inference then runs the serialized StableHLO artifacts
+        instead of building the model — the deployment mode where the
+        serving host carries no model code or checkpoint.
     cmvn : str | Path | np.ndarray
         Kaldi CMVN stats ark (``compute_stats`` output) used at training
         time; applied forward on input mels and reversed on outputs
@@ -150,17 +157,37 @@ class ConversionEngine:
         Griffin-Lim (default), the native JAX Parallel WaveGAN, or mel-only.
     """
 
-    def __init__(self, config, checkpoint, cmvn, *, feature=None,
-                 spk2spk_id=None, vocoder="gl", voc_config=None,
-                 voc_checkpoint=None, gl_iters=64, bucket_frames=None,
-                 max_batch=8, batch_window_ms=5.0, seed=0):
+    def __init__(self, config, checkpoint, cmvn, *, bundle=None,
+                 feature=None, spk2spk_id=None, vocoder="gl",
+                 voc_config=None, voc_checkpoint=None, gl_iters=64,
+                 bucket_frames=None, max_batch=8, batch_window_ms=5.0,
+                 seed=0):
         import yaml
 
-        if not isinstance(config, dict):
+        if config is not None and not isinstance(config, dict):
             config = yaml.safe_load(open(config))
-        self.config = config
-        self.converter = Converter(config)
-        self.iteration = self.converter.load_checkpoint(checkpoint)
+        self.config = config or {}
+        self.bundle = None
+        if bundle is not None:
+            # exported-artifact backend (infer/export_serving.ServingBundle):
+            # model inference runs the serialized StableHLO buckets — no
+            # model code, experiment YAML, or checkpoint on the serving host
+            from ..infer.export_serving import ServingBundle
+            self.bundle = ServingBundle(bundle)
+            self.converter = None
+            self.iteration = int(self.bundle.meta.get("iteration", 0))
+            self._min_frames = int(self.bundle.meta.get("min_frames", 1))
+            _runner = self.bundle.infer
+            max_batch = min(int(max_batch), self.bundle.batch_size)
+        else:
+            if config is None or checkpoint is None:
+                raise ValueError(
+                    "pass config + checkpoint, or bundle= (an exported "
+                    "serving-bundle directory)")
+            self.converter = Converter(self.config)
+            self.iteration = self.converter.load_checkpoint(checkpoint)
+            self._min_frames = self.converter.min_frames
+            _runner = self.converter._infer_with_fallback
         self.feature = dict(DEFAULT_FEATURE, **(feature or {}))
         self.fs = int(self.feature["fs"])
         self.n_shift = int(self.feature["n_shift"])
@@ -173,8 +200,12 @@ class ConversionEngine:
                 spk2spk_id = {k: int(v) for k, v in kaldi_io.load_dict_data(
                     spk2spk_id).items()}
             self.spk_map = dict(spk2spk_id)
-        self.bucket_frames = int(bucket_frames or
-                                 config.get("decode_bucket_size", 256))
+        elif self.bundle is not None and self.bundle.spk2spk_id:
+            self.spk_map = dict(self.bundle.spk2spk_id)
+        self.bucket_frames = int(
+            bucket_frames
+            or (min(self.bundle.buckets) if self.bundle is not None
+                else self.config.get("decode_bucket_size", 256)))
         self.gl_iters = int(gl_iters)
         self.seed = int(seed)
         self.vocoder = vocoder
@@ -184,8 +215,7 @@ class ConversionEngine:
                               self.feature["n_mels"])
         elif vocoder not in ("gl", "none"):
             raise ValueError(f"unknown vocoder {vocoder!r}")
-        self.batcher = _InferBatcher(self.converter._infer_with_fallback,
-                                     max_batch=max_batch,
+        self.batcher = _InferBatcher(_runner, max_batch=max_batch,
                                      window_ms=batch_window_ms)
         self._jits = {}
         self._stats_lock = threading.Lock()
@@ -250,8 +280,7 @@ class ConversionEngine:
         if x.size == 0:
             raise ValueError("empty waveform")
         T_true = features.num_frames(x.size, self.n_shift)
-        T_pad = _bucket(max(T_true, self.converter.min_frames),
-                        self.bucket_frames)
+        T_pad = _bucket(max(T_true, self._min_frames), self.bucket_frames)
         # largest sample count yielding exactly T_pad frames (1 + n//shift),
         # so any true length T_true ≤ T_pad fits without truncation
         n_pad = T_pad * self.n_shift - 1
