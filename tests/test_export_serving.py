@@ -160,3 +160,30 @@ def test_hierarchical_bundle_matches_converter(tmp_path):
     got = bundle.infer(feats, tgts, lengths)
     want = conv._infer_with_fallback(feats, tgts, lengths)
     np.testing.assert_array_equal(got, want)
+
+
+def test_single_bucket_bundle_cpu_retry_and_y_num(flat_bundle, tmp_path):
+    """Fault-injected device failure falls back to the artifact's cpu
+    lowering; y_num is embedded for integer-target listings."""
+    cfg, ck, path, meta = flat_bundle
+    assert meta["y_num"] == 3
+    bundle = ServingBundle(path)
+    feats = np.random.default_rng(6).normal(size=(1, 16, 10)).astype(
+        np.float32)
+    want = bundle.infer(feats, np.array([1], np.int32), np.array([16]))
+
+    real = bundle._fn(32)
+
+    class FlakyOnce:
+        calls = 0
+
+        def call(self, *args):
+            FlakyOnce.calls += 1
+            if FlakyOnce.calls == 1:
+                raise RuntimeError("injected device failure")
+            return real.call(*args)
+
+    bundle._fns[32] = FlakyOnce()
+    got = bundle.infer(feats, np.array([1], np.int32), np.array([16]))
+    assert FlakyOnce.calls == 2          # failed once, retried on cpu
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

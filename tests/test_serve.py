@@ -246,3 +246,30 @@ def test_engine_bundle_backend_matches_converter_backend(toy_engine_parts,
 def test_engine_requires_backend():
     with pytest.raises(ValueError, match="bundle"):
         ConversionEngine(None, None, np.zeros((2, 11)))
+
+
+def test_engine_single_bucket_bundle_warmup_and_guards(toy_engine_parts,
+                                                       tmp_path):
+    """A one-bucket bundle: warmup(2) must not overshoot the bucket list,
+    in-range requests route via the bundle's own buckets, and speakers()
+    falls back to the exported y_num when no map is embedded."""
+    from vae_npvc_tpu.infer.export_serving import export_bundle
+
+    cfg, ck, stats = toy_engine_parts
+    export_bundle(cfg, ck, tmp_path / "b1", buckets=[64], batch_size=4,
+                  platforms=("cpu",))
+    eng = ConversionEngine(None, None, stats, bundle=tmp_path / "b1",
+                           feature=FEAT, vocoder="none",
+                           batch_window_ms=30.0)
+    try:
+        assert eng.speakers() == {"0": 0, "1": 1, "2": 2}   # from y_num
+        eng.warmup(2)                    # clamps to the 1 exported bucket
+        rng = np.random.default_rng(7)
+        mel, _ = eng.convert(rng.normal(size=(1500,)).astype(np.float32),
+                             8000, 1, return_mel=True)
+        assert np.isfinite(mel).all()
+        with pytest.raises(ValueError, match="largest exported bucket"):
+            eng.convert(rng.normal(size=(9000,)).astype(np.float32),
+                        8000, 1, return_mel=True)
+    finally:
+        eng.close()

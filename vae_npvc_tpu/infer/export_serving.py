@@ -123,6 +123,7 @@ def export_bundle(config, checkpoint, out_dir, *, buckets=None,
         "buckets": [int(t) for t in buckets],
         "min_frames": int(conv.min_frames),
         "n_encoder_levels": len(encoder_archs(config)),
+        "y_num": int(config.get("y_num", 0)),
         "platforms": list(platforms),
         "jax_version": jax.__version__,
         "spk2spk_id": ({str(k): int(v) for k, v in spk2spk_id.items()}
@@ -147,9 +148,12 @@ class ServingBundle:
             raise ValueError(
                 f"bundle format {self.meta.get('format_version')} != "
                 f"supported {_FORMAT_VERSION}")
+        import jax
         from flax import serialization
-        self.variables = serialization.msgpack_restore(
-            (self.path / "params.msgpack").read_bytes())
+        # device-resident once at load: passing host numpy to every .call
+        # would re-upload the full parameter set per request
+        self.variables = jax.device_put(serialization.msgpack_restore(
+            (self.path / "params.msgpack").read_bytes()))
         self.batch_size = int(self.meta["batch_size"])
         self.n_targets = int(self.meta["n_targets"])
         self.feat_dim = int(self.meta["feat_dim"])
@@ -210,8 +214,32 @@ class ServingBundle:
         y[:b] = tg[:, [min(j, tg.shape[1] - 1) for j in range(K)]]
         lens = np.ones((B,), np.int32)
         lens[:b] = np.maximum(np.asarray(lengths, np.int32), 1)
-        out = np.asarray(self._fn(Tp).call(self.variables, x, y, lens))
+        try:
+            out = np.asarray(self._fn(Tp).call(self.variables, x, y, lens))
+        except Exception as e:  # noqa: BLE001 — any device failure
+            out = self._infer_cpu_retry(Tp, x, y, lens, e)
         return out[:b]
+
+    def _infer_cpu_retry(self, Tp, x, y, lens, err):
+        """Accelerator-failure fallback: rerun the batch on host CPU (the
+        analog of the live path's Converter fallback, infer/convert.py
+        _infer_with_fallback). The artifact embeds a cpu lowering whenever
+        exported with the default platforms; parameters are re-read from
+        disk because the device copies may be unreachable after a failure.
+        """
+        import jax
+        from flax import serialization
+
+        if "cpu" not in self.meta.get("platforms", []):
+            raise err
+        cpu = jax.devices("cpu")[0]
+        logger.warning(f"bundle inference failed ({type(err).__name__}: "
+                       f"{err}); retrying batch on CPU")
+        host_vars = serialization.msgpack_restore(
+            (self.path / "params.msgpack").read_bytes())
+        with jax.default_device(cpu):
+            return np.asarray(self._fn(Tp).call(
+                jax.device_put(host_vars, cpu), x, y, lens))
 
     def convert(self, items):
         """Convert a list of ``(feat[T, D], targets)`` pairs.

@@ -229,7 +229,9 @@ class ConversionEngine:
     def speakers(self):
         if self.spk_map is not None:
             return dict(self.spk_map)
-        return {str(i): i for i in range(int(self.config.get("y_num", 0)))}
+        y_num = (self.bundle.meta.get("y_num") or 0) if self.bundle \
+            else self.config.get("y_num", 0)
+        return {str(i): i for i in range(int(y_num))}
 
     def resolve_target(self, target):
         if self.spk_map is not None and str(target) in self.spk_map:
@@ -280,7 +282,13 @@ class ConversionEngine:
         if x.size == 0:
             raise ValueError("empty waveform")
         T_true = features.num_frames(x.size, self.n_shift)
-        T_pad = _bucket(max(T_true, self._min_frames), self.bucket_frames)
+        if self.bundle is not None:
+            # the exported bucket list IS the shape set — pre-rounding to
+            # bucket_frames multiples could overshoot the largest artifact
+            T_pad = self.bundle.pick_bucket(max(T_true, self._min_frames))
+        else:
+            T_pad = _bucket(max(T_true, self._min_frames),
+                            self.bucket_frames)
         # largest sample count yielding exactly T_pad frames (1 + n//shift),
         # so any true length T_true ≤ T_pad fits without truncation
         n_pad = T_pad * self.n_shift - 1
@@ -323,14 +331,19 @@ class ConversionEngine:
     def warmup(self, n_buckets=1):
         """Precompile the first ``n_buckets`` bucket shapes end to end."""
         tgt = next(iter(self.speakers().values()), 0)
-        for i in range(1, n_buckets + 1):
-            n = (i * self.bucket_frames - 1) * self.n_shift
+        if self.bundle is not None:
+            # the artifact's own bucket list (asking beyond it is an error)
+            pads = self.bundle.buckets[:n_buckets]
+        else:
+            pads = [i * self.bucket_frames for i in range(1, n_buckets + 1)]
+        for T_pad in pads:
+            n = (T_pad - 1) * self.n_shift
             self.convert(np.zeros((max(n, self.n_shift),), np.float32),
                          self.fs, tgt)
         with self._stats_lock:       # warmup doesn't count as traffic
             self.n_requests = 0
             self.latency_ms.clear()
-        logger.info(f"warmup done: {n_buckets} bucket(s) compiled")
+        logger.info(f"warmup done: {len(pads)} bucket(s) compiled")
 
     def stats_snapshot(self):
         with self._stats_lock:
