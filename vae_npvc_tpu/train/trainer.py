@@ -78,6 +78,10 @@ class Trainer:
         self._batch_spec = None   # ((trailing shape, dtype), ...) from init
         self._host_iter = 0       # mirrors state.step without a device sync
         self.skip_nonfinite = config.get("skip_nonfinite_updates", True)
+        # k microbatches per optimizer step (lax.scan): peak activation
+        # memory ~1/k of the batch — the lever for effective batches beyond
+        # HBM (beyond-reference; the reference is single-GPU full-batch)
+        self.grad_accum = int(config.get("grad_accum", 1))
 
     def shard_batch(self, batch):
         """Shard (feats, spks) on the data axis; replicate if indivisible.
@@ -263,6 +267,11 @@ class Trainer:
             return loss, (mut, detail)
 
         grads, (mut, detail) = jax.grad(loss_fn, has_aux=True)(state.params)
+        return self._finish_step(state, grads, {**state.ema, **mut}, detail)
+
+    def _finish_step(self, state, grads, new_ema, detail):
+        """Optimizer update + nonfinite guard + TP layout pins (shared by
+        the plain and gradient-accumulation step bodies)."""
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
         grad_sq = sum(jnp.sum(jnp.square(g))
@@ -276,7 +285,7 @@ class Trainer:
                 lambda a, b: jnp.where(ok, a, b), new, old)
             params = pick(params, state.params)
             opt_state = pick(opt_state, state.opt_state)
-            mut = pick(mut, {k: state.ema[k] for k in mut}) if mut else mut
+            new_ema = pick(new_ema, state.ema) if new_ema else new_ema
             detail["skipped_nonfinite"] = (1.0 - ok.astype(jnp.float32))
         if self.n_model > 1:
             # pin the steady-state model-axis layout so the donated loop
@@ -287,9 +296,72 @@ class Trainer:
             opt_state = constrain_params(opt_state, self.mesh,
                                          self.tp_min_param_size)
         new_state = TrainState(step=state.step + 1, params=params,
-                               ema={**state.ema, **mut}, opt_state=opt_state)
+                               ema=new_ema, opt_state=opt_state)
         detail["grad_norm"] = jnp.sqrt(grad_sq)
         return new_state, detail
+
+    def _train_step_accum(self, state: TrainState, batch, rng):
+        """Gradient accumulation: ONE optimizer step from the mean of
+        ``grad_accum`` microbatch gradients (``lax.scan`` over (k, B/k, ...)
+        slices), so peak activation memory is ~1/k of the full batch — the
+        lever for effective batch sizes beyond HBM.
+
+        Semantics: the mean of microbatch gradients equals the full-batch
+        gradient for the mean-reduced losses (up to float reassociation);
+        the EMA codebook statistics *chain* through the microbatches in
+        order — identical to what k successive small batches would do to
+        the codebook — while params see a single optimizer update. The
+        per-microbatch rng folds in the slice index so jitter/VQ streams
+        stay distinct (tests/test_grad_accum.py)."""
+        k = self.grad_accum
+        B = batch[0].shape[0]
+        if B % k != 0:
+            raise ValueError(
+                f"grad_accum={k} requires the batch size to be divisible; "
+                f"got {B}")
+        step_rng = jax.random.fold_in(rng, state.step)
+        if self._renorm is not None:
+            state = state.replace(params=self._renorm(state.params))
+        mutable = list(state.ema.keys())
+        micro = tuple(a.reshape((k, B // k) + a.shape[1:]) for a in batch)
+        if B // k % self.mesh.shape["data"] == 0 and self.mesh.size > 1:
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            micro = tuple(jax.lax.with_sharding_constraint(a, sh)
+                          for a in micro)
+
+        def loss_fn(params, ema, mb, mrng):
+            variables = {"params": params, **ema}
+            if mutable:
+                (xhat, loss, detail), mut = self.model.apply(
+                    variables, *mb, train=True, mutable=mutable,
+                    rngs={"vq": mrng})
+            else:
+                xhat, loss, detail = self.model.apply(
+                    variables, *mb, train=True, rngs={"vq": mrng})
+                mut = {}
+            return loss, (mut, detail)
+
+        def body(carry, x):
+            ema, gsum = carry
+            i, mb = x[0], x[1:]
+            grads, (mut, detail) = jax.grad(loss_fn, has_aux=True)(
+                state.params, ema, mb, jax.random.fold_in(step_rng, i))
+            gsum = jax.tree_util.tree_map(lambda a, g: a + g, gsum, grads)
+            return ({**ema, **mut}, gsum), detail
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (ema, gsum), details = jax.lax.scan(
+            body, (state.ema, zeros), (jnp.arange(k),) + micro)
+        grads = jax.tree_util.tree_map(lambda g: g / k, gsum)
+        detail = jax.tree_util.tree_map(lambda d: jnp.mean(d, axis=0),
+                                        details)
+        return self._finish_step(state, grads, ema, detail)
+
+    @property
+    def _step(self):
+        """The per-optimizer-step body: plain or gradient-accumulating."""
+        return (self._train_step_accum if self.grad_accum > 1
+                else self._train_step)
 
     def _valid_step(self, state: TrainState, batch):
         variables = {"params": state.params, **state.ema}
@@ -309,7 +381,7 @@ class Trainer:
         """
         if not isinstance(batch[0], jax.Array):
             batch = self.shard_batch(batch)
-        step = self._get_compiled("train", self._train_step, donate=(0,))
+        step = self._get_compiled("train", self._step, donate=(0,))
         self.state, detail = step(self.state, tuple(batch), self.base_rng)
         self._host_iter += 1
         return detail
@@ -319,7 +391,7 @@ class Trainer:
         # per-step semantics (rng fold by state.step, renorm, EMA mutation,
         # nonfinite guard, TP layout pins) are exactly the sequential path's
         def body(s, b):
-            return self._train_step(s, b, rng)
+            return self._step(s, b, rng)
         return jax.lax.scan(body, state, batches)
 
     def shard_batches(self, batches):
@@ -379,7 +451,7 @@ class Trainer:
         return feats.nbytes
 
     def _build_device_step(self):
-        step = self._train_step
+        step = self._step
         base = self.base_rng
         # sampling stream disjoint from the per-step vq rng (which _train_step
         # folds from base by state.step)
@@ -428,7 +500,7 @@ class Trainer:
         return detail
 
     def _build_indexed_step(self):
-        step = self._train_step
+        step = self._step
         base = self.base_rng
         crop = self._dev_crop
         batch_sharding = (self.batch_sharding
