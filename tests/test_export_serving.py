@@ -187,3 +187,40 @@ def test_single_bucket_bundle_cpu_retry_and_y_num(flat_bundle, tmp_path):
     got = bundle.infer(feats, np.array([1], np.int32), np.array([16]))
     assert FlakyOnce.calls == 2          # failed once, retried on cpu
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_int8_quantized_bundle(flat_bundle, tmp_path):
+    """Weight-only int8: smaller params, bounded weight rounding error,
+    loader dequantizes transparently (same call convention)."""
+    from vae_npvc_tpu.infer.export_serving import (_Q8_KEY, _dequantize_tree,
+                                                   _quantize_tree)
+
+    cfg, ck, fp32_path, _ = flat_bundle
+    meta = export_bundle(cfg, ck, tmp_path / "q8", buckets=[32],
+                         batch_size=2, platforms=("cpu",),
+                         quantize="int8", quantize_min_size=64)
+    assert meta["quantize"] == "int8"
+    # quantization bound: |deq - orig| <= scale/2 per element
+    rng = np.random.default_rng(8)
+    w = rng.normal(size=(3, 12, 12)).astype(np.float32)
+    q = _quantize_tree({"k": w}, min_size=64)["k"]
+    assert q[_Q8_KEY].dtype == np.int8
+    deq = _dequantize_tree(q)
+    assert np.all(np.abs(deq - w) <= q["scale"] / 2 + 1e-7)
+
+    size_q8 = (tmp_path / "q8" / "params.msgpack").stat().st_size
+    size_fp = (fp32_path / "params.msgpack").stat().st_size
+    assert size_q8 < 0.6 * size_fp      # most weight bytes went int8
+
+    bundle = ServingBundle(tmp_path / "q8")
+    ref = ServingBundle(fp32_path)
+    feats = np.zeros((2, 32, 10), np.float32)
+    feats[0, :20] = rng.normal(size=(20, 10))
+    feats[1, :32] = rng.normal(size=(32, 10))
+    lengths = np.array([20, 32], np.int32)
+    tgts = np.array([1, 2], np.int32)
+    got = bundle.infer(feats, tgts, lengths)
+    want = ref.infer(feats, tgts, lengths)
+    assert got.shape == want.shape and np.isfinite(got).all()
+    # weight rounding is small for a near-init toy model
+    assert float(np.abs(got - want).mean()) < 0.1

@@ -34,6 +34,12 @@ def main(argv=None):
                         help="targets per trials line baked into the "
                              "artifact (hierarchical per-level speakers)")
     parser.add_argument("--platforms", type=str, default="cpu,tpu")
+    parser.add_argument("--quantize", choices=("int8",), default=None,
+                        help="weight-only int8 params (~4x smaller bundle; "
+                             "loader dequantizes, artifacts unchanged)")
+    parser.add_argument("--quantize_min_size", type=int, default=4096,
+                        help="float leaves below this element count stay "
+                             "fp32 (norm scales, biases, small codebooks)")
     parser.add_argument("--spk2spk_id", type=str, default=None,
                         help="speaker-map file to embed (name id per line)")
     args = parser.parse_args(argv)
@@ -54,7 +60,8 @@ def main(argv=None):
         config, args.checkpoint, args.out_dir, buckets=buckets,
         max_frames=args.max_frames, batch_size=args.batch_size,
         n_targets=args.n_targets,
-        platforms=tuple(args.platforms.split(",")), spk2spk_id=spk_map)
+        platforms=tuple(args.platforms.split(",")), spk2spk_id=spk_map,
+        quantize=args.quantize, quantize_min_size=args.quantize_min_size)
     print(f"Exported bundle -> {args.out_dir}: buckets={meta['buckets']}, "
           f"batch={meta['batch_size']}, platforms={meta['platforms']}")
 

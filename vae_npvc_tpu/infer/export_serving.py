@@ -51,9 +51,41 @@ logger = logging.getLogger("vae_npvc_tpu.export_serving")
 _FORMAT_VERSION = 1
 
 
+_Q8_KEY = "__q8__"
+
+
+def _quantize_tree(tree, min_size):
+    """Weight-only symmetric int8: float leaves with ≥ ``min_size`` elements
+    become ``{__q8__, scale}`` nodes (per-last-axis-channel scales). The
+    dequantized weight differs from the original by ≤ scale/2 elementwise;
+    small leaves (norm scales, biases, tiny codebooks) stay fp32."""
+    def q(leaf):
+        a = np.asarray(leaf)
+        if a.dtype.kind != "f" or a.size < min_size or a.ndim == 0:
+            return a
+        amax = np.max(np.abs(a), axis=tuple(range(a.ndim - 1)))
+        scale = np.maximum(amax, 1e-12).astype(np.float32) / 127.0
+        q8 = np.clip(np.rint(a / scale), -127, 127).astype(np.int8)
+        return {_Q8_KEY: q8, "scale": scale}
+
+    if isinstance(tree, dict):
+        return {k: _quantize_tree(v, min_size) for k, v in tree.items()}
+    return q(tree)
+
+
+def _dequantize_tree(tree):
+    if isinstance(tree, dict):
+        if _Q8_KEY in tree:
+            return (tree[_Q8_KEY].astype(np.float32)
+                    * np.asarray(tree["scale"], np.float32))
+        return {k: _dequantize_tree(v) for k, v in tree.items()}
+    return tree
+
+
 def export_bundle(config, checkpoint, out_dir, *, buckets=None,
                   max_frames=2048, batch_size=None, n_targets=1,
-                  platforms=("cpu", "tpu"), spk2spk_id=None):
+                  platforms=("cpu", "tpu"), spk2spk_id=None,
+                  quantize=None, quantize_min_size=4096):
     """Export a checkpoint's conversion path into a serving bundle.
 
     ``buckets``: explicit padded lengths; default = every multiple of the
@@ -63,6 +95,14 @@ def export_bundle(config, checkpoint, out_dir, *, buckets=None,
     targets, reference vqvae2b.py:78 — rows with fewer targets repeat the
     last one, same as infer/convert.decode). ``spk2spk_id`` (name→int dict)
     is embedded in the metadata so servers can resolve speaker names.
+
+    ``quantize="int8"`` stores the model *params* weight-only-quantized
+    (symmetric per-channel int8, ~4x smaller ``params.msgpack``); the loader
+    dequantizes to fp32 before calling, so the StableHLO artifacts are
+    unchanged and the only numeric effect is the <= scale/2 weight rounding.
+    Float param leaves smaller than ``quantize_min_size`` elements (norm
+    scales, biases, small codebooks) stay fp32; non-param collections (EMA
+    codebook statistics) are never quantized.
 
     Returns the metadata dict.
     """
@@ -110,8 +150,17 @@ def export_bundle(config, checkpoint, out_dir, *, buckets=None,
         path = out / f"bucket_{T:05d}.hlo"
         path.write_bytes(exp.serialize())
         logger.info(f"exported {path.name} ({path.stat().st_size} bytes)")
+    store = state_dict
+    if quantize == "int8":
+        store = dict(state_dict)
+        if "params" in store:
+            store["params"] = _quantize_tree(store["params"],
+                                             int(quantize_min_size))
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode {quantize!r} "
+                         "(supported: 'int8')")
     (out / "params.msgpack").write_bytes(
-        serialization.msgpack_serialize(state_dict))
+        serialization.msgpack_serialize(store))
 
     meta = {
         "format_version": _FORMAT_VERSION,
@@ -124,6 +173,7 @@ def export_bundle(config, checkpoint, out_dir, *, buckets=None,
         "min_frames": int(conv.min_frames),
         "n_encoder_levels": len(encoder_archs(config)),
         "y_num": int(config.get("y_num", 0)),
+        "quantize": quantize,
         "platforms": list(platforms),
         "jax_version": jax.__version__,
         "spk2spk_id": ({str(k): int(v) for k, v in spk2spk_id.items()}
@@ -149,17 +199,26 @@ class ServingBundle:
                 f"bundle format {self.meta.get('format_version')} != "
                 f"supported {_FORMAT_VERSION}")
         import jax
-        from flax import serialization
         # device-resident once at load: passing host numpy to every .call
         # would re-upload the full parameter set per request
-        self.variables = jax.device_put(serialization.msgpack_restore(
-            (self.path / "params.msgpack").read_bytes()))
+        self.variables = jax.device_put(self._load_host_variables())
         self.batch_size = int(self.meta["batch_size"])
         self.n_targets = int(self.meta["n_targets"])
         self.feat_dim = int(self.meta["feat_dim"])
         self.buckets = sorted(int(t) for t in self.meta["buckets"])
         self.spk2spk_id = self.meta.get("spk2spk_id") or None
         self._fns = {}
+
+    def _load_host_variables(self):
+        """Read + (if quantized) dequantize params.msgpack on the host."""
+        from flax import serialization
+        tree = serialization.msgpack_restore(
+            (self.path / "params.msgpack").read_bytes())
+        if self.meta.get("quantize") == "int8":
+            tree = dict(tree)
+            if "params" in tree:
+                tree["params"] = _dequantize_tree(tree["params"])
+        return tree
 
     def _fn(self, T):
         if T not in self._fns:
@@ -228,15 +287,13 @@ class ServingBundle:
         disk because the device copies may be unreachable after a failure.
         """
         import jax
-        from flax import serialization
 
         if "cpu" not in self.meta.get("platforms", []):
             raise err
         cpu = jax.devices("cpu")[0]
         logger.warning(f"bundle inference failed ({type(err).__name__}: "
                        f"{err}); retrying batch on CPU")
-        host_vars = serialization.msgpack_restore(
-            (self.path / "params.msgpack").read_bytes())
+        host_vars = self._load_host_variables()
         with jax.default_device(cpu):
             return np.asarray(self._fn(Tp).call(
                 jax.device_put(host_vars, cpu), x, y, lens))
