@@ -95,6 +95,15 @@ def test_train_then_decode(toy_env):
     log = (out_dir / "train.log").read_text()
     assert "X like" in log and "Iter" in log
 
+    # machine-readable metrics mirror: one JSON object per log/valid window
+    import json as _json
+    lines = [_json.loads(ln) for ln in
+             (out_dir / "metrics.jsonl").read_text().splitlines()]
+    assert any(m["split"] == "train" and "X like" in m
+               and "frames_per_sec" in m for m in lines)
+    assert any(m["split"] == "valid" and "best_iter" in m for m in lines)
+    assert all(m["iter"] > 0 for m in lines)
+
     # --- decode over a trials file
     decode_dir = root / "decode_in"
     decode_dir.mkdir()

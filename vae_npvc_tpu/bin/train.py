@@ -276,6 +276,15 @@ def train(args):
                 mseg += f"  {k}: {v:.6f}"
             mseg += f"  |  {fps:,.0f} frames/s"
             logger.info(mseg)
+            # machine-readable mirror of the log line (one JSON object per
+            # window) — greppable/plottable production observability next
+            # to the human log (the reference has only the text log,
+            # reference bin/train.py:135-140)
+            with open(output_dir / "metrics.jsonl", "a") as mf:
+                mf.write(json.dumps(
+                    {"iter": int(iteration), "split": "train",
+                     "frames_per_sec": round(float(fps), 1),
+                     **{k: float(v) for k, v in host_log.items()}}) + "\n")
             train_log = {}
             t_log = time.time()
 
@@ -301,6 +310,12 @@ def train(args):
                 mseg += (f"  |  Best {best_iter}:  {check_loss_kind}: "
                          f"{np.mean(best_loss[check_loss_kind]):.6f}")
                 logger.info(mseg)
+                with open(output_dir / "metrics.jsonl", "a") as mf:
+                    mf.write(json.dumps(
+                        {"iter": int(iteration), "split": "valid",
+                         "best_iter": int(best_iter),
+                         **{k: float(np.mean(v))
+                            for k, v in loss_detail.items()}}) + "\n")
             t_log = time.time()
 
         if iteration >= max_iter:
