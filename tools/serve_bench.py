@@ -28,7 +28,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def build_engine(vocoder, window_ms, tiny=False):
+def build_engine(vocoder, window_ms, tiny=False, bundle=False):
     from __graft_entry__ import _flagship_config
     from vae_npvc_tpu.serve import ConversionEngine
     from vae_npvc_tpu.train.trainer import Trainer
@@ -58,6 +58,22 @@ def build_engine(vocoder, window_ms, tiny=False):
     stats[0, :-1] = -3.0 * 1000
     stats[0, -1] = 1000
     stats[1, :-1] = (1.0 + 9.0) * 1000
+    if bundle:
+        # artifact-served leg: export the same checkpoint to a StableHLO
+        # bundle and run model inference through it (the deployment mode)
+        from vae_npvc_tpu.infer.export_serving import export_bundle
+
+        bdir = tmp / "bundle"
+        # buckets must cover the 6s latency leg: 6s ≈ 1501 frames at the
+        # tiny front-end (fs 8k / shift 32), ≈ 563 at the flagship (24k/256)
+        export_bundle(cfg, ck, bdir,
+                      buckets=[(i + 1) * (512 if tiny else 256)
+                               for i in range(4)],
+                      batch_size=8)
+        return ConversionEngine(None, None, stats, bundle=bdir,
+                                vocoder=vocoder, feature=feature,
+                                batch_window_ms=window_ms,
+                                gl_iters=4 if tiny else 64)
     return ConversionEngine(cfg, ck, stats, vocoder=vocoder,
                             feature=feature, batch_window_ms=window_ms,
                             gl_iters=4 if tiny else 64)
@@ -109,11 +125,15 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--tiny", action="store_true",
                     help="toy arch on CPU (smoke-test the tool itself)")
+    ap.add_argument("--bundle", action="store_true",
+                    help="serve through an exported StableHLO bundle "
+                         "instead of the live model")
     args = ap.parse_args()
 
     import jax
 
-    eng = build_engine(args.vocoder, args.window_ms, tiny=args.tiny)
+    eng = build_engine(args.vocoder, args.window_ms, tiny=args.tiny,
+                       bundle=args.bundle)
     n = 5 if args.tiny else 20
     try:
         eng.warmup(3)  # compile the first three bucket shapes
@@ -121,6 +141,7 @@ def main():
             "backend": jax.default_backend(),
             "vocoder": args.vocoder,
             "tiny": args.tiny,
+            "bundle": args.bundle,
             "bucket_frames": eng.bucket_frames,
             "sequential": [latency_leg(eng, 2.0, n), latency_leg(eng, 6.0, n)],
             "concurrent": concurrent_leg(eng, per_client=2 if args.tiny else 8),
