@@ -334,4 +334,17 @@ EOF
     # the reference's one-line summary (reference test.sh:16-24)
     echo "RESULT ${pair}  MCD: ${mcd}  CER: ${cer:-n/a}  WER: ${wer:-n/a}  PLDA: ${plda:-n/a}  COSSIM: ${cossim:-n/a}"
 fi
+
+if [ "${stage}" -le 8 ] && [ "${stop_stage}" -ge 8 ]; then
+    echo "stage 8: Serving-bundle export (StableHLO deployment artifact)"
+    ${PY} vae_npvc_tpu.bin.export_serving -c ${train_config} \
+        -m ${expdir}/model.loss.best -o ${expdir}/serving_bundle \
+        --max_frames 2048 --spk2spk_id ${dumpdir}/${train_set}/spk2spk_id
+    # smoke: convert one eval utterance through the artifacts and compare
+    # against the stage-5 offline output (compression-level tolerance)
+    ${PY} vae_npvc_tpu.bin.bundle_check \
+        --bundle ${expdir}/serving_bundle \
+        --decode_dir ${dumpdir}/${eval_set} \
+        --offline_scp ${outdir}/${srcspk}_${trgspk}/feats.scp
+fi
 echo "Finished."

@@ -1,0 +1,97 @@
+"""Smoke-check a serving bundle against offline decode outputs.
+
+Deployment gate for recipe stage 8: convert trials through the exported
+StableHLO artifacts (infer/export_serving.ServingBundle) and compare to the
+offline ``bin/decode.py`` arks for the same trials. Offline arks are
+Kaldi-compressed (16-bit/col), so the pass tolerance is compression-level;
+the bit-exact artifact-vs-live pin lives in tests/test_export_serving.py.
+
+Usage:
+    vae-npvc-bundle-check --bundle exp/.../serving_bundle \
+        --decode_dir dump/eval --offline_scp exp/.../outputs/.../feats.scp
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Compare serving-bundle conversion to offline decode "
+                    "outputs")
+    parser.add_argument("--bundle", required=True)
+    parser.add_argument("--decode_dir", required=True,
+                        help="dir with trials + feats.scp (+ spk2spk_id)")
+    parser.add_argument("--offline_scp", required=True,
+                        help="feats.scp written by bin/decode.py for the "
+                             "same trials")
+    parser.add_argument("--max_utts", type=int, default=4)
+    parser.add_argument("--tol", type=float, default=1e-4,
+                        help="absolute floor added to the per-column "
+                             "compression step bound")
+    args = parser.parse_args(argv)
+
+    from pathlib import Path
+
+    import numpy as np
+
+    from ..data import kaldi_io
+    from ..infer.export_serving import ServingBundle
+
+    decode_dir = Path(args.decode_dir)
+    bundle = ServingBundle(args.bundle)
+    feats_scp = kaldi_io.load_dict_data(decode_dir / "feats.scp")
+    offline = kaldi_io.load_dict_data(args.offline_scp)
+    trials = kaldi_io.load_list_data(decode_dir / "trials")
+
+    items, utts = [], []
+    for parts in trials[:args.max_utts]:
+        utt, targets = parts[0], list(parts[1:])
+        if utt not in offline:
+            continue
+        items.append((kaldi_io.load_mat(feats_scp[utt]), targets))
+        utts.append(utt)
+    if not items:
+        raise SystemExit("bundle_check: no trials overlap the offline scp")
+
+    outs = bundle.convert(items)
+    # the offline arks are Kaldi-compressed (format 1: per-column
+    # percentile segments, uint8 codes), so the comparison must be
+    # compression-aware: round-trip the bundle output through the SAME
+    # codec, then allow ~1 code step per element (the two sides sit on the
+    # same quantization grid; a boundary-straddling element can differ by
+    # one step). Per-column step bound = the coarsest of the 3 segments.
+    import tempfile
+
+    worst_steps = 0.0
+    with tempfile.TemporaryDirectory() as td:
+        rt_scp = f"{td}/rt.scp"
+        with kaldi_io.write_helper(
+                f"ark,scp:{td}/rt.ark,{rt_scp}", compression_method=1) as wf:
+            for utt, out in zip(utts, outs):
+                wf[utt] = out
+        rts = kaldi_io.load_dict_data(rt_scp)
+        for utt, out in zip(utts, outs):
+            ref = np.asarray(kaldi_io.load_mat(offline[utt]))
+            if out.shape != ref.shape:
+                raise SystemExit(
+                    f"bundle_check FAIL: {utt} shape {out.shape} != offline "
+                    f"{ref.shape}")
+            rt = np.asarray(kaldi_io.load_mat(rts[utt]))
+            p0, p25, p75, p100 = np.percentile(ref, [0, 25, 75, 100], axis=0)
+            step = np.maximum.reduce([(p25 - p0) / 64.0,
+                                      (p75 - p25) / 128.0,
+                                      (p100 - p75) / 63.0])
+            tol = 1.5 * step + args.tol
+            steps = np.abs(rt - ref) / np.maximum(tol, 1e-12)
+            worst_steps = max(worst_steps, float(steps.max()))
+    status = "PASS" if worst_steps <= 1.0 else "FAIL"
+    print(f"bundle_check {status}: {len(utts)} utts, worst diff = "
+          f"{worst_steps:.2f}x the per-column compression step bound")
+    if status == "FAIL":
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
