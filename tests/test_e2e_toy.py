@@ -158,6 +158,14 @@ def test_resume_restores_iteration(toy_env):
         train_dir=str(train_dir), valid_dir=None, gpu=None))
     assert (out_dir / "iter.20").exists()
 
+    # metrics.jsonl must not carry duplicate/conflicting windows from the
+    # pre-resume run: rows with iter > the resume point are truncated
+    import json as _json
+    iters = [_json.loads(ln)["iter"] for ln in
+             (out_dir / "metrics.jsonl").read_text().splitlines()
+             if _json.loads(ln)["split"] == "train"]
+    assert iters == sorted(iters) and len(set(iters)) == len(iters)
+
 
 def test_resume_keeps_best_across_restart(toy_env):
     """A preemption resume must not crown a later, worse validation iterate

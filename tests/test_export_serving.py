@@ -224,3 +224,28 @@ def test_int8_quantized_bundle(flat_bundle, tmp_path):
     assert got.shape == want.shape and np.isfinite(got).all()
     # weight rounding is small for a near-init toy model
     assert float(np.abs(got - want).mean()) < 0.1
+
+
+def test_quantize_guards_and_formats(flat_bundle, tmp_path):
+    """Mode validated before any artifact is written; quantized bundles
+    carry format_version 2; 1-D leaves never get per-element scales."""
+    from vae_npvc_tpu.infer.export_serving import _Q8_KEY, _quantize_tree
+
+    cfg, ck, _, meta_fp32 = flat_bundle
+    assert meta_fp32["format_version"] == 1
+    with pytest.raises(ValueError, match="quantize mode"):
+        export_bundle(cfg, ck, tmp_path / "bad", buckets=[32],
+                      batch_size=2, platforms=("cpu",), quantize="int4")
+    assert not list((tmp_path / "bad").glob("*.hlo")) \
+        if (tmp_path / "bad").exists() else True
+
+    meta = export_bundle(cfg, ck, tmp_path / "q8", buckets=[32],
+                         batch_size=2, platforms=("cpu",),
+                         quantize="int8", quantize_min_size=64)
+    assert meta["format_version"] == 2
+
+    # 1-D float leaf above min_size stays fp32 (a per-last-axis scale would
+    # be per-element, inflating the leaf)
+    bias = np.random.default_rng(9).normal(size=(4096,)).astype(np.float32)
+    q = _quantize_tree({"bias": bias}, min_size=64)["bias"]
+    assert isinstance(q, np.ndarray) and q.dtype == np.float32

@@ -151,3 +151,11 @@ def test_accum_sharded_matches_single_device():
 
     _allclose_tree(_get(tr_all.state.params), _get(tr_one.state.params),
                    rtol=1e-5, atol=1e-6)
+
+
+def test_gan_trainer_rejects_grad_accum():
+    from vae_npvc_tpu.train.gan import GanTrainer
+
+    cfg = dict(toy_config(), grad_accum=2, pre_iter=1)
+    with pytest.raises(ValueError, match="GAN"):
+        GanTrainer(cfg)

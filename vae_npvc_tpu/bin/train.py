@@ -167,6 +167,16 @@ def train(args):
     if ckpt:
         iteration = trainer.load_checkpoint(ckpt) + 1
         logger.info(f"Resumed from {ckpt} at iteration {iteration}")
+        # drop metrics rows from beyond the resume point: the windows after
+        # the restored checkpoint replay with different values, and the
+        # machine-readable file must not carry conflicting duplicate iters
+        # (the human train.log keeps the full history)
+        mfile = output_dir / "metrics.jsonl"
+        if mfile.exists():
+            kept = [ln for ln in mfile.read_text().splitlines()
+                    if ln.strip()
+                    and json.loads(ln).get("iter", 0) < iteration]
+            mfile.write_text("".join(ln + "\n" for ln in kept))
 
     logger.info(trainer.get_model_info())
     logger.info(f"Output directory: {output_dir}")

@@ -61,7 +61,9 @@ def _quantize_tree(tree, min_size):
     small leaves (norm scales, biases, tiny codebooks) stay fp32."""
     def q(leaf):
         a = np.asarray(leaf)
-        if a.dtype.kind != "f" or a.size < min_size or a.ndim == 0:
+        # ndim < 2: a per-last-axis scale would be per-ELEMENT (5 bytes/elem
+        # — larger than fp32); 1-D leaves are biases/gains, keep them exact
+        if a.dtype.kind != "f" or a.size < min_size or a.ndim < 2:
             return a
         amax = np.max(np.abs(a), axis=tuple(range(a.ndim - 1)))
         scale = np.maximum(amax, 1e-12).astype(np.float32) / 127.0
@@ -112,6 +114,9 @@ def export_bundle(config, checkpoint, out_dir, *, buckets=None,
 
     from .convert import Converter, encoder_archs
 
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unknown quantize mode {quantize!r} "
+                         "(supported: 'int8')")
     config = dict(config)
     config["use_pallas_vq"] = False  # portable StableHLO (module docstring)
     conv = Converter(config)
@@ -156,14 +161,14 @@ def export_bundle(config, checkpoint, out_dir, *, buckets=None,
         if "params" in store:
             store["params"] = _quantize_tree(store["params"],
                                              int(quantize_min_size))
-    elif quantize is not None:
-        raise ValueError(f"unknown quantize mode {quantize!r} "
-                         "(supported: 'int8')")
     (out / "params.msgpack").write_bytes(
         serialization.msgpack_serialize(store))
 
     meta = {
-        "format_version": _FORMAT_VERSION,
+        # quantized params are unreadable by pre-quantization loaders —
+        # bump the version so an old fleet rejects them cleanly at load
+        # instead of dying at call time on the {__q8__, scale} pytree
+        "format_version": 2 if quantize else _FORMAT_VERSION,
         "model_type": config.get("model_type", ""),
         "iteration": int(iteration),
         "feat_dim": int(D),
@@ -194,10 +199,10 @@ class ServingBundle:
     def __init__(self, path):
         self.path = Path(path)
         self.meta = json.loads((self.path / "bundle.json").read_text())
-        if self.meta.get("format_version") != _FORMAT_VERSION:
+        if self.meta.get("format_version") not in (1, 2):
             raise ValueError(
-                f"bundle format {self.meta.get('format_version')} != "
-                f"supported {_FORMAT_VERSION}")
+                f"bundle format {self.meta.get('format_version')} not in "
+                f"supported (1, 2)")
         import jax
         # device-resident once at load: passing host numpy to every .call
         # would re-upload the full parameter set per request

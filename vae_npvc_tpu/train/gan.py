@@ -71,6 +71,13 @@ class GanTrainer(Trainer):
 
     def __init__(self, config, mesh=None, seed=None):
         super().__init__(config, mesh=mesh, seed=seed)
+        if self.grad_accum > 1:
+            # the 3-phase adversarial schedule overrides train_step and
+            # never routes through Trainer._step — fail loudly instead of
+            # silently training full batches (same policy as
+            # supports_steps_per_call above)
+            raise ValueError("grad_accum is not supported by the GAN "
+                             "trainer (3-phase step)")
         self.gamma = config.get("gamma", 1.0)
         self.gp_weight = config.get("gp_weight", 1.0)
         self.pre_iter = config.get("pre_iter", 1000)

@@ -369,7 +369,12 @@ class Trainer:
         return detail
 
     def _get_compiled(self, name, fn, donate=()):
-        key = name
+        # key on the underlying function too: 'train' could otherwise alias
+        # the plain and accumulating bodies (e.g. tools/perf_families.py
+        # explicitly requests _train_step while train_step dispatches
+        # through _step). Bound methods are recreated per attribute access,
+        # so use the stable __func__.
+        key = (name, getattr(fn, "__func__", fn))
         if key not in self._compiled:
             self._compiled[key] = jax.jit(fn, donate_argnums=donate)
         return self._compiled[key]
