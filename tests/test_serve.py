@@ -273,3 +273,25 @@ def test_engine_single_bucket_bundle_warmup_and_guards(toy_engine_parts,
                         8000, 1, return_mel=True)
     finally:
         eng.close()
+
+
+def test_http_prometheus_metrics(toy_engine_parts):
+    from vae_npvc_tpu.bin.serve import serve
+
+    eng = _engine(toy_engine_parts)
+    httpd = serve(eng, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(9)
+        eng.convert(rng.normal(size=(900,)).astype(np.float32) * 0.1,
+                    8000, "A", return_mel=True)
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics").read().decode()
+        assert "# TYPE vae_npvc_requests counter" in body
+        assert "vae_npvc_requests 1" in body
+        assert "vae_npvc_latency_ms_p50" in body
+    finally:
+        httpd.shutdown()
+        eng.close()

@@ -100,6 +100,24 @@ def make_handler(engine):
                 self._json(200, engine.speakers())
             elif path == "/stats":
                 self._json(200, engine.stats_snapshot())
+            elif path == "/metrics":
+                # Prometheus exposition format (text/plain version 0.0.4)
+                # for scrape-based fleet monitoring
+                s = engine.stats_snapshot()
+                lines = []
+                for key, mtype in (("requests", "counter"),
+                                   ("infer_calls", "counter"),
+                                   ("infer_items", "counter"),
+                                   ("mean_batch", "gauge"),
+                                   ("latency_ms_p50", "gauge"),
+                                   ("latency_ms_p99", "gauge")):
+                    v = s.get(key)
+                    if v is None:
+                        continue
+                    lines.append(f"# TYPE vae_npvc_{key} {mtype}")
+                    lines.append(f"vae_npvc_{key} {float(v):g}")
+                self._send(200, ("\n".join(lines) + "\n").encode(),
+                           "text/plain; version=0.0.4")
             else:
                 self._error(404, f"no route {path}")
 
