@@ -140,3 +140,56 @@ def test_sweep_hierarchical(tmp_path):
                             "u1__1", "u1__2", "u1__3"]
     assert mats["u1__2"].shape == (24, 10)
     assert all(np.all(np.isfinite(m)) for m in mats.values())
+
+
+def test_hier_sweep_encode_once_matches_infer(tmp_path):
+    """The hierarchical sweep's encode-once/decode-per-target path must
+    equal the per-target infer (infer IS encode∘decode; ulp tolerance for
+    jit fusion differences)."""
+    import sys
+    from pathlib import Path as P
+    sys.path.insert(0, str(P(__file__).parent))
+    from test_convert_hier import hier_cfg
+
+    from vae_npvc_tpu.infer.convert import Converter
+    from vae_npvc_tpu.train.trainer import Trainer
+
+    cfg = hier_cfg()
+    tr = Trainer(cfg)
+    rng = np.random.default_rng(3)
+    batch = (rng.normal(size=(2, 16, 10)).astype(np.float32),
+             np.zeros((2,), np.int32))
+    tr.init_state(batch)
+    tr.train_step(batch)
+    ck = tmp_path / "m.ckpt"
+    tr.save_checkpoint(ck)
+
+    dec = tmp_path / "dec"
+    dec.mkdir()
+    utts = {}
+    with kaldi_io.ArkWriter(dec / "f.ark", dec / "feats.scp") as w:
+        for i, T in enumerate((16, 24)):
+            utts[f"u{i}"] = rng.normal(size=(T, 10)).astype(np.float32)
+            w.write(f"u{i}", utts[f"u{i}"])
+    cv = Converter(cfg)
+    cv.load_checkpoint(ck)
+    assert cv.sweep(dec, tmp_path / "out", ["1", "2"], compress=False) == 4
+    mats = dict(kaldi_io.read_ark(f"scp:{tmp_path / 'out'}/feats.scp"))
+
+    # oracle: the SAME padded batch through per-target infer
+    B = cv.batch_size
+    T_pad = max(((24 + cv.bucket_size - 1) // cv.bucket_size)
+                * cv.bucket_size, cv.min_frames)
+    feats = np.zeros((B, T_pad, 10), np.float32)
+    lengths = np.ones((B,), np.int32)
+    for b, (u, m) in enumerate(utts.items()):
+        feats[b, :m.shape[0]] = m
+        lengths[b] = m.shape[0]
+    for tid, name in ((1, "1"), (2, "2")):
+        want = cv._infer_with_fallback(
+            feats, np.full((B,), tid, np.int32), lengths)
+        for b, (u, m) in enumerate(utts.items()):
+            T = m.shape[0]
+            np.testing.assert_allclose(
+                mats[f"{u}__{name}"], want[b, :min(T, want.shape[1])],
+                rtol=1e-5, atol=1e-5)

@@ -207,7 +207,16 @@ class Converter:
         return n_done
 
     def _sweep_generic(self, decode_dir, output_dir, targets, compress=True):
-        """Any-to-all sweep via the shared bucketed masked infer path."""
+        """Any-to-all sweep via the shared bucketed masked path.
+
+        Hierarchical families (vqvae2/2a/2b) encode each batch ONCE and
+        decode per target — their ``infer`` is literally encode∘decode
+        (models/vqvae2*.py), so this halves the sweep's encoder work for
+        K targets with identical results; any device failure falls back to
+        the per-target infer path (which carries the CPU retry). Other
+        families run per-target infer directly.
+        """
+        import jax
         import jax.numpy as jnp
 
         decode_dir = Path(decode_dir)
@@ -228,6 +237,23 @@ class Converter:
             buckets.setdefault(_bucket(job[2], self.bucket_size, self.min_frames),
                                []).append(job)
 
+        mod = type(self.model).__module__
+        hier = mod.endswith((".vqvae2", ".vqvae2a", ".vqvae2b"))
+        with_style = mod.endswith(".vqvae2")   # encode returns (ids, style)
+        if hier:
+            encode_jit = jax.jit(lambda v, x, l: self.model.apply(
+                v, x, l, method="encode"))
+            if with_style:
+                decode_jit = jax.jit(
+                    lambda v, enc, y, tl, l: self.model.apply(
+                        v, enc[0], y, style=enc[1], target_len=tl,
+                        lengths=l, method="decode"), static_argnums=3)
+            else:
+                decode_jit = jax.jit(
+                    lambda v, enc, y, tl, l: self.model.apply(
+                        v, enc, y, target_len=tl, lengths=l,
+                        method="decode"), static_argnums=3)
+
         wspec = f"ark,scp:{output_dir}/feats.ark,{output_dir}/feats.scp"
         n_done = 0
         with kaldi_io.write_helper(
@@ -242,9 +268,33 @@ class Converter:
                     for b, (utt, rx, T) in enumerate(chunk):
                         feats[b, :T] = kaldi_io.load_mat(rx)
                         lengths[b] = T
-                    for tid, name in zip(tgt_ids, tgt_names):
-                        tgts = np.full((self.batch_size,), tid, np.int32)
-                        out = self._infer_with_fallback(feats, tgts, lengths)
+                    outs = None
+                    if hier:
+                        try:
+                            enc = encode_jit(self.variables,
+                                             jnp.asarray(feats),
+                                             jnp.asarray(lengths))
+                            outs = {}
+                            for tid, name in zip(tgt_ids, tgt_names):
+                                tgts = jnp.full((self.batch_size,), tid,
+                                                jnp.int32)
+                                outs[name] = np.asarray(decode_jit(
+                                    self.variables, enc, tgts, T_pad,
+                                    jnp.asarray(lengths)))
+                        except Exception as e:  # noqa: BLE001
+                            logger.warning(
+                                f"encode-once sweep failed "
+                                f"({type(e).__name__}: {e}); falling back "
+                                f"to per-target infer for this batch")
+                            outs = None
+                    if outs is None:
+                        outs = {}
+                        for tid, name in zip(tgt_ids, tgt_names):
+                            tgts = np.full((self.batch_size,), tid, np.int32)
+                            outs[name] = self._infer_with_fallback(
+                                feats, tgts, lengths)
+                    for name in tgt_names:
+                        out = outs[name]
                         for b, (utt, rx, T) in enumerate(chunk):
                             wf[f"{utt}__{name}"] = out[b, :min(T,
                                                                out.shape[1])]
