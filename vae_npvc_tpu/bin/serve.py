@@ -223,6 +223,16 @@ def main(argv=None):
     httpd = serve(engine, args.host, args.port)
     logger.info("listening on %s:%d (targets: %s)", args.host, args.port,
                 sorted(engine.speakers()))
+    # production shutdown: orchestrators (k8s, systemd) send SIGTERM —
+    # drain in-flight requests via shutdown() instead of dying mid-batch
+    import signal
+    import threading
+
+    def _term(signum, frame):
+        logger.info("signal %d: shutting down", signum)
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
@@ -230,6 +240,8 @@ def main(argv=None):
     finally:
         httpd.shutdown()
         engine.close()
+    logger.info("shutdown complete (%d requests served)",
+                engine.stats_snapshot()["requests"])
 
 
 if __name__ == "__main__":
