@@ -53,6 +53,60 @@ def _bucket(T, bucket_size, min_len=1):
     return max(-(-T // bucket_size) * bucket_size, min_len)
 
 
+def auto_bucket_edges(lengths, max_buckets=6, align=32, min_len=1):
+    """Padded-length bucket edges minimizing total padded frames.
+
+    The fixed-grid policy (multiples of ``decode_bucket_size``) wastes
+    compute when the corpus length distribution is skewed — every frame
+    beyond an utterance's true length is MXU work on masked zeros. This
+    picks at most ``max_buckets`` edges from the corpus's own (align-rounded)
+    lengths by exact partition DP: cost of covering a group by its largest
+    member = sum of pad frames; O(n²·K) over n unique rounded lengths.
+    Masked inference keeps results identical for any bucketing, so this is
+    a pure throughput knob (config ``decode_bucket_auto: true``).
+    """
+    cands = sorted({max(-(-int(T) // align) * align, min_len)
+                    for T in lengths})
+    n = len(cands)
+    if n == 0:
+        return []
+    K = min(max_buckets, n)
+    counts = np.zeros(n, np.int64)
+    sums = np.zeros(n, np.float64)
+    for T in lengths:
+        r = max(-(-int(T) // align) * align, min_len)
+        i = cands.index(r)
+        counts[i] += 1
+        sums[i] += T
+    # cost(i, j) = pad frames when lengths rounded into (cands[i-1], cands[j]]
+    # are all padded to cands[j]
+    ccum = np.concatenate([[0], np.cumsum(counts)])
+    scum = np.concatenate([[0.0], np.cumsum(sums)])
+
+    def cost(i, j):          # groups i..j inclusive, edge = cands[j]
+        return cands[j] * (ccum[j + 1] - ccum[i]) - (scum[j + 1] - scum[i])
+
+    INF = float("inf")
+    dp = np.full((K + 1, n), INF)
+    choice = np.zeros((K + 1, n), np.int64)
+    for j in range(n):
+        dp[1][j] = cost(0, j)
+    for k in range(2, K + 1):
+        for j in range(k - 1, n):
+            best, arg = INF, 0
+            for i in range(k - 2, j):
+                c = dp[k - 1][i] + cost(i + 1, j)
+                if c < best:
+                    best, arg = c, i
+            dp[k][j], choice[k][j] = best, arg
+    k_best = int(np.argmin([dp[k][n - 1] for k in range(1, K + 1)])) + 1
+    edges, j = [], n - 1
+    for k in range(k_best, 0, -1):
+        edges.append(cands[j])
+        j = int(choice[k][j])
+    return sorted(edges)
+
+
 def encoder_archs(config):
     """The chained encoder arch dicts of a config (flat or hierarchical)."""
     if "encoder" in config:
@@ -72,6 +126,11 @@ class Converter:
         self.model = build_model(config)
         self.bucket_size = config.get("decode_bucket_size", 256)
         self.batch_size = config.get("decode_batch_size", 8)
+        # corpus-adaptive bucket edges (auto_bucket_edges) instead of the
+        # fixed decode_bucket_size grid — same results (masked inference),
+        # less padded compute on skewed length distributions
+        self.auto_buckets = bool(config.get("decode_bucket_auto", False))
+        self.max_buckets = int(config.get("decode_max_buckets", 6))
         # utterances shorter than the hierarchy's total downsampling must be
         # padded up so no level's time axis is empty (see
         # models/vqvae.Encoder.min_input_frames); real lengths stay exact
@@ -114,6 +173,30 @@ class Converter:
         enc = self.config.get("encoder",
                               self.config.get("encoder.0", {}))
         return enc.get("in_channels", [80])[0]
+
+    def _bucket_fn(self, jobs):
+        """Bucketing policy for a job list of ``(utt, rx, T, ...)`` tuples:
+        the fixed decode_bucket_size grid, or corpus-adaptive DP edges
+        (``decode_bucket_auto: true``)."""
+        if not self.auto_buckets or not jobs:
+            return lambda T: _bucket(T, self.bucket_size, self.min_frames)
+        lens = [j[2] for j in jobs]
+        edges = auto_bucket_edges(lens, max_buckets=self.max_buckets,
+                                  align=32, min_len=self.min_frames)
+
+        def pick(T):
+            T = max(T, self.min_frames)
+            for e in edges:
+                if e >= T:
+                    return e
+            return edges[-1]
+
+        fixed = sum(_bucket(T, self.bucket_size, self.min_frames) - T
+                    for T in lens)
+        auto = sum(pick(T) - T for T in lens)
+        logger.info(f"auto buckets {edges}: {auto} padded frames vs "
+                    f"{fixed} on the fixed {self.bucket_size} grid")
+        return pick
 
     def _infer_with_fallback(self, feats, tgts, lengths):
         """Run the jitted infer; on accelerator failure (e.g. OOM on a long
@@ -177,9 +260,9 @@ class Converter:
         jobs = [(u, rx, kaldi_io.matrix_header(rx)[0])
                 for u, rx in feats_scp.items()]
         buckets: dict[int, list] = {}
+        pick_bucket = self._bucket_fn(jobs)
         for job in jobs:
-            buckets.setdefault(_bucket(job[2], self.bucket_size, self.min_frames),
-                               []).append(job)
+            buckets.setdefault(pick_bucket(job[2]), []).append(job)
 
         wspec = f"ark,scp:{output_dir}/feats.ark,{output_dir}/feats.scp"
         n_done = 0
@@ -233,9 +316,9 @@ class Converter:
         jobs = [(u, rx, kaldi_io.matrix_header(rx)[0])
                 for u, rx in feats_scp.items()]
         buckets: dict[int, list] = {}
+        pick_bucket = self._bucket_fn(jobs)
         for job in jobs:
-            buckets.setdefault(_bucket(job[2], self.bucket_size, self.min_frames),
-                               []).append(job)
+            buckets.setdefault(pick_bucket(job[2]), []).append(job)
 
         mod = type(self.model).__module__
         hier = mod.endswith((".vqvae2", ".vqvae2a", ".vqvae2b"))
@@ -342,9 +425,9 @@ class Converter:
         # bucket by padded length; masked inference keeps padded batches
         # numerically identical to unpadded runs for every model family
         buckets: dict[int, list] = {}
+        pick_bucket = self._bucket_fn(jobs)
         for job in jobs:
-            buckets.setdefault(_bucket(job[2], self.bucket_size, self.min_frames),
-                               []).append(job)
+            buckets.setdefault(pick_bucket(job[2]), []).append(job)
 
         wspec = f"ark,scp:{output_dir}/feats.ark,{output_dir}/feats.scp"
         n_done = 0
