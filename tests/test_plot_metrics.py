@@ -4,7 +4,7 @@ import json
 
 
 def test_plot_metrics_renders(tmp_path):
-    from tools.plot_metrics import main
+    from vae_npvc_tpu.utils.plot_metrics import main
 
     rows = [
         {"iter": 100, "split": "train", "Total": 9.0, "X like": 8.9,
