@@ -295,3 +295,12 @@ def test_http_prometheus_metrics(toy_engine_parts):
     finally:
         httpd.shutdown()
         eng.close()
+
+
+def test_prom_num_exact():
+    """Counter formatting must be exact — %g freezes counters above 1e6."""
+    from vae_npvc_tpu.bin.serve import _prom_num
+
+    assert _prom_num(10_000_001) == "10000001"
+    assert _prom_num(3.0) == "3"
+    assert _prom_num(12.345678901234) == "12.345678901234"

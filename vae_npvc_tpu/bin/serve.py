@@ -41,6 +41,14 @@ import numpy as np
 logger = logging.getLogger("vae_npvc_tpu.serve.http")
 
 
+def _prom_num(v):
+    """Exact Prometheus number formatting: `%g` truncates to 6 significant
+    digits, freezing counters above ~1e6 between scrapes — integers are
+    emitted exactly, floats at full precision."""
+    f = float(v)
+    return str(int(f)) if f.is_integer() else repr(f)
+
+
 def _wav_bytes(x, fs):
     from scipy.io import wavfile
 
@@ -115,7 +123,7 @@ def make_handler(engine):
                     if v is None:
                         continue
                     lines.append(f"# TYPE vae_npvc_{key} {mtype}")
-                    lines.append(f"vae_npvc_{key} {float(v):g}")
+                    lines.append(f"vae_npvc_{key} {_prom_num(v)}")
                 self._send(200, ("\n".join(lines) + "\n").encode(),
                            "text/plain; version=0.0.4")
             else:
@@ -161,7 +169,11 @@ def serve(engine, host="0.0.0.0", port=8080):
     """Run the HTTP server (blocking). Returns the server object if you
     need to ``shutdown()`` it from another thread (tests do)."""
     httpd = ThreadingHTTPServer((host, port), make_handler(engine))
-    httpd.daemon_threads = True
+    # non-daemon handlers: socketserver only TRACKS non-daemon threads
+    # (_Threads.append drops daemons), so server_close() can actually join
+    # in-flight requests on graceful shutdown; a hung handler is bounded by
+    # the orchestrator's SIGKILL grace period
+    httpd.daemon_threads = False
     return httpd
 
 
@@ -239,6 +251,9 @@ def main(argv=None):
         pass
     finally:
         httpd.shutdown()
+        # server_close() joins the tracked handler threads (block_on_close),
+        # so in-flight requests actually finish before the engine goes away
+        httpd.server_close()
         engine.close()
     logger.info("shutdown complete (%d requests served)",
                 engine.stats_snapshot()["requests"])

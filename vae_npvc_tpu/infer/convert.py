@@ -65,17 +65,16 @@ def auto_bucket_edges(lengths, max_buckets=6, align=32, min_len=1):
     Masked inference keeps results identical for any bucketing, so this is
     a pure throughput knob (config ``decode_bucket_auto: true``).
     """
-    cands = sorted({max(-(-int(T) // align) * align, min_len)
-                    for T in lengths})
+    cands = sorted({_bucket(int(T), align, min_len) for T in lengths})
     n = len(cands)
     if n == 0:
         return []
     K = min(max_buckets, n)
+    idx = {c: i for i, c in enumerate(cands)}
     counts = np.zeros(n, np.int64)
     sums = np.zeros(n, np.float64)
     for T in lengths:
-        r = max(-(-int(T) // align) * align, min_len)
-        i = cands.index(r)
+        i = idx[_bucket(int(T), align, min_len)]
         counts[i] += 1
         sums[i] += T
     # cost(i, j) = pad frames when lengths rounded into (cands[i-1], cands[j]]
@@ -233,9 +232,10 @@ class Converter:
         import jax.numpy as jnp
 
         if not type(self.model).__module__.endswith(".vqvae"):
-            # hierarchical/VAE families: correct generic fallback — bucketed
-            # masked infer once per target (no encode-once reuse; the flat
-            # model keeps the optimized speaker-axis decode below)
+            # hierarchical/VAE families: the shared bucketed masked path
+            # (vqvae2/2a/2b encode once and decode per target inside
+            # _sweep_generic; the flat model keeps the speaker-axis decode
+            # below)
             return self._sweep_generic(decode_dir, output_dir, targets,
                                        compress=compress)
         decode_dir = Path(decode_dir)

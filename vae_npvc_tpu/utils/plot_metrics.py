@@ -58,7 +58,11 @@ def main(argv=None):
                     help="comma-separated metric keys (default: auto)")
     args = ap.parse_args(argv)
 
-    import matplotlib
+    try:
+        import matplotlib
+    except ImportError:
+        raise SystemExit(
+            "plot_metrics needs matplotlib: pip install 'vae-npvc-tpu[plot]'")
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
