@@ -63,6 +63,30 @@ def measure_ours(steps=20, scan_k=8):
             import sys
             print(f"# scan path failed ({e}); keeping per-step",
                   file=sys.stderr, flush=True)
+        # device_resident: true (also shipped in the vcc20 configs): the
+        # corpus lives in HBM, crops are sampled in-scan — removes the
+        # per-call 10MB batch upload, the dominant cost on a tunneled
+        # backend
+        try:
+            class _Synth:
+                crop_length = T
+
+                def padded_arrays(self):
+                    r = np.random.default_rng(1)
+                    return (r.normal(size=(256, T, D)).astype(np.float32),
+                            np.full((256,), T, np.int32),
+                            r.integers(0, 117, size=(256,)).astype(np.int32))
+
+            trainer.stage_dataset(_Synth(), B)
+            sec_dev, _ = time_steps(
+                lambda: trainer.train_steps_device(scan_k),
+                lambda d: float(np.asarray(d["Total"])[-1]),
+                max(steps // scan_k, 3))
+            sec = min(sec, sec_dev / scan_k)
+        except Exception as e:  # pragma: no cover - per-backend safety net
+            import sys
+            print(f"# device-resident path failed ({e}); keeping best so "
+                  f"far", file=sys.stderr, flush=True)
     n_chips = len(jax.devices())
     global_fps = B * T / sec
     return global_fps / n_chips, global_fps
