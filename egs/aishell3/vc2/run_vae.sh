@@ -106,4 +106,15 @@ if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then
     python ../../vcc20/vae2/local/make_trials.py ${dumpdir}/${dev_set} -n 50 --seed 777
     ${PY} vae_npvc_tpu.bin.decode -c ${train_config}         --checkpoint ${expdir}/model.loss.best         --decode-dir ${dumpdir}/${dev_set}         --output-dir ${expdir}/decode_${dev_set}
 fi
+
+if [ "${stage}" -le 6 ] && [ "${stop_stage}" -ge 6 ]; then
+    echo "stage 6: Serving-bundle export (StableHLO deployment artifact)"
+    ${PY} vae_npvc_tpu.bin.export_serving -c ${train_config} \
+        -m ${expdir}/model.loss.best -o ${expdir}/serving_bundle \
+        --max_frames 2048 --spk2spk_id ${dumpdir}/${train_set}/spk2spk_id
+    ${PY} vae_npvc_tpu.bin.bundle_check \
+        --bundle ${expdir}/serving_bundle \
+        --decode_dir ${dumpdir}/${dev_set} \
+        --offline_scp ${expdir}/decode_${dev_set}/feats.scp
+fi
 echo "Finished."

@@ -45,9 +45,16 @@ def main(argv=None):
     offline = kaldi_io.load_dict_data(args.offline_scp)
     trials = kaldi_io.load_list_data(decode_dir / "trials")
 
+    # a source utt may appear in several trial lines with different targets
+    # (random trials, make_trials.py -n); decode writes them all and the
+    # scp's LAST entry wins — compare against that line's targets
+    per_utt: dict = {}
+    for parts in trials:
+        per_utt[parts[0]] = list(parts[1:])
     items, utts = [], []
-    for parts in trials[:args.max_utts]:
-        utt, targets = parts[0], list(parts[1:])
+    for utt, targets in per_utt.items():
+        if len(items) >= args.max_utts:
+            break
         if utt not in offline:
             continue
         if utt not in feats_scp:
