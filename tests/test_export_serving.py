@@ -249,3 +249,25 @@ def test_quantize_guards_and_formats(flat_bundle, tmp_path):
     bias = np.random.default_rng(9).normal(size=(4096,)).astype(np.float32)
     q = _quantize_tree({"bias": bias}, min_size=64)["bias"]
     assert isinstance(q, np.ndarray) and q.dtype == np.float32
+
+
+def test_bundle_check_uses_last_trial_line(flat_bundle, tmp_path):
+    """A source utt repeated with different targets: decode's scp keeps the
+    LAST write, so bundle_check must compare against the last trial line."""
+    from vae_npvc_tpu.bin.bundle_check import main as check_main
+    from vae_npvc_tpu.data import kaldi_io
+
+    cfg, ck, bundle_path, _ = flat_bundle
+    conv = Converter(dict(cfg, use_pallas_vq=False))
+    conv.load_checkpoint(ck)
+
+    dec = tmp_path / "dec"
+    dec.mkdir()
+    rng = np.random.default_rng(11)
+    with kaldi_io.ArkWriter(dec / "f.ark", dec / "feats.scp") as w:
+        w.write("u0", rng.normal(size=(20, 10)).astype(np.float32))
+    (dec / "trials").write_text("u0 1\nu0 2\n")
+    out = tmp_path / "off"
+    assert conv.decode(dec, out) == 2
+    check_main(["--bundle", str(bundle_path), "--decode_dir", str(dec),
+                "--offline_scp", str(out / "feats.scp")])  # PASS = no exit
