@@ -161,11 +161,14 @@ def families():
     }
 
 
-def bench(name, config, make_batch, steps=20, scan_k=0, dev_res_k=0):
+def bench(name, config, make_batch, steps=20, scan_k=0, dev_res_k=0,
+          accum_k=0):
     import jax
 
     from vae_npvc_tpu.train.trainer import Trainer
 
+    if accum_k:
+        config = dict(config, grad_accum=accum_k)
     trainer = Trainer(config)
     batch = make_batch()
     trainer.init_state(batch)
@@ -177,6 +180,28 @@ def bench(name, config, make_batch, steps=20, scan_k=0, dev_res_k=0):
     B = np.asarray(batch[0]).shape[0]
     T = (np.asarray(batch[2]).shape[1] if len(batch) > 2
          and np.asarray(batch[2]).ndim == 3 else np.asarray(batch[0]).shape[1])
+
+    if accum_k:
+        # gradient-accumulation A/B: ms/step + peak HBM vs the plain step —
+        # the memory claim (peak activations ~1/k) made measurable. The
+        # trainer dispatches through _step = _train_step_accum here.
+        from tools._measure import time_steps
+        sec, _ = time_steps(
+            lambda: trainer.train_step(dev_batch),
+            lambda d: float(d["Total"]), steps)
+        peak = None
+        try:
+            stats = jax.devices()[0].memory_stats()
+            peak = int(stats.get("peak_bytes_in_use", 0))
+        except Exception:
+            pass
+        row = {"family": f"{name}_accum{accum_k}",
+               "ms_per_step": round(sec * 1e3, 2),
+               "frames_per_s": round(B * T / sec),
+               "grad_accum": accum_k,
+               "peak_hbm_mb": round(peak / 1e6) if peak else None}
+        print(json.dumps(row), flush=True)
+        return row
 
     if scan_k:
         # K-steps-per-dispatch A/B (Trainer.train_steps lax.scan): quantifies
@@ -281,6 +306,9 @@ def main():
     ap.add_argument("--scan_k", type=int, default=0,
                     help="time Trainer.train_steps with K steps per dispatch "
                          "instead of per-step dispatch (A/B row)")
+    ap.add_argument("--accum_k", type=int, default=0,
+                    help="grad_accum A/B: k microbatches per step, "
+                         "reports ms/step + peak HBM")
     ap.add_argument("--dev_res_k", type=int, default=0,
                     help="time the device-resident path "
                          "(train_steps_device, K steps/dispatch, synthetic "
@@ -300,7 +328,8 @@ def main():
         gnp.set_enabled(not n.endswith("_gn_stock"))
         try:
             rows.append(bench(n, config, make_batch, steps=args.steps,
-                              scan_k=args.scan_k, dev_res_k=args.dev_res_k))
+                              scan_k=args.scan_k, dev_res_k=args.dev_res_k,
+                              accum_k=args.accum_k))
         finally:
             gnp.set_enabled(True)
     if args.out:
