@@ -137,25 +137,48 @@ def test_square_layer_uses_name_heuristic():
     np.testing.assert_array_equal(out["other"]["v"], v)
 
 
-def test_committed_round2_smoke_checkpoint_loads():
-    """The repo's committed round-2 smoke exp checkpoint (old format) must
-    still load through the inference Converter."""
-    import pathlib
+def test_old_format_checkpoint_loads_through_converter(tmp_path):
+    """A round-2-format checkpoint (per-output g, no wn_axis_format stamp)
+    must load through the inference Converter with migration applied —
+    the deployment path for checkpoints trained before commit 03818d8.
+    (Replaces a fixture-dependent variant: the committed round-2 smoke exp
+    was removed in e043e3d, which had left this silently skipping.)"""
+    import jax
 
-    import yaml
-
-    root = pathlib.Path(__file__).resolve().parents[1] / "egs/vcc20/vae1"
-    ckpt = root / "exp/train_train_vqvae_smoke/model.loss.best"
-    conf = root / "conf/train_vqvae_smoke.yaml"
-    if not ckpt.exists() or not conf.exists():
-        pytest.skip("smoke exp fixture not present")
     from vae_npvc_tpu.infer.convert import Converter
 
-    config = yaml.safe_load(conf.read_text())
+    config = toy_config()
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(2, 32, 10)).astype(np.float32)
+    spks = np.array([0, 1], np.int32)
+
+    tr = Trainer(config)
+    tr.init_state((feats, spks))
+    for _ in range(2):
+        tr.train_step((feats, spks))
+    new_ckpt = tmp_path / "model.loss.best"
+    tr.save_checkpoint(str(new_ckpt))
+
+    # forge the round-2 layout
+    payload = serialization.msgpack_restore(new_ckpt.read_bytes())
+    old = dict(payload)
+    old["model"] = _downgrade(payload["model"])
+    del old["wn_axis_format"]
+    old_ckpt = tmp_path / "model.loss.best.old"
+    old_ckpt.write_bytes(serialization.msgpack_serialize(old))
+
     cv = Converter(config)
-    cv.load_checkpoint(str(ckpt))
-    payload = serialization.msgpack_restore(ckpt.read_bytes())
-    model, changed = maybe_migrate_model(
-        payload, serialization.to_state_dict(
-            {k: v for k, v in cv.variables["params"].items()}))
-    assert changed   # old-format fixture really exercised the migration
+    cv.load_checkpoint(str(old_ckpt))
+    model_tree, changed = maybe_migrate_model(
+        old, serialization.to_state_dict(
+            jax.device_get(cv.variables["params"])))
+    assert changed   # the forged layout really exercised the migration
+
+    # and inference through the migrated params matches the native load
+    cv_new = Converter(config)
+    cv_new.load_checkpoint(str(new_ckpt))
+    lens = np.array([32, 32], np.int32)
+    out_old = cv._infer_with_fallback(feats, spks, lens)
+    out_new = cv_new._infer_with_fallback(feats, spks, lens)
+    np.testing.assert_allclose(np.asarray(out_old), np.asarray(out_new),
+                               rtol=1e-5, atol=1e-5)

@@ -320,6 +320,9 @@ def main():
     names = args.families.split(",") if args.families else list(fams)
     rows = []
     from vae_npvc_tpu.ops import groupnorm_pallas as gnp
+    unknown = [n for n in names if n not in fams]
+    if unknown:
+        ap.error(f"unknown families {unknown}; available: {list(fams)}")
     for n in names:
         config, make_batch = fams[n]
         print(f"== {n}", flush=True)
@@ -330,6 +333,11 @@ def main():
             rows.append(bench(n, config, make_batch, steps=args.steps,
                               scan_k=args.scan_k, dev_res_k=args.dev_res_k,
                               accum_k=args.accum_k))
+        except Exception as e:  # noqa: BLE001 — one family must not kill
+            import traceback     # the whole sweep (measurement tool, and
+            traceback.print_exc()  # chip time is scarce behind the tunnel)
+            rows.append({"family": n,
+                         "error": f"{type(e).__name__}: {e}"[:500]})
         finally:
             gnp.set_enabled(True)
     if args.out:

@@ -99,15 +99,26 @@ def num_frames(n_samples, n_shift):
     return 1 + n_samples // n_shift
 
 
-def stft_magnitude(x, n_fft, n_shift, win_length=None, window="hann"):
-    """|STFT| of (B, N) → (B, T, n_fft//2+1), centered, reflect-padded."""
+def stft_magnitude(x, n_fft, n_shift, win_length=None, window="hann",
+                   center=True):
+    """|STFT| of (B, N) → (B, T, n_fft//2+1), centered, reflect-padded.
+
+    ``center=False`` skips the reflect padding and frames the raw signal
+    (frame t = x[t·shift : t·shift + n_fft], T = 1 + (N − n_fft)//shift):
+    the streaming front-end (serve/streaming.py) manages padding itself so
+    interior frames are bit-identical to the offline centered transform.
+    """
     import jax.numpy as jnp
 
     win_length = win_length or n_fft
     B, N = x.shape
-    pad = n_fft // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    T = num_frames(N, n_shift)
+    if center:
+        pad = n_fft // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+        T = num_frames(N, n_shift)
+    else:
+        xp = x
+        T = 1 + (N - n_fft) // n_shift
     starts = jnp.arange(T) * n_shift
     idx = starts[:, None] + jnp.arange(n_fft)[None, :]
     frames = xp[:, idx]                       # (B, T, n_fft) gather
@@ -125,11 +136,12 @@ def stft_magnitude(x, n_fft, n_shift, win_length=None, window="hann"):
 
 
 def logmelspectrogram(x, *, fs, n_fft, n_shift, n_mels=80, fmin=None,
-                      fmax=None, win_length=None, window="hann"):
+                      fmax=None, win_length=None, window="hann",
+                      center=True):
     """(B, N) waveform → (B, T, n_mels) log10-mel, ESPnet-compatible."""
     import jax.numpy as jnp
 
-    spc = stft_magnitude(x, n_fft, n_shift, win_length, window)
+    spc = stft_magnitude(x, n_fft, n_shift, win_length, window, center)
     mel = mel_filterbank(fs, n_fft, n_mels, fmin or 0.0, fmax)
     out = jnp.einsum("btf,mf->btm", spc, jnp.asarray(mel))
     return jnp.log10(jnp.maximum(EPS, out))

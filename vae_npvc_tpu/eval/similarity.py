@@ -115,7 +115,9 @@ def load_embedder(path):
                       int(meta["width"]), meta.get("arch", "tdnn"))
     template = model.init(jax.random.PRNGKey(0),
                           jnp.zeros((1, 8, int(meta["feat_dim"]))))["params"]
-    params = serialization.from_state_dict(template, payload["params"])
+    # device-put once: numpy leaves re-upload on every jitted call
+    params = jax.device_put(
+        serialization.from_state_dict(template, payload["params"]))
     return model, params, meta
 
 

@@ -165,7 +165,11 @@ class Converter:
             payload, serialization.to_state_dict(template))
         params = serialization.from_state_dict(template, model_tree)
         ema = serialization.from_state_dict(variables, payload.get("ema", {}))
-        self.variables = {"params": params, **ema}
+        # commit the restored leaves (host numpy after msgpack_restore) to
+        # the device ONCE: numpy leaves would otherwise be re-uploaded on
+        # every jitted call — measured at ~4.4 s/request for the flagship
+        # over the tunneled TPU (SERVE_BENCH none vs bundle, round 3)
+        self.variables = jax.device_put({"params": params, **ema})
         return payload.get("iteration", 0)
 
     def _feat_dim_guess(self):

@@ -49,9 +49,18 @@ def compiled_ok():
         if not available():
             return False   # don't latch: a later TPU backend may probe
         try:
-            q = jnp.zeros((1, 1, 128, 64), jnp.bfloat16)
-            out = fused_attention(q, q, q, None, tile_q=128)
-            jax.block_until_ready(out)
+            # B>1 + lengths + nq>1 query tiles + the custom-VJP backward:
+            # Mosaic failures can be shape- or pass-specific (the original
+            # (1,1) SMEM block spec compiled at B=1 but violated the TPU
+            # block-shape rule at B=4), so the probe must cover the real
+            # call pattern, not just the cheapest one
+            q = jnp.zeros((4, 2, 256, 64), jnp.bfloat16)
+            lens = jnp.array([256, 100, 17, 1], jnp.int32)
+            out = fused_attention(q, q, q, lens, tile_q=128)
+            gq = jax.grad(lambda a: jnp.sum(
+                fused_attention(a, a, a, lens, tile_q=128)
+                .astype(jnp.float32)))(q)
+            jax.block_until_ready((out, gq))
             _PROBE_OK = True
         except Exception as e:  # noqa: BLE001 — any compile/runtime failure
             import logging
@@ -74,7 +83,9 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     kid = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(kid < len_ref[0, 0], s, NEG_INF)       # key-padding mask
+    # len_ref holds the FULL (BH, 1) array (a (1,1) SMEM block fails the
+    # TPU block-shape rule once BH > 1); index this grid step's row
+    s = jnp.where(kid < len_ref[pl.program_id(0), 0], s, NEG_INF)
 
     m = jnp.max(s, axis=-1, keepdims=True)               # (TQ, 1)
     m = jnp.maximum(m, NEG_INF / 2)                      # all-masked guard
@@ -84,7 +95,7 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale,
                             preferred_element_type=jnp.float32)
     o_ref[0] = (o / jnp.maximum(denom, 1e-30)).astype(o_ref.dtype)
     lse = m + jnp.log(jnp.maximum(denom, 1e-30))         # (TQ, 1)
-    l_ref[...] = lse.reshape(1, tile_q)
+    l_ref[0] = lse.reshape(1, tile_q)
 
 
 def _fwd(q, k, v, lengths, scale, tile_q, interpret):
@@ -113,7 +124,7 @@ def _fwd(q, k, v, lengths, scale, tile_q, interpret):
         kernel,
         grid=(BH, nq),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, i: (b, 0),
+            pl.BlockSpec((BH, 1), lambda b, i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tile_q, dp), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -125,12 +136,16 @@ def _fwd(q, k, v, lengths, scale, tile_q, interpret):
         out_specs=[
             pl.BlockSpec((1, tile_q, dp), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_q), lambda b, i: (b, i),
+            # lse is (BH, 1, Tp) not (BH, Tp): a (1, tile_q) block over a
+            # (BH, Tp) array violates the TPU block-shape rule (second-to-
+            # last block dim must be sublane-aligned or equal the array
+            # dim) once BH > 1
+            pl.BlockSpec((1, 1, tile_q), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Tp, dp), q.dtype),
-            jax.ShapeDtypeStruct((BH, Tp), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 1, Tp), jnp.float32),
         ],
         interpret=interpret,
     )(lens_bh, qp, kp, vp)
@@ -156,12 +171,12 @@ def _bwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, do_ref, l_ref,
     v = v_ref[0].astype(jnp.float32)
     o = o_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = l_ref[0]                                       # (TQ,)
+    lse = l_ref[0, 0]                                    # (TQ,)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     kid = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(kid < len_ref[0, 0], s, NEG_INF)
+    s = jnp.where(kid < len_ref[pl.program_id(0), 0], s, NEG_INF)
     p = jnp.exp(s - lse[:, None])                        # normalized probs
 
     dv_acc[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
@@ -204,10 +219,10 @@ def _bwd(scale, tile_q, interpret, shapes, res, g):
         kernel,
         grid=(BH, nq),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, i: (b, 0),
+            pl.BlockSpec((BH, 1), lambda b, i: (0, 0),
                          memory_space=pltpu.SMEM),
             blk_q, blk_kv, blk_kv, blk_q, blk_q,
-            pl.BlockSpec((1, tile_q), lambda b, i: (b, i),
+            pl.BlockSpec((1, 1, tile_q), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[blk_q, blk_kv, blk_kv],

@@ -88,11 +88,18 @@ def compiled_ok():
         if not available():
             return False   # don't latch: a later TPU backend may probe
         try:
-            x = jnp.zeros((1, 16, 256), jnp.bfloat16)
+            # B=2: block-vs-array inequality must be exercised — several
+            # TPU block-shape violations only manifest once B > 1
+            x = jnp.zeros((2, 16, 256), jnp.bfloat16)
             s = jnp.ones((256,), jnp.float32)
             b = jnp.zeros((256,), jnp.float32)
             out = fused_group_norm(x, s, b, 2, glu=True)
-            jax.block_until_ready(out)
+            # cover the custom-VJP backward too: a bwd-only Mosaic failure
+            # would otherwise surface mid-training, after the gate passed
+            gx = jax.grad(lambda a: jnp.sum(
+                fused_group_norm(a, s, b, 2, glu=True)
+                .astype(jnp.float32)))(x)
+            jax.block_until_ready((out, gx))
             _PROBE_OK = True
         except Exception as e:  # noqa: BLE001 — any compile/runtime failure
             import logging
@@ -130,9 +137,16 @@ def _fwd_kernel(x_ref, s_ref, b_ref, o_ref, *, G, eps, glu):
     # compute dtype, then applies tanh⊙sigmoid in that dtype
     y = y.astype(o_ref.dtype)
     if glu:
+        # transcendentals on the compute-dtype-rounded y, evaluated in fp32
+        # and rounded back — matches XLA's bf16 tanh/sigmoid (upcast, eval,
+        # truncate) and keeps Mosaic happy: tanh/sigmoid on a bf16 vector
+        # lowers an f32 scalar constant broadcast into a bf16 vector, which
+        # fails Mosaic verification on real TPUs (vector.broadcast element
+        # type mismatch; seen on v5e, jax 0.8 — interpret mode hides it)
         H = y.shape[1] // 2
-        o_ref[0] = (jnp.tanh(y[:, :H]) *
-                    jax.nn.sigmoid(y[:, H:])).astype(o_ref.dtype)
+        ta = jnp.tanh(y[:, :H].astype(jnp.float32)).astype(o_ref.dtype)
+        sb = jax.nn.sigmoid(y[:, H:].astype(jnp.float32)).astype(o_ref.dtype)
+        o_ref[0] = (ta * sb).astype(o_ref.dtype)
     else:
         o_ref[0] = y
 
@@ -154,8 +168,8 @@ def _bwd_kernel(x_ref, s_ref, b_ref, g_ref, dx_ref, dg_ref, db_ref,
              go * ta * sb * (1.0 - sb)], axis=1)          # (T, C)
     else:
         dy = g_ref[0].astype(jnp.float32)
-    dg_ref[...] = jnp.sum(dy * xn, axis=0, keepdims=True)  # per-b partials
-    db_ref[...] = jnp.sum(dy, axis=0, keepdims=True)
+    dg_ref[0] = jnp.sum(dy * xn, axis=0, keepdims=True)   # per-b partials
+    db_ref[0] = jnp.sum(dy, axis=0, keepdims=True)
     dxn = dy * s_ref[...]
     parts = []
     for g in range(G):
@@ -218,19 +232,24 @@ def _call_bwd(x, scale, bias, g, G, eps, glu, interpret):
         out_specs=[
             pl.BlockSpec((1, T, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            # (B, 1, C) not (B, C): a (1, C) block over a (B, C) array
+            # violates the TPU block-shape rule (second-to-last block dim
+            # must be sublane-aligned or equal the array dim) once B > 1
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, T, C), x.dtype),
-            jax.ShapeDtypeStruct((B, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
         ],
         interpret=interpret,
     )(x, s2, b2, g)
-    # param grads are fp32 (B, C) per-row partials; the (tiny) cross-batch
-    # sum runs as a stock XLA reduce
-    return dx, jnp.sum(dgp, axis=0), jnp.sum(dbp, axis=0)
+    # param grads are fp32 (B, 1, C) per-row partials; the (tiny)
+    # cross-batch sum runs as a stock XLA reduce
+    return dx, jnp.sum(dgp, axis=(0, 1)), jnp.sum(dbp, axis=(0, 1))
 
 
 # ------------------------------------------------------------------ API

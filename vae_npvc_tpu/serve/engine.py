@@ -390,7 +390,9 @@ class _JPWG:
                             jnp.zeros((1, 64 * self.hop, 1), jnp.float32),
                             jnp.zeros((1, 64, int(n_mels)), jnp.float32)
                             )["params"]
-        self.params = serialization.from_state_dict(tpl, payload["generator"])
+        # device-put once: numpy leaves re-upload on every jitted call
+        self.params = jax.device_put(
+            serialization.from_state_dict(tpl, payload["generator"]))
         self.halo = jpwg_receptive_frames(config)
 
     def synthesize(self, mel, chunk_frames, seed):
