@@ -103,18 +103,22 @@ def test_gradient_parity_bf16_input():
 
 def test_wants_gating():
     ok = (4, 128, 1024)
-    assert gnp.wants(ok, 2, True)
-    assert gnp.wants(ok, 1, False)
-    assert not gnp.wants(ok, 1, True)          # GLU needs the 2-group layout
-    assert not gnp.wants((4, 100, 1024), 2, True)   # T not sublane-aligned
-    assert not gnp.wants((4, 128, 80), 1, False)    # lane-fragment groups
-    assert not gnp.wants((4, 2048, 1024), 2, True)  # over the VMEM budget
-    assert not gnp.wants((4, 128), 1, False)        # rank
-    gnp.set_enabled(False)
+    # default-off: the on-chip A/B measured the kernel slower than the stock
+    # XLA lowering (module docstring), so it must be opted into
+    assert not gnp.wants(ok, 2, True)
+    gnp.set_enabled(True)
     try:
+        assert gnp.wants(ok, 2, True)
+        assert gnp.wants(ok, 1, False)
+        assert not gnp.wants(ok, 1, True)      # GLU needs the 2-group layout
+        assert not gnp.wants((4, 100, 1024), 2, True)  # T not sublane-aligned
+        assert not gnp.wants((4, 128, 80), 1, False)   # lane-fragment groups
+        assert not gnp.wants((4, 2048, 1024), 2, True)  # over the VMEM budget
+        assert not gnp.wants((4, 128), 1, False)        # rank
+        gnp.set_enabled(False)
         assert not gnp.wants(ok, 2, True)
     finally:
-        gnp.set_enabled(True)
+        gnp.set_enabled(None)
 
 
 def test_sharded_batch_parity():

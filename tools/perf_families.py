@@ -153,10 +153,11 @@ def families():
         "token_tts_tacotron2": (tts_a, lambda: tts_batch(
             32, 128, 512, tts_a.get("mel_dim", 160), tts_a.get("y_num"),
             tts_a.get("token_num", 128))),
-        # same configs with the fused Pallas GroupNorm(+GLU) kernel disabled
-        # (ops/groupnorm_pallas.set_enabled) — the A/B rows for the norm fusion
-        "flat_gn_stock": (flat, lambda: mel_batch(128, 256, 80, 117)),
-        "vqvae2_gn_stock": (vq2, lambda: mel_batch(
+        # same configs with the (default-off) fused Pallas GroupNorm(+GLU)
+        # kernel forced ON (ops/groupnorm_pallas.set_enabled) — the A/B rows
+        # that measured it as a regression and set the default
+        "flat_gn_fused": (flat, lambda: mel_batch(128, 256, 80, 117)),
+        "vqvae2_gn_fused": (vq2, lambda: mel_batch(
             96, 256, 80, vq2.get("y_num", 117))),
     }
 
@@ -326,9 +327,10 @@ def main():
     for n in names:
         config, make_batch = fams[n]
         print(f"== {n}", flush=True)
-        # _gn_stock rows trace with the fused GroupNorm kernel disabled;
-        # the toggle must wrap bench() because tracing happens inside it
-        gnp.set_enabled(not n.endswith("_gn_stock"))
+        # _gn_fused rows trace with the (default-off) fused GroupNorm kernel
+        # forced on; the toggle must wrap bench() because tracing happens
+        # inside it
+        gnp.set_enabled(True if n.endswith("_gn_fused") else None)
         try:
             rows.append(bench(n, config, make_batch, steps=args.steps,
                               scan_k=args.scan_k, dev_res_k=args.dev_res_k,

@@ -20,9 +20,19 @@ torch ``GroupNorm`` + GLU of vae_npvc/model/layers.py:181-249
 Residual).
 
 Callers gate on :func:`wants` (static shape/VMEM checks) and
-:func:`compiled_ok` (one-time compile probe) like ops/attention_pallas.py;
-``VAE_NPVC_FUSED_GN=0`` (or :func:`set_enabled`) disables the kernel for
-A/B measurement.
+:func:`compiled_ok` (one-time compile probe) like ops/attention_pallas.py.
+
+**Default OFF.** The on-chip A/B (tools/perf_families.py ``*_gn_fused``
+rows, v5e 2026-08-19) measured the kernel as a clear REGRESSION at the
+shipped training shapes: flat 60.7 ms/step fused vs 49.0 stock, flagship
+vqvae2 77.8 vs 57.6. XLA already keeps the GN stats + GLU epilogue inside
+its conv fusions well enough that pulling them into a standalone Pallas
+dispatch *adds* HBM round-trips at the kernel boundaries (the conv output
+must be materialized for the kernel instead of flowing through a fused
+epilogue) — the opposite of the ablation's prediction. The kernel is kept
+for study behind ``VAE_NPVC_FUSED_GN=1`` (or :func:`set_enabled`); the
+fused *attention* kernel (ops/attention_pallas.py), whose A/B is a win,
+stays default-on.
 """
 
 from __future__ import annotations
@@ -42,22 +52,25 @@ from .pallas_common import available
 # vqvae2 (256, 1024) = 2^18.
 _MAX_BLOCK_ELEMS = 1 << 18
 
-_FORCE_DISABLED = False
+_FORCE = None   # tri-state override: True/False force, None = env default
 _PROBE_OK = None
 
 
-def set_enabled(flag: bool):
+def set_enabled(flag):
     """Process-wide override for A/B tooling (tools/perf_families.py);
-    takes effect at the next trace."""
-    global _FORCE_DISABLED
-    _FORCE_DISABLED = not flag
+    True forces the kernel on, False off, None restores the env default.
+    Takes effect at the next trace."""
+    global _FORCE
+    _FORCE = flag
 
 
 def enabled():
-    if _FORCE_DISABLED:
-        return False
-    return os.environ.get("VAE_NPVC_FUSED_GN", "auto").lower() not in (
-        "0", "never", "off", "false")
+    if _FORCE is not None:
+        return _FORCE
+    # measured slower than the stock XLA lowering on-chip (module docstring)
+    # ⇒ opt-in only
+    return os.environ.get("VAE_NPVC_FUSED_GN", "0").lower() in (
+        "1", "on", "always", "true", "yes")
 
 
 def wants(shape, num_groups: int, glu: bool) -> bool:
