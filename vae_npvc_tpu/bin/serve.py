@@ -16,6 +16,15 @@ Endpoints
 ``POST /convert?target=NAME``        body = WAV file → converted WAV
 ``POST /convert?target=NAME&mel=1``  → float32 mel matrix (``.npy`` bytes),
                                      the mel-level API for external vocoders
+``POST /stream?target=NAME&sr=RATE`` body = raw mono PCM (``format=i16``
+                                     default, or ``f32``), sent with
+                                     ``Transfer-Encoding: chunked`` or a
+                                     plain Content-Length → chunked
+                                     streaming-WAV response: mel frames are
+                                     extracted while audio arrives and
+                                     (with the jpwg vocoder) audio chunks
+                                     leave as synthesized
+                                     (serve/streaming.py)
 
 Example::
 
@@ -71,6 +80,46 @@ def _read_wav_bytes(body):
     if data.ndim > 1:                     # downmix multi-channel
         data = data.mean(axis=1)
     return data, int(sr)
+
+
+def _streaming_wav_header(fs):
+    """RIFF/WAVE header with unknown-length placeholder sizes (0xFFFFFFFF),
+    the standard convention for live-stream WAV (receivers read until the
+    connection closes)."""
+    import struct
+
+    return (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, int(fs), int(fs) * 2, 2, 16)
+            + b"data" + struct.pack("<I", 0xFFFFFFFF))
+
+
+def _iter_body(handler, chunk_bytes=1 << 15):
+    """Yield request-body byte chunks: chunked transfer-encoding framing
+    when present (BaseHTTPRequestHandler does not decode it), else
+    Content-Length slices."""
+    if handler.headers.get("Transfer-Encoding", "").lower() == "chunked":
+        while True:
+            size_line = handler.rfile.readline(64).strip()
+            size = int(size_line.split(b";")[0], 16)
+            if size == 0:
+                handler.rfile.readline(8)          # trailing CRLF
+                return
+            remaining = size
+            while remaining:
+                piece = handler.rfile.read(min(remaining, chunk_bytes))
+                if not piece:
+                    raise ConnectionError("truncated chunked body")
+                remaining -= len(piece)
+                yield piece
+            handler.rfile.readline(8)              # chunk CRLF
+    else:
+        length = int(handler.headers.get("Content-Length", 0))
+        while length > 0:
+            piece = handler.rfile.read(min(length, chunk_bytes))
+            if not piece:
+                raise ConnectionError("truncated body")
+            length -= len(piece)
+            yield piece
 
 
 def make_handler(engine):
@@ -131,6 +180,8 @@ def make_handler(engine):
 
         def do_POST(self):
             url = urlparse(self.path)
+            if url.path == "/stream":
+                return self._do_stream(url)
             if url.path != "/convert":
                 return self._error(404, f"no route {url.path}")
             q = parse_qs(url.query)
@@ -161,6 +212,78 @@ def make_handler(engine):
                 self._send(200, buf.getvalue(), "application/octet-stream")
             else:
                 self._send(200, _wav_bytes(out, fs), "audio/wav")
+
+        # ------------------------------------------------- streaming route
+        def _write_chunk(self, data):
+            if data:
+                self.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
+
+        def _do_stream(self, url):
+            from ..serve.streaming import StreamingSession
+
+            q = parse_qs(url.query)
+            target = q.get("target", [None])[0]
+            sr = q.get("sr", [None])[0]
+            fmt = q.get("format", ["i16"])[0]
+            if target is None or sr is None:
+                return self._error(400, "need ?target= and ?sr=")
+            if fmt not in ("i16", "f32"):
+                return self._error(400, f"unknown format {fmt!r}")
+            dtype, width, scale = (
+                (np.int16, 2, 1 / 32768.0) if fmt == "i16"
+                else (np.float32, 4, 1.0))
+            try:
+                session = StreamingSession(engine, target, int(sr))
+            except KeyError as e:
+                return self._error(400, str(e))
+            t0 = time.monotonic()
+            try:
+                carry = b""                # chunk edges can split a sample
+                for piece in _iter_body(self):
+                    buf = carry + piece
+                    cut = len(buf) - len(buf) % width
+                    carry = buf[cut:]
+                    if cut:
+                        session.feed(np.frombuffer(buf[:cut], dtype)
+                                     .astype(np.float32) * scale)
+            except Exception as e:  # noqa: BLE001 — report, keep serving
+                logger.exception("stream ingest failed")
+                return self._error(400, f"{type(e).__name__}: {e}")
+            if engine.vocoder == "none":
+                # mel-only engine: nothing to stream out — finish and ship
+                # the float32 mel matrix as .npy bytes (the /convert?mel=1
+                # contract)
+                try:
+                    (_at, mel), = session.finish()
+                except Exception as e:  # noqa: BLE001
+                    logger.exception("stream convert failed")
+                    return self._error(500, f"{type(e).__name__}: {e}")
+                buf = io.BytesIO()
+                np.save(buf, mel.astype(np.float32))
+                return self._send(200, buf.getvalue(),
+                                  "application/octet-stream")
+            # chunked streaming response: audio leaves as synthesized; any
+            # failure past this point can only abort the connection (the 200
+            # status line is already on the wire)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            try:
+                self._write_chunk(_streaming_wav_header(engine.fs))
+                n_out = 0
+                for _at, wav in session.finish():
+                    pcm = np.clip(wav, -1.0, 1.0)
+                    self._write_chunk((pcm * 32767.0).astype("<i2")
+                                      .tobytes())
+                    n_out += wav.size
+                self.wfile.write(b"0\r\n\r\n")
+            except Exception:  # noqa: BLE001 — mid-stream: abort connection
+                logger.exception("stream emit failed")
+                self.close_connection = True
+                return
+            logger.info("stream target=%s out=%.2fs %.0fms", target,
+                        n_out / engine.fs, (time.monotonic() - t0) * 1e3)
 
     return Handler
 

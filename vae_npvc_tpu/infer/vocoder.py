@@ -150,6 +150,48 @@ def _chunk_apply_jit(gen):
 _CHUNK_JIT_CACHE: dict = {}
 
 
+def jpwg_synthesize_stream(gen, params, mel, z, *, chunk_frames: int,
+                           halo_frames: int, hop: int,
+                           stop_frame: int | None = None):
+    """Chunked synthesis as a GENERATOR: yields ``(a*hop, wav_chunk)`` pairs
+    in order, each ``chunk_frames·hop`` samples (last possibly shorter).
+
+    Identical computation to :func:`jpwg_synthesize_chunked` (which is
+    implemented on top of this); the generator form lets a streaming server
+    ship audio to the client as each chunk comes off the device instead of
+    after full synthesis (serve/streaming.py). ``stop_frame`` truncates the
+    sweep: frames ≥ stop_frame are never synthesized (the serving path's
+    bucket canvas is log-silence past the true length — skipping it saves
+    device work without touching kept samples, the halo still sees the
+    canvas context it needs).
+    """
+    import jax.numpy as jnp
+
+    T = mel.shape[0]
+    T_stop = T if stop_frame is None else min(int(stop_frame), T)
+    step = chunk_frames
+    padded = chunk_frames + 2 * halo_frames
+    apply_jit = _chunk_apply_jit(gen)
+    if T <= padded:
+        # shorter than one padded window: single full-length pass
+        wav = np.asarray(apply_jit(params, jnp.asarray(z[None]),
+                                   jnp.asarray(mel[None])))[0, :, 0]
+        yield 0, wav[:T_stop * hop]
+        return
+    for a in range(0, T_stop, step):
+        b = min(a + step, T_stop)
+        # the window is clamped INSIDE the utterance so every buffer edge is
+        # either >= halo away from the kept region or coincides with a TRUE
+        # utterance boundary (zeros appended past a fake interior edge would
+        # propagate bias through the conv stack and leak into kept samples)
+        lo = min(max(a - halo_frames, 0), T - padded)
+        hi = lo + padded
+        wav = np.asarray(apply_jit(
+            params, jnp.asarray(z[None, lo * hop:hi * hop]),
+            jnp.asarray(mel[None, lo:hi])))[0, :, 0]
+        yield a * hop, wav[(a - lo) * hop:(b - lo) * hop]
+
+
 def jpwg_synthesize_chunked(gen, params, mel, z, *, chunk_frames: int,
                             halo_frames: int, hop: int):
     """Long-utterance synthesis in fixed-size chunks with halo overlap.
@@ -161,30 +203,12 @@ def jpwg_synthesize_chunked(gen, params, mel, z, *, chunk_frames: int,
     ``z`` is the FULL-length noise — each chunk sees its true slice, so
     chunk boundaries are seamless. Bounded memory, one compiled shape.
     """
-    import jax
-    import jax.numpy as jnp
-
     T = mel.shape[0]
-    step = chunk_frames
-    padded = chunk_frames + 2 * halo_frames
-    apply_jit = _chunk_apply_jit(gen)
-    if T <= padded:
-        # shorter than one padded window: single full-length pass
-        return np.asarray(apply_jit(params, jnp.asarray(z[None]),
-                                    jnp.asarray(mel[None])))[0, :, 0]
     out = np.zeros((T * hop,), np.float32)
-    for a in range(0, T, step):
-        b = min(a + step, T)
-        # the window is clamped INSIDE the utterance so every buffer edge is
-        # either >= halo away from the kept region or coincides with a TRUE
-        # utterance boundary (zeros appended past a fake interior edge would
-        # propagate bias through the conv stack and leak into kept samples)
-        lo = min(max(a - halo_frames, 0), T - padded)
-        hi = lo + padded
-        wav = np.asarray(apply_jit(
-            params, jnp.asarray(z[None, lo * hop:hi * hop]),
-            jnp.asarray(mel[None, lo:hi])))[0, :, 0]
-        out[a * hop:b * hop] = wav[(a - lo) * hop:(b - lo) * hop]
+    for at, wav in jpwg_synthesize_stream(
+            gen, params, mel, z, chunk_frames=chunk_frames,
+            halo_frames=halo_frames, hop=hop):
+        out[at:at + wav.size] = wav
     return out
 
 

@@ -11,5 +11,6 @@ into batched device calls, and a dependency-free threaded HTTP server
 """
 
 from .engine import ConversionEngine, DEFAULT_FEATURE
+from .streaming import StreamingSession
 
-__all__ = ["ConversionEngine", "DEFAULT_FEATURE"]
+__all__ = ["ConversionEngine", "DEFAULT_FEATURE", "StreamingSession"]

@@ -266,6 +266,28 @@ class ConversionEngine:
             self._jits["gl"] = fn
         return fn
 
+    def _pick_pad(self, T_true):
+        """Padded frame count for a request of ``T_true`` frames."""
+        if self.bundle is not None:
+            # the exported bucket list IS the shape set — pre-rounding to
+            # bucket_frames multiples could overshoot the largest artifact
+            return self.bundle.pick_bucket(max(T_true, self._min_frames))
+        return _bucket(max(T_true, self._min_frames), self.bucket_frames)
+
+    def _infer_mel(self, feats, T_true, tgt):
+        """CMVN-domain padded feats (T_pad, M) → converted log-mel
+        (≤T_true, M) through the coalescing batcher + reverse CMVN."""
+        out = self.batcher.submit(feats, T_true, tgt).result()
+        T_out = min(T_true, out.shape[0])
+        return cmvn_mod.apply(out[:T_out], self.stats, reverse=True)
+
+    def _count_request(self, t0):
+        with self._stats_lock:
+            self.n_requests += 1
+            self.latency_ms.append((time.monotonic() - t0) * 1e3)
+            if len(self.latency_ms) > 1024:
+                del self.latency_ms[:512]
+
     # ------------------------------------------------------------ pipeline
     def convert(self, wav, sr, target, *, return_mel=False):
         """Convert a waveform to ``target``'s voice.
@@ -282,13 +304,7 @@ class ConversionEngine:
         if x.size == 0:
             raise ValueError("empty waveform")
         T_true = features.num_frames(x.size, self.n_shift)
-        if self.bundle is not None:
-            # the exported bucket list IS the shape set — pre-rounding to
-            # bucket_frames multiples could overshoot the largest artifact
-            T_pad = self.bundle.pick_bucket(max(T_true, self._min_frames))
-        else:
-            T_pad = _bucket(max(T_true, self._min_frames),
-                            self.bucket_frames)
+        T_pad = self._pick_pad(T_true)
         # largest sample count yielding exactly T_pad frames (1 + n//shift),
         # so any true length T_true ≤ T_pad fits without truncation
         n_pad = T_pad * self.n_shift - 1
@@ -298,19 +314,13 @@ class ConversionEngine:
 
         feats = np.zeros_like(mel)
         feats[:T_true] = cmvn_mod.apply(mel[:T_true], self.stats)
-        out = self.batcher.submit(feats, T_true, tgt).result()
-        T_out = min(T_true, out.shape[0])
-        mel_out = cmvn_mod.apply(out[:T_out], self.stats, reverse=True)
+        mel_out = self._infer_mel(feats, T_true, tgt)
 
         if return_mel or self.vocoder == "none":
             result = mel_out.astype(np.float32)
         else:
             result = self._vocode(mel_out, T_pad)
-        with self._stats_lock:
-            self.n_requests += 1
-            self.latency_ms.append((time.monotonic() - t0) * 1e3)
-            if len(self.latency_ms) > 1024:
-                del self.latency_ms[:512]
+        self._count_request(t0)
         return result, self.fs
 
     def _vocode(self, mel_out, T_pad):
