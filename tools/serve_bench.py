@@ -28,6 +28,38 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def _fresh_pwg(tmp, tiny):
+    """Fresh-init native-vocoder checkpoint (latency doesn't depend on
+    training quality). Flagship arch = the published PWG (conf analog of
+    egs/vcc20/vae1/conf/train_jpwg.yaml, hop 256 matching the front-end)."""
+    from vae_npvc_tpu.train.pwg import PwgTrainer
+
+    if tiny:
+        cfg = {"fs": 8000, "n_fft": 64, "n_shift": 32, "n_mels": 10,
+               "layers": 4, "stacks": 2, "residual_channels": 8,
+               "gate_channels": 16, "skip_channels": 8,
+               "upsample_scales": [4, 8], "disc_layers": 3,
+               "disc_channels": 8, "discriminator_train_start_steps": 0,
+               "stft_loss_params": [[64, 16, 32]], "seed": 0}
+    else:
+        cfg = {"fs": 24000, "n_fft": 1024, "n_shift": 256, "n_mels": 80,
+               "layers": 30, "stacks": 3, "residual_channels": 64,
+               "gate_channels": 128, "skip_channels": 64,
+               "upsample_scales": [4, 4, 4, 4], "disc_layers": 10,
+               "disc_channels": 64, "discriminator_train_start_steps": 0,
+               "stft_loss_params": [[1024, 120, 600]], "seed": 0}
+    rng = np.random.default_rng(3)
+    hop = int(np.prod(cfg["upsample_scales"]))
+    pwg = PwgTrainer(cfg)
+    pwg.init_state((rng.normal(size=(2, 16 * hop)).astype(np.float32),
+                    rng.normal(size=(2, 16, cfg["n_mels"])).astype(
+                        np.float32)))
+    ck = tmp / "jpwg.ckpt"
+    pwg.save_checkpoint(ck)
+    del pwg
+    return cfg, ck
+
+
 def build_engine(vocoder, window_ms, tiny=False, bundle=False):
     from __graft_entry__ import _flagship_config
     from vae_npvc_tpu.serve import ConversionEngine
@@ -58,6 +90,10 @@ def build_engine(vocoder, window_ms, tiny=False, bundle=False):
     stats[0, :-1] = -3.0 * 1000
     stats[0, -1] = 1000
     stats[1, :-1] = (1.0 + 9.0) * 1000
+    voc_kw = {}
+    if vocoder == "jpwg":
+        voc_cfg, voc_ck = _fresh_pwg(tmp, tiny)
+        voc_kw = {"voc_config": voc_cfg, "voc_checkpoint": voc_ck}
     if bundle:
         # artifact-served leg: export the same checkpoint to a StableHLO
         # bundle and run model inference through it (the deployment mode)
@@ -73,10 +109,10 @@ def build_engine(vocoder, window_ms, tiny=False, bundle=False):
         return ConversionEngine(None, None, stats, bundle=bdir,
                                 vocoder=vocoder, feature=feature,
                                 batch_window_ms=window_ms,
-                                gl_iters=4 if tiny else 64)
+                                gl_iters=4 if tiny else 64, **voc_kw)
     return ConversionEngine(cfg, ck, stats, vocoder=vocoder,
                             feature=feature, batch_window_ms=window_ms,
-                            gl_iters=4 if tiny else 64)
+                            gl_iters=4 if tiny else 64, **voc_kw)
 
 
 def latency_leg(eng, seconds, n=20):
@@ -118,9 +154,51 @@ def concurrent_leg(eng, seconds=2.0, clients=8, per_client=8):
             "audio_s_per_wall_s": n * seconds / wall}
 
 
+def stream_leg(eng, seconds, n=10, out_chunk_frames=None):
+    """StreamingSession latency split: time-to-first-audio vs total.
+
+    The streaming win is TTFA — with the jpwg vocoder the first chunk
+    leaves after one vocoder dispatch instead of after full synthesis;
+    Griffin-Lim (global transform) has TTFA ≈ total by construction.
+    """
+    from vae_npvc_tpu.serve.streaming import StreamingSession
+
+    rng = np.random.default_rng(4)
+    wav = (rng.normal(size=(int(seconds * eng.fs),)) * 0.1
+           ).astype(np.float32)
+    feed_chunk = eng.fs // 10                     # 100 ms client chunks
+
+    def run():
+        t0 = time.perf_counter()
+        s = StreamingSession(eng, 0, eng.fs,
+                             out_chunk_frames=out_chunk_frames)
+        for a in range(0, wav.size, feed_chunk):
+            s.feed(wav[a:a + feed_chunk])
+        t_fed = time.perf_counter()
+        ttfa = total = None
+        n_chunks = 0
+        for _at, w in s.finish():
+            if ttfa is None:
+                ttfa = time.perf_counter() - t_fed
+            n_chunks += 1
+        total = time.perf_counter() - t_fed
+        return ttfa * 1e3, total * 1e3, n_chunks, (t_fed - t0) * 1e3
+
+    run()                                         # untimed compile pass
+    rows = [run() for _ in range(n)]
+    ttfa = np.asarray([r[0] for r in rows])
+    total = np.asarray([r[1] for r in rows])
+    return {"audio_s": seconds, "chunks": rows[0][2],
+            "feed_ms_p50": float(np.percentile([r[3] for r in rows], 50)),
+            "ttfa_ms_p50": float(np.percentile(ttfa, 50)),
+            "total_ms_p50": float(np.percentile(total, 50)),
+            "rtf_p50": float(np.percentile(total, 50) / 1e3 / seconds)}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--vocoder", default="gl", choices=("gl", "none"))
+    ap.add_argument("--vocoder", default="gl", choices=("gl", "none",
+                                                        "jpwg"))
     ap.add_argument("--window_ms", type=float, default=5.0)
     ap.add_argument("--out", default=None)
     ap.add_argument("--tiny", action="store_true",
@@ -128,6 +206,9 @@ def main():
     ap.add_argument("--bundle", action="store_true",
                     help="serve through an exported StableHLO bundle "
                          "instead of the live model")
+    ap.add_argument("--stream", action="store_true",
+                    help="add StreamingSession legs (TTFA vs total; the "
+                         "jpwg vocoder is the showcase)")
     args = ap.parse_args()
 
     import jax
@@ -146,6 +227,10 @@ def main():
             "sequential": [latency_leg(eng, 2.0, n), latency_leg(eng, 6.0, n)],
             "concurrent": concurrent_leg(eng, per_client=2 if args.tiny else 8),
         }
+        if args.stream:
+            sn = 3 if args.tiny else 10
+            res["stream"] = [stream_leg(eng, 2.0, sn),
+                             stream_leg(eng, 6.0, sn)]
     finally:
         eng.close()
     print(json.dumps(res, indent=2))
