@@ -243,6 +243,37 @@ def test_engine_bundle_backend_matches_converter_backend(toy_engine_parts,
         eng_art.close()
 
 
+def test_batcher_pads_batch_to_pow2(toy_engine_parts):
+    """Coalesced groups pad the batch axis to the next power of two (first
+    row repeated) so the live backend compiles at most log2(max_batch)+1
+    batch shapes per bucket — measured on-chip as a 13× concurrent-
+    throughput cliff otherwise. Results must stay per-request exact."""
+    eng = _engine(toy_engine_parts, max_batch=8, batch_window_ms=200.0)
+    try:
+        seen = []
+        inner = eng.batcher.runner
+
+        def spy(feats, tgts, lengths):
+            seen.append(feats.shape[0])
+            return inner(feats, tgts, lengths)
+
+        eng.batcher.runner = spy
+        rng = np.random.default_rng(4)
+        feats = [rng.normal(size=(32, 10)).astype(np.float32)
+                 for _ in range(3)]
+        # 3 submissions inside one window → one group of 3 → padded to 4
+        futs = [eng.batcher.submit(f, 32, i) for i, f in enumerate(feats)]
+        outs = [f.result() for f in futs]
+        assert seen == [4]
+        for i, (f, o) in enumerate(zip(feats, outs)):
+            solo = eng.batcher.submit(f, 32, i).result()
+            # B=4 vs B=1 executables: same math, float-level tiling noise
+            np.testing.assert_allclose(o, solo, rtol=1e-5, atol=1e-6)
+        assert seen[1:] == [1, 1, 1]          # singles stay batch-1
+    finally:
+        eng.close()
+
+
 def test_engine_requires_backend():
     with pytest.raises(ValueError, match="bundle"):
         ConversionEngine(None, None, np.zeros((2, 11)))

@@ -111,9 +111,21 @@ class _InferBatcher:
             if item is None:
                 return
             group = self._take_group(item)
-            feats = np.stack([g[0] for g in group])
-            lengths = np.asarray([g[1] for g in group], np.int32)
-            tgts = np.asarray([g[2] for g in group], np.int32)
+            B = len(group)
+            # pad the batch axis to the next power of two (first item
+            # repeated): the live backend's jitted infer specializes on
+            # (B, T) — without this every distinct coalesced group size
+            # compiles a fresh executable, measured as a 13× concurrent-
+            # throughput cliff vs the fixed-batch bundle backend on-chip
+            # (serve_bench 2026-08-19: 3.7 vs 48.6 rps). Row independence
+            # (per-utterance masked stats) makes pad rows inert.
+            B_pad = min(1 << (B - 1).bit_length(), self.max_batch)
+            pad = [group[0]] * (B_pad - B)
+            feats = np.stack([g[0] for g in group] + [p[0] for p in pad])
+            lengths = np.asarray([g[1] for g in group]
+                                 + [p[1] for p in pad], np.int32)
+            tgts = np.asarray([g[2] for g in group]
+                              + [p[2] for p in pad], np.int32)
             try:
                 out = self.runner(feats, tgts, lengths)
             except Exception as e:  # noqa: BLE001 — deliver to every waiter
@@ -121,7 +133,7 @@ class _InferBatcher:
                     g[3].set_exception(e)
                 continue
             self.calls += 1
-            self.items += len(group)
+            self.items += B
             for b, g in enumerate(group):
                 g[3].set_result(np.asarray(out[b]))
 
