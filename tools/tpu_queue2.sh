@@ -32,6 +32,10 @@ run 3600 python tools/serve_bench.py --vocoder jpwg --stream \
     --out "$OUT/serve_jpwg_stream.json"
 run 2400 python tools/serve_bench.py --vocoder gl --stream \
     --out "$OUT/serve_gl_stream.json"
+# 3b. live backend after the pow2 batch-padding fix (was 3.7 rps vs the
+#     bundle's 48.6 — per-group-size recompiles)
+run 2400 python tools/serve_bench.py --vocoder none \
+    --out "$OUT/serve_none_v2.json"
 # 4. headline bench under the restored default
 run 2400 python bench.py
 
