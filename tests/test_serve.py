@@ -274,6 +274,38 @@ def test_batcher_pads_batch_to_pow2(toy_engine_parts):
         eng.close()
 
 
+def test_engine_data_parallel_matches_single(toy_engine_parts):
+    """data_parallel=True shards coalesced infer batches over the 8-device
+    CPU mesh (batch padded to a device-count multiple); results match the
+    single-device engine, and bundles reject the flag."""
+    import jax
+
+    n_dev = len(jax.devices())
+    eng_dp = _engine(toy_engine_parts, data_parallel=True,
+                     max_batch=max(8, n_dev), batch_window_ms=300.0)
+    eng = _engine(toy_engine_parts)
+    try:
+        assert eng_dp.batcher.pad_multiple == n_dev
+        rng = np.random.default_rng(9)
+        wavs = [rng.normal(size=(700 + 60 * i,)).astype(np.float32) * 0.1
+                for i in range(3)]
+        eng_dp.warmup(1)
+        with ThreadPoolExecutor(3) as ex:
+            outs = list(ex.map(
+                lambda i: eng_dp.convert(wavs[i], 8000, i % 2,
+                                         return_mel=True)[0], range(3)))
+        for i, o in enumerate(outs):
+            ref, _ = eng.convert(wavs[i], 8000, i % 2, return_mel=True)
+            np.testing.assert_allclose(o, ref, rtol=1e-5, atol=1e-6)
+
+        with pytest.raises(ValueError, match="single-device"):
+            ConversionEngine(None, None, np.zeros((2, 11)),
+                             bundle="/nonexistent", data_parallel=True)
+    finally:
+        eng_dp.close()
+        eng.close()
+
+
 def test_engine_requires_backend():
     with pytest.raises(ValueError, match="bundle"):
         ConversionEngine(None, None, np.zeros((2, 11)))

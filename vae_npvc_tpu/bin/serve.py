@@ -325,6 +325,9 @@ def main(argv=None):
     p.add_argument("--bucket_frames", type=int, default=None)
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--batch_window_ms", type=float, default=5.0)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard coalesced model-infer batches over ALL "
+                        "local devices (GSPMD data mesh; live model only)")
     p.add_argument("--warmup_buckets", type=int, default=2,
                    help="bucket shapes to precompile before listening "
                         "(0 = lazy compile on first request)")
@@ -351,7 +354,8 @@ def main(argv=None):
         feature=feature, spk2spk_id=args.spk2spk_id, vocoder=args.vocoder,
         voc_config=args.voc_config, voc_checkpoint=args.voc_checkpoint,
         gl_iters=args.gl_iters, bucket_frames=args.bucket_frames,
-        max_batch=args.max_batch, batch_window_ms=args.batch_window_ms)
+        max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
+        data_parallel=args.data_parallel)
     if args.warmup_buckets:
         logger.info("warming up %d bucket shape(s)...", args.warmup_buckets)
         engine.warmup(args.warmup_buckets)

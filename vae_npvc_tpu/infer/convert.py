@@ -118,10 +118,18 @@ def encoder_archs(config):
 class Converter:
     """Builds the model once; compiles one infer fn per bucket shape."""
 
-    def __init__(self, config):
+    def __init__(self, config, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``'data'`` axis —
+        the batched ``infer`` executable is then GSPMD-sharded along the
+        batch dimension (params replicated), so one conversion call rides
+        every chip of a serving pod. Callers must submit batches divisible
+        by the mesh's data size (the serving engine's batcher pads to a
+        multiple, serve/engine.py); the offline CLI path stays
+        single-device. No reference counterpart (serving subsystem)."""
         import jax
 
         self.config = config
+        self.mesh = mesh
         self.model = build_model(config)
         self.bucket_size = config.get("decode_bucket_size", 256)
         self.batch_size = config.get("decode_batch_size", 8)
@@ -140,9 +148,20 @@ class Converter:
         # runs, tests/test_masked_inference.py incl. the hierarchical
         # families), so all models share the bucketed-padded batching path
         self.supports_lengths = True
-        self._infer_jit = jax.jit(
-            lambda v, x, y, lengths: self.model.apply(
-                v, x, y, lengths, method="infer"))
+        _infer = lambda v, x, y, lengths: self.model.apply(  # noqa: E731
+            v, x, y, lengths, method="infer")
+        if mesh is None:
+            self._infer_jit = jax.jit(_infer)
+            self._repl_sharding = None
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batch = NamedSharding(mesh, PartitionSpec("data"))
+            repl = NamedSharding(mesh, PartitionSpec())
+            self._infer_jit = jax.jit(
+                _infer, in_shardings=(repl, batch, batch, batch),
+                out_shardings=batch)
+            self._repl_sharding = repl
 
     def load_checkpoint(self, path):
         import jax
@@ -168,8 +187,10 @@ class Converter:
         # commit the restored leaves (host numpy after msgpack_restore) to
         # the device ONCE: numpy leaves would otherwise be re-uploaded on
         # every jitted call — measured at ~4.4 s/request for the flagship
-        # over the tunneled TPU (SERVE_BENCH none vs bundle, round 3)
-        self.variables = jax.device_put({"params": params, **ema})
+        # over the tunneled TPU (SERVE_BENCH none vs bundle, round 3).
+        # Under a serving mesh the steady state is the replicated layout.
+        self.variables = jax.device_put({"params": params, **ema},
+                                        self._repl_sharding)
         return payload.get("iteration", 0)
 
     def _feat_dim_guess(self):

@@ -59,9 +59,20 @@ class _InferBatcher:
     threads never contend for the accelerator.
     """
 
-    def __init__(self, runner, max_batch: int = 8, window_ms: float = 5.0):
+    def __init__(self, runner, max_batch: int = 8, window_ms: float = 5.0,
+                 pad_multiple: int = 1):
         self.runner = runner
         self.max_batch = int(max_batch)
+        # batch-axis padding floor (must be a power of two so the next-pow2
+        # rounding lands on multiples): a data-parallel serving mesh needs
+        # every submitted batch divisible by its device count
+        self.pad_multiple = int(pad_multiple)
+        if self.pad_multiple & (self.pad_multiple - 1):
+            raise ValueError(f"pad_multiple {pad_multiple} must be a "
+                             "power of two")
+        if self.max_batch % self.pad_multiple:
+            raise ValueError(f"max_batch {max_batch} not divisible by "
+                             f"pad_multiple {pad_multiple}")
         self.window_s = float(window_ms) / 1e3
         self._q: queue.Queue = queue.Queue()
         self.calls = 0                       # batched device calls
@@ -119,7 +130,8 @@ class _InferBatcher:
             # throughput cliff vs the fixed-batch bundle backend on-chip
             # (serve_bench 2026-08-19: 3.7 vs 48.6 rps). Row independence
             # (per-utterance masked stats) makes pad rows inert.
-            B_pad = min(1 << (B - 1).bit_length(), self.max_batch)
+            B_pad = min(max(1 << (B - 1).bit_length(), self.pad_multiple),
+                        self.max_batch)
             pad = [group[0]] * (B_pad - B)
             feats = np.stack([g[0] for g in group] + [p[0] for p in pad])
             lengths = np.asarray([g[1] for g in group]
@@ -173,13 +185,27 @@ class ConversionEngine:
                  feature=None, spk2spk_id=None, vocoder="gl",
                  voc_config=None, voc_checkpoint=None, gl_iters=64,
                  bucket_frames=None, max_batch=8, batch_window_ms=5.0,
-                 seed=0):
+                 seed=0, data_parallel=False):
         import yaml
 
         if config is not None and not isinstance(config, dict):
             config = yaml.safe_load(open(config))
         self.config = config or {}
         self.bundle = None
+        mesh = None
+        pad_multiple = 1
+        if data_parallel:
+            # shard every coalesced model-infer batch over ALL local devices
+            # (GSPMD 'data' mesh, params replicated — infer/convert.py
+            # Converter(mesh=...)): a serving pod converts one batch across
+            # its chips. Bundles are exported single-device artifacts.
+            if bundle is not None:
+                raise ValueError("data_parallel serves the live model; "
+                                 "bundles are single-device artifacts")
+            from ..parallel.mesh import data_mesh
+            mesh = data_mesh()
+            pad_multiple = int(mesh.shape["data"])
+            max_batch = max(int(max_batch), pad_multiple)
         if bundle is not None:
             # exported-artifact backend (infer/export_serving.ServingBundle):
             # model inference runs the serialized StableHLO buckets — no
@@ -196,7 +222,7 @@ class ConversionEngine:
                 raise ValueError(
                     "pass config + checkpoint, or bundle= (an exported "
                     "serving-bundle directory)")
-            self.converter = Converter(self.config)
+            self.converter = Converter(self.config, mesh=mesh)
             self.iteration = self.converter.load_checkpoint(checkpoint)
             self._min_frames = self.converter.min_frames
             _runner = self.converter._infer_with_fallback
@@ -228,7 +254,8 @@ class ConversionEngine:
         elif vocoder not in ("gl", "none"):
             raise ValueError(f"unknown vocoder {vocoder!r}")
         self.batcher = _InferBatcher(_runner, max_batch=max_batch,
-                                     window_ms=batch_window_ms)
+                                     window_ms=batch_window_ms,
+                                     pad_multiple=pad_multiple)
         self._jits = {}
         self._stats_lock = threading.Lock()
         self.n_requests = 0
