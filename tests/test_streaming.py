@@ -156,6 +156,33 @@ def test_streaming_jpwg_chunks_match_offline(toy_engine_parts, tmp_path):
         eng.close()
 
 
+def test_streaming_over_bundle_backend(toy_engine_parts, tmp_path):
+    """StreamingSession rides the bundle (StableHLO artifact) backend too:
+    session mel == the bundle engine's one-shot convert, bit for bit (same
+    backend on both sides; only the front-end framing differs)."""
+    from vae_npvc_tpu.infer.export_serving import export_bundle
+    from vae_npvc_tpu.serve import ConversionEngine
+
+    cfg, ck, stats = toy_engine_parts
+    export_bundle(cfg, ck, tmp_path / "bundle", buckets=[32, 64],
+                  batch_size=4, n_targets=1, platforms=("cpu",),
+                  spk2spk_id={"A": 0, "B": 1})
+    eng = ConversionEngine(None, None, stats, bundle=tmp_path / "bundle",
+                           feature=FEAT, vocoder="none", bucket_frames=32,
+                           batch_window_ms=30.0)
+    try:
+        rng = np.random.default_rng(13)
+        wav = (rng.normal(size=(1700,)) * 0.1).astype(np.float32)
+        want, _ = eng.convert(wav, 8000, "B", return_mel=True)
+        s = StreamingSession(eng, "B", 8000, block_frames=16)
+        for c in _ragged_chunks(wav, seed=3):
+            s.feed(c)
+        (_, mel), = list(s.finish())
+        np.testing.assert_array_equal(mel, want)
+    finally:
+        eng.close()
+
+
 def test_http_stream_route(toy_engine_parts):
     """POST /stream with chunked raw-PCM request → chunked WAV response
     whose PCM equals the /convert route's for the same audio."""
