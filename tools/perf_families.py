@@ -341,7 +341,7 @@ def main():
             rows.append({"family": n,
                          "error": f"{type(e).__name__}: {e}"[:500]})
         finally:
-            gnp.set_enabled(True)
+            gnp.set_enabled(None)     # restore the (stock) default
     if args.out:
         json.dump(rows, open(args.out, "w"), indent=2)
         print(f"wrote {args.out}")

@@ -218,6 +218,14 @@ def make_handler(engine):
             if data:
                 self.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
 
+        def _stream_error(self, code, msg):
+            # every /stream error path may leave request-body bytes unread
+            # (pre-body rejects and mid-ingest failures alike): a reused
+            # HTTP/1.1 connection would parse the leftover PCM as the next
+            # request line, so drop the connection after replying
+            self.close_connection = True
+            return self._error(code, msg)
+
         def _do_stream(self, url):
             from ..serve.streaming import StreamingSession
 
@@ -225,17 +233,22 @@ def make_handler(engine):
             target = q.get("target", [None])[0]
             sr = q.get("sr", [None])[0]
             fmt = q.get("format", ["i16"])[0]
+            try:
+                sr = int(sr) if sr is not None else None
+            except ValueError:
+                sr = None
             if target is None or sr is None:
-                return self._error(400, "need ?target= and ?sr=")
+                return self._stream_error(400, "need ?target= and "
+                                               "integer ?sr=")
             if fmt not in ("i16", "f32"):
-                return self._error(400, f"unknown format {fmt!r}")
+                return self._stream_error(400, f"unknown format {fmt!r}")
             dtype, width, scale = (
                 (np.int16, 2, 1 / 32768.0) if fmt == "i16"
                 else (np.float32, 4, 1.0))
             try:
-                session = StreamingSession(engine, target, int(sr))
+                session = StreamingSession(engine, target, sr)
             except KeyError as e:
-                return self._error(400, str(e))
+                return self._stream_error(400, str(e))
             t0 = time.monotonic()
             try:
                 carry = b""                # chunk edges can split a sample
@@ -248,7 +261,7 @@ def make_handler(engine):
                                      .astype(np.float32) * scale)
             except Exception as e:  # noqa: BLE001 — report, keep serving
                 logger.exception("stream ingest failed")
-                return self._error(400, f"{type(e).__name__}: {e}")
+                return self._stream_error(400, f"{type(e).__name__}: {e}")
             if engine.vocoder == "none":
                 # mel-only engine: nothing to stream out — finish and ship
                 # the float32 mel matrix as .npy bytes (the /convert?mel=1

@@ -63,13 +63,10 @@ class _InferBatcher:
                  pad_multiple: int = 1):
         self.runner = runner
         self.max_batch = int(max_batch)
-        # batch-axis padding floor (must be a power of two so the next-pow2
-        # rounding lands on multiples): a data-parallel serving mesh needs
-        # every submitted batch divisible by its device count
+        # batch-axis padding floor: a data-parallel serving mesh needs every
+        # submitted batch divisible by its device count (non-power-of-two
+        # counts work — pow2 rounding is followed by a multiple round-up)
         self.pad_multiple = int(pad_multiple)
-        if self.pad_multiple & (self.pad_multiple - 1):
-            raise ValueError(f"pad_multiple {pad_multiple} must be a "
-                             "power of two")
         if self.max_batch % self.pad_multiple:
             raise ValueError(f"max_batch {max_batch} not divisible by "
                              f"pad_multiple {pad_multiple}")
@@ -130,7 +127,8 @@ class _InferBatcher:
             # throughput cliff vs the fixed-batch bundle backend on-chip
             # (serve_bench 2026-08-19: 3.7 vs 48.6 rps). Row independence
             # (per-utterance masked stats) makes pad rows inert.
-            B_pad = min(max(1 << (B - 1).bit_length(), self.pad_multiple),
+            m = self.pad_multiple
+            B_pad = min(-(-(1 << (B - 1).bit_length()) // m) * m,
                         self.max_batch)
             pad = [group[0]] * (B_pad - B)
             feats = np.stack([g[0] for g in group] + [p[0] for p in pad])
@@ -205,7 +203,11 @@ class ConversionEngine:
             from ..parallel.mesh import data_mesh
             mesh = data_mesh()
             pad_multiple = int(mesh.shape["data"])
-            max_batch = max(int(max_batch), pad_multiple)
+            # round max_batch up to a submittable multiple (a 12-request
+            # cap on an 8-device mesh would otherwise fail the batcher's
+            # divisibility check at startup)
+            max_batch = -(-max(int(max_batch), pad_multiple)
+                          // pad_multiple) * pad_multiple
         if bundle is not None:
             # exported-artifact backend (infer/export_serving.ServingBundle):
             # model inference runs the serialized StableHLO buckets — no
@@ -362,15 +364,21 @@ class ConversionEngine:
         self._count_request(t0)
         return result, self.fs
 
-    def _vocode(self, mel_out, T_pad):
-        """Synthesize on the BUCKET shape (one executable per bucket): the
-        valid mel is placed in a log-mel-silence canvas (log10(EPS) →
-        magnitude EPS contributes nothing) and the wav is cut to the true
-        length afterwards."""
-        T_out = mel_out.shape[0]
+    @staticmethod
+    def _silence_canvas(mel_out, T_pad):
+        """Valid mel placed in a log-mel-silence canvas of the bucket shape
+        (log10(EPS) → magnitude EPS contributes nothing) — the synthesis
+        contract shared by _vocode and the streaming sessions."""
         canvas = np.full((T_pad, mel_out.shape[1]), np.log10(features.EPS),
                          np.float32)
-        canvas[:T_out] = mel_out
+        canvas[:mel_out.shape[0]] = mel_out
+        return canvas
+
+    def _vocode(self, mel_out, T_pad):
+        """Synthesize on the BUCKET shape (one executable per bucket) and
+        cut the wav to the true length afterwards."""
+        T_out = mel_out.shape[0]
+        canvas = self._silence_canvas(mel_out, T_pad)
         if self.vocoder == "jpwg":
             wav = self._voc.synthesize(canvas, T_pad, self.seed)
             return wav[:T_out * self._voc.hop].astype(np.float32)
@@ -444,15 +452,20 @@ class _JPWG:
             serialization.from_state_dict(tpl, payload["generator"]))
         self.halo = jpwg_receptive_frames(config)
 
-    def synthesize(self, mel, chunk_frames, seed):
+    def noise(self, T_pad, seed):
+        """Full-length synthesis noise for a ``T_pad``-frame canvas — the
+        (seed, shape) contract shared by one-shot and streamed synthesis
+        (serve/streaming.py slices the SAME z per chunk, so outputs match)."""
         import jax
 
+        return np.asarray(jax.random.normal(
+            jax.random.PRNGKey(seed), (T_pad * self.hop, 1)), np.float32)
+
+    def synthesize(self, mel, chunk_frames, seed):
         from ..infer.vocoder import jpwg_synthesize_chunked
 
-        z = np.asarray(jax.random.normal(
-            jax.random.PRNGKey(seed), (mel.shape[0] * self.hop, 1)),
-            np.float32)
         return jpwg_synthesize_chunked(
-            self.gen, self.params, mel.astype(np.float32), z,
+            self.gen, self.params, mel.astype(np.float32),
+            self.noise(mel.shape[0], seed),
             chunk_frames=int(chunk_frames), halo_frames=self.halo,
             hop=self.hop).astype(np.float32)

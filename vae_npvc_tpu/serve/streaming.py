@@ -88,17 +88,19 @@ class StreamingSession:
         self.out_chunk_frames = int(out_chunk_frames
                                     or engine.bucket_frames)
         self._incremental = self.sr == self.fs
-        self._t0 = time.monotonic()
         self._buf = np.zeros((1 << 14,), np.float32)
         self._n = 0                      # received samples (engine rate)
-        self._mel = np.zeros((0, self.n_mels), np.float32)  # raw log-mel
+        # raw log-mel accumulates as a block list (amortized O(T), like the
+        # doubling wav buffer — a per-block np.concatenate would be O(T²))
+        self._mel_blocks: list = []
+        self._mel_frames = 0
         self._done = False
 
     # ------------------------------------------------------------- ingest
     @property
     def frames_ready(self) -> int:
         """Mel frames already computed (incremental progress signal)."""
-        return self._mel.shape[0]
+        return self._mel_frames
 
     def feed(self, samples):
         """Append an audio chunk (1-D float array at ``sr``)."""
@@ -124,7 +126,7 @@ class StreamingSession:
         """Emit every complete block of frames whose windows are fully
         covered by received samples (frame t needs t·hop + pad of them)."""
         while True:
-            t0 = self._mel.shape[0]
+            t0 = self._mel_frames
             t1 = t0 + self.block_frames
             # last frame of the block must be safe: (t1-1)·hop + pad < n
             if (t1 - 1) * self.hop + self.pad >= self._n:
@@ -178,15 +180,18 @@ class StreamingSession:
     def _emit_block(self, t0, window):
         mel = np.asarray(self._block_jit()(window[None]))[0]
         assert mel.shape == (self.block_frames, self.n_mels)
-        self._mel = np.concatenate([self._mel, mel], axis=0)
-        assert self._mel.shape[0] == t0 + self.block_frames
+        assert t0 == self._mel_frames
+        self._mel_blocks.append(mel)
+        self._mel_frames += self.block_frames
 
     # ------------------------------------------------------------- finish
     def finish(self):
         """End of input: convert and yield output chunks.
 
-        Yields ``(sample_offset, wav_chunk)`` pairs (float32, engine rate);
-        with ``engine.vocoder == 'none'`` a single ``(0, mel (T, M))`` pair.
+        Returns a generator of ``(sample_offset, wav_chunk)`` pairs
+        (float32, engine rate); with ``engine.vocoder == 'none'`` a single
+        ``(0, mel (T, M))`` pair. The session is closed at the CALL (not at
+        first iteration): further ``feed``/``finish`` raise immediately.
         """
         if self._done:
             raise RuntimeError("session already finished")
@@ -198,47 +203,50 @@ class StreamingSession:
             self._buf, self._n = x, x.size
         if self._n == 0:
             raise ValueError("empty waveform")
+        return self._finish_gen()
+
+    def _finish_gen(self):
+        eng = self.engine
+        t0 = time.monotonic()        # server-side latency: convert+vocode
         L = self._n
         T_true = features.num_frames(L, self.hop)
         T_pad = eng._pick_pad(T_true)
         n_pad = T_pad * self.hop - 1
         # tail frames (and, non-incrementally, all frames): full-canvas path
-        while self._mel.shape[0] < T_true:
-            t0 = self._mel.shape[0]
-            self._emit_block(t0, self._canvas_window(
-                t0, t0 + self.block_frames, L, n_pad))
+        while self._mel_frames < T_true:
+            self._emit_block(self._mel_frames, self._canvas_window(
+                self._mel_frames, self._mel_frames + self.block_frames,
+                L, n_pad))
+        mel_raw = np.concatenate(self._mel_blocks, axis=0)
 
         feats = np.zeros((T_pad, self.n_mels), np.float32)
-        feats[:T_true] = cmvn_mod.apply(self._mel[:T_true], eng.stats)
+        feats[:T_true] = cmvn_mod.apply(mel_raw[:T_true], eng.stats)
         mel_out = eng._infer_mel(feats, T_true, self.tgt)
         T_out = mel_out.shape[0]
 
         if eng.vocoder == "none":
-            eng._count_request(self._t0)
+            eng._count_request(t0)
             yield 0, mel_out.astype(np.float32)
             return
-        canvas = np.full((T_pad, self.n_mels), np.log10(features.EPS),
-                         np.float32)
-        canvas[:T_out] = mel_out
         if eng.vocoder == "jpwg":
+            # chunk-by-chunk synthesis straight off the device (the
+            # canvas/noise contract lives in engine._vocode/_JPWG)
+            canvas = eng._silence_canvas(mel_out, T_pad)
             yield from self._stream_jpwg(canvas, T_out)
         else:                            # Griffin-Lim: global transform —
-            wav = np.asarray(eng._gl_jit()(canvas[None]))[0]
-            wav = wav[:T_out * self.hop].astype(np.float32)
+            # exact streaming doesn't exist; synthesize via the engine's
+            # own path and chunk the result for a uniform protocol
+            wav = eng._vocode(mel_out, T_pad)
             step = self.out_chunk_frames * self.hop
             for a in range(0, wav.size, step):
                 yield a, wav[a:a + step]
-        eng._count_request(self._t0)
+        eng._count_request(t0)
 
     def _stream_jpwg(self, canvas, T_out):
-        import jax
-
         from ..infer.vocoder import jpwg_synthesize_stream
 
         voc = self.engine._voc
-        z = np.asarray(jax.random.normal(
-            jax.random.PRNGKey(self.engine.seed),
-            (canvas.shape[0] * voc.hop, 1)), np.float32)
+        z = voc.noise(canvas.shape[0], self.engine.seed)
         n_keep = T_out * voc.hop
         for at, wav in jpwg_synthesize_stream(
                 voc.gen, voc.params, canvas, z,
