@@ -397,10 +397,30 @@ class ConversionEngine:
             n = (T_pad - 1) * self.n_shift
             self.convert(np.zeros((max(n, self.n_shift),), np.float32),
                          self.fs, tgt)
+        # also the coalesced BATCH shapes of the first bucket: the batcher
+        # pads groups to pow2-of-device-multiple sizes, and compiling those
+        # lazily on first load costs whole requests (measured on-chip:
+        # 28 rps with lazy batch shapes vs 48.6 through the fixed-batch
+        # bundle). Live backend only — bundles pad internally.
+        n_batch = 0
+        if pads and self.bundle is None:
+            T_pad, D = pads[0], int(self.feature["n_mels"])
+            B, shapes = 1, []
+            while B < self.batcher.max_batch:
+                m = self.batcher.pad_multiple
+                B = min(-(-(B * 2) // m) * m, self.batcher.max_batch)
+                shapes.append(B)
+            for B in shapes:
+                self.batcher.runner(
+                    np.zeros((B, T_pad, D), np.float32),
+                    np.full((B,), tgt, np.int32),
+                    np.full((B,), T_pad, np.int32))
+            n_batch = len(shapes)
         with self._stats_lock:       # warmup doesn't count as traffic
             self.n_requests = 0
             self.latency_ms.clear()
-        logger.info(f"warmup done: {len(pads)} bucket(s) compiled")
+        logger.info(f"warmup done: {len(pads)} bucket(s) + {n_batch} "
+                    "batch shape(s) compiled")
 
     def stats_snapshot(self):
         with self._stats_lock:
