@@ -44,6 +44,13 @@ def convert_fbank(feats_scp, out_dir, *, fs, n_fft, n_shift, n_mels=80,
         T_pad = -(-mel.shape[0] // 128) * 128
         buckets.setdefault(T_pad, []).append((utt, mel))
 
+    def _gl(batch):
+        return np.asarray(griffin_lim(
+            jnp.asarray(batch), fs=fs, n_fft=n_fft, n_shift=n_shift,
+            n_mels=n_mels, fmin=fmin, fmax=fmax, win_length=win_length,
+            n_iter=n_iter))
+
+    cpu_retry = False
     n = 0
     for T_pad in sorted(buckets):
         group = buckets[T_pad]
@@ -53,10 +60,22 @@ def convert_fbank(feats_scp, out_dir, *, fs, n_fft, n_shift, n_mels=80,
                             np.log10(1e-10), np.float32)
             for b, (utt, mel) in enumerate(chunk):
                 batch[b, :mel.shape[0]] = mel
-            wav = np.asarray(griffin_lim(
-                jnp.asarray(batch), fs=fs, n_fft=n_fft, n_shift=n_shift,
-                n_mels=n_mels, fmin=fmin, fmax=fmax, win_length=win_length,
-                n_iter=n_iter))
+            try:
+                if cpu_retry:
+                    raise RuntimeError("device previously failed")
+                wav = _gl(batch)
+            except Exception as e:  # noqa: BLE001 — any device failure:
+                # retry on the host CPU, same pattern as the conversion
+                # CLI's fallback (infer/convert.py _infer_with_fallback).
+                # Observed need: the tunneled TPU backend raised
+                # UNIMPLEMENTED on the Griffin-Lim irfft D2H (round 3).
+                import jax
+                if not cpu_retry:
+                    print(f"device Griffin-Lim failed "
+                          f"({type(e).__name__}: {e}); retrying on CPU")
+                cpu_retry = True
+                with jax.default_device(jax.devices("cpu")[0]):
+                    wav = _gl(batch)
             for b, (utt, mel) in enumerate(chunk):
                 n_samp = mel.shape[0] * n_shift
                 x = wav[b, :n_samp]

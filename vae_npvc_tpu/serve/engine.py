@@ -382,7 +382,19 @@ class ConversionEngine:
         if self.vocoder == "jpwg":
             wav = self._voc.synthesize(canvas, T_pad, self.seed)
             return wav[:T_out * self._voc.hop].astype(np.float32)
-        wav = np.asarray(self._gl_jit()(canvas[None]))[0]
+        try:
+            wav = np.asarray(self._gl_jit()(canvas[None]))[0]
+        except Exception as e:  # noqa: BLE001 — device failure: CPU retry,
+            # keeping the server alive (observed: the tunneled TPU backend
+            # raised UNIMPLEMENTED on the Griffin-Lim irfft, round 3)
+            import jax
+            logger.warning(f"device Griffin-Lim failed ({type(e).__name__}:"
+                           f" {e}); retrying on CPU")
+            feat = {k: v for k, v in self.feature.items() if k != "fs"}
+            with jax.default_device(jax.devices("cpu")[0]):
+                wav = np.asarray(features.griffin_lim(
+                    canvas[None], fs=self.fs, **feat, n_iter=self.gl_iters,
+                    seed=self.seed))[0]
         return wav[:T_out * self.n_shift].astype(np.float32)
 
     def warmup(self, n_buckets=1):
