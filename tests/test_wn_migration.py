@@ -9,7 +9,7 @@ re-decompose (g, v) along the new axis with an identical effective kernel
 """
 
 import numpy as np
-import pytest
+
 from flax import serialization
 
 from tests.toy_config import toy_config
@@ -169,7 +169,7 @@ def test_old_format_checkpoint_loads_through_converter(tmp_path):
 
     cv = Converter(config)
     cv.load_checkpoint(str(old_ckpt))
-    model_tree, changed = maybe_migrate_model(
+    _, changed = maybe_migrate_model(
         old, serialization.to_state_dict(
             jax.device_get(cv.variables["params"])))
     assert changed   # the forged layout really exercised the migration

@@ -117,6 +117,12 @@ def stft_magnitude(x, n_fft, n_shift, win_length=None, window="hann",
         xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
         T = num_frames(N, n_shift)
     else:
+        if N < n_fft:
+            # T would be ≤ 0 and the transform would silently return an
+            # empty spectrogram; streaming callers size their blocks to
+            # (F−1)·shift + n_fft, so this is always a caller bug
+            raise ValueError(f"center=False needs ≥ n_fft={n_fft} samples, "
+                             f"got {N}")
         xp = x
         T = 1 + (N - n_fft) // n_shift
     starts = jnp.arange(T) * n_shift

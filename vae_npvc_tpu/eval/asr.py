@@ -450,8 +450,8 @@ class CTCRecognizer:
                          jnp.ones((1,), jnp.int32))["params"]
         # feature dim mismatch is fine for tree structure except the first
         # conv kernel; from_state_dict replaces leaves wholesale
-        # device-put once: numpy leaves re-upload on every jitted call
-        params = jax.device_put(
+        from ..utils.device import device_commit
+        params = device_commit(
             serialization.from_state_dict(tpl, payload["params"]))
         return cls(model, params, vocab, arch=arch)
 

@@ -115,8 +115,8 @@ def load_embedder(path):
                       int(meta["width"]), meta.get("arch", "tdnn"))
     template = model.init(jax.random.PRNGKey(0),
                           jnp.zeros((1, 8, int(meta["feat_dim"]))))["params"]
-    # device-put once: numpy leaves re-upload on every jitted call
-    params = jax.device_put(
+    from ..utils.device import device_commit
+    params = device_commit(
         serialization.from_state_dict(template, payload["params"]))
     return model, params, meta
 

@@ -86,9 +86,8 @@ class BnfExtractor:
             payload, serialization.to_state_dict(template))
         params = serialization.from_state_dict(template, model_tree)
         ema = serialization.from_state_dict(variables, payload.get("ema", {}))
-        # device-put once: numpy leaves re-upload on every jitted call
-        # (measured ~4.4 s/call for the flagship over the tunneled TPU)
-        self.variables = jax.device_put({"params": params, **ema})
+        from ..utils.device import device_commit
+        self.variables = device_commit({"params": params, **ema})
         return payload.get("iteration", 0)
 
     def _encode_batch(self, feats, lengths, n_valid=None):

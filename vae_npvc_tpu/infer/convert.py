@@ -184,13 +184,15 @@ class Converter:
             payload, serialization.to_state_dict(template))
         params = serialization.from_state_dict(template, model_tree)
         ema = serialization.from_state_dict(variables, payload.get("ema", {}))
-        # commit the restored leaves (host numpy after msgpack_restore) to
-        # the device ONCE: numpy leaves would otherwise be re-uploaded on
-        # every jitted call — measured at ~4.4 s/request for the flagship
-        # over the tunneled TPU (SERVE_BENCH none vs bundle, round 3).
-        # Under a serving mesh the steady state is the replicated layout.
-        self.variables = jax.device_put({"params": params, **ema},
-                                        self._repl_sharding)
+        # commit the restored leaves to the device ONCE (utils/device.py
+        # device_commit rationale); under a serving mesh the steady state
+        # is the replicated layout. The HOST copy is retained for the CPU
+        # fallback — fetching params back from a wedged accelerator would
+        # defeat it (_infer_with_fallback).
+        from ..utils.device import device_commit
+        self._host_variables = {"params": params, **ema}
+        self.variables = device_commit(self._host_variables,
+                                       self._repl_sharding)
         return payload.get("iteration", 0)
 
     def _feat_dim_guess(self):
@@ -239,7 +241,9 @@ class Converter:
             logger.warning(f"device inference failed ({type(e).__name__}: "
                            f"{e}); retrying batch on CPU")
             with jax.default_device(cpu):
-                cpu_vars = jax.device_put(self.variables, cpu)
+                # from the RETAINED host copy: pulling self.variables back
+                # off a wedged accelerator would hang the fallback too
+                cpu_vars = jax.device_put(self._host_variables, cpu)
                 out = self.model.apply(
                     cpu_vars, jnp.asarray(feats), jnp.asarray(tgts),
                     jnp.asarray(lengths), method="infer")

@@ -248,8 +248,8 @@ def jpwg_decode_scp(feats_scp, out_dir, config, checkpoint, *,
     tpl = gen.init(jax.random.PRNGKey(0),
                    jnp.zeros((1, bucket * hop, 1), jnp.float32),
                    jnp.zeros((1, bucket, n_mels), jnp.float32))["params"]
-    # device-put once: numpy leaves re-upload on every jitted call
-    params = jax.device_put(
+    from ..utils.device import device_commit
+    params = device_commit(
         serialization.from_state_dict(tpl, payload["generator"]))
 
     apply_jit = jax.jit(lambda z, c: gen.apply({"params": params}, z, c))

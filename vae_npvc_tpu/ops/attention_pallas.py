@@ -54,11 +54,15 @@ def compiled_ok():
             # (1,1) SMEM block spec compiled at B=1 but violated the TPU
             # block-shape rule at B=4), so the probe must cover the real
             # call pattern, not just the cheapest one
-            q = jnp.zeros((4, 2, 256, 64), jnp.bfloat16)
-            lens = jnp.array([256, 100, 17, 1], jnp.int32)
-            out = fused_attention(q, q, q, lens, tile_q=128)
+            # probe at the PRODUCTION default tile_q (256): a tile-size-
+            # specific Mosaic failure at a non-default tile would otherwise
+            # pass the probe and abort the caller's real jit. T=512 keeps
+            # nq>1 query tiles covered.
+            q = jnp.zeros((4, 2, 512, 64), jnp.bfloat16)
+            lens = jnp.array([512, 100, 17, 1], jnp.int32)
+            out = fused_attention(q, q, q, lens)
             gq = jax.grad(lambda a: jnp.sum(
-                fused_attention(a, a, a, lens, tile_q=128)
+                fused_attention(a, a, a, lens)
                 .astype(jnp.float32)))(q)
             jax.block_until_ready((out, gq))
             _PROBE_OK = True

@@ -479,8 +479,8 @@ class _JPWG:
                             jnp.zeros((1, 64 * self.hop, 1), jnp.float32),
                             jnp.zeros((1, 64, int(n_mels)), jnp.float32)
                             )["params"]
-        # device-put once: numpy leaves re-upload on every jitted call
-        self.params = jax.device_put(
+        from ..utils.device import device_commit
+        self.params = device_commit(
             serialization.from_state_dict(tpl, payload["generator"]))
         self.halo = jpwg_receptive_frames(config)
 
