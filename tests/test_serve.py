@@ -306,6 +306,23 @@ def test_engine_data_parallel_matches_single(toy_engine_parts):
         eng.close()
 
 
+def test_mel_frontend_cpu_fallback(toy_engine_parts):
+    """A failing device front-end must not kill the request — every device
+    stage (fbank, infer, GL) carries the same CPU retry."""
+    eng = _engine(toy_engine_parts)
+    try:
+        def boom(xp):
+            raise RuntimeError("UNIMPLEMENTED: TPU backend error")
+
+        eng._jits["mel"] = boom
+        wav = (np.random.default_rng(6).normal(size=(1500,)) * 0.1
+               ).astype(np.float32)
+        mel, fs = eng.convert(wav, 8000, "A", return_mel=True)
+        assert fs == 8000 and mel.ndim == 2 and np.isfinite(mel).all()
+    finally:
+        eng.close()
+
+
 def test_engine_requires_backend():
     with pytest.raises(ValueError, match="bundle"):
         ConversionEngine(None, None, np.zeros((2, 11)))

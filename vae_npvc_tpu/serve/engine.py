@@ -307,6 +307,20 @@ class ConversionEngine:
             self._jits["gl"] = fn
         return fn
 
+    def _mel_batch(self, xp):
+        """Front-end with the same device→CPU retry as infer/GL: every
+        device stage of the request path survives a wedged accelerator."""
+        try:
+            return np.asarray(self._mel_jit()(xp))
+        except Exception as e:  # noqa: BLE001 — device failure
+            import jax
+            logger.warning(f"device fbank failed ({type(e).__name__}: "
+                           f"{e}); retrying on CPU")
+            feat = {k: v for k, v in self.feature.items() if k != "fs"}
+            with jax.default_device(jax.devices("cpu")[0]):
+                return np.asarray(features.logmelspectrogram(
+                    xp, fs=self.fs, **feat))
+
     def _pick_pad(self, T_true):
         """Padded frame count for a request of ``T_true`` frames."""
         if self.bundle is not None:
@@ -351,7 +365,7 @@ class ConversionEngine:
         n_pad = T_pad * self.n_shift - 1
         xp = np.zeros((1, n_pad), np.float32)
         xp[0, :x.size] = x
-        mel = np.asarray(self._mel_jit()(xp))[0]          # (T_pad, M)
+        mel = self._mel_batch(xp)[0]                      # (T_pad, M)
 
         feats = np.zeros_like(mel)
         feats[:T_true] = cmvn_mod.apply(mel[:T_true], self.stats)

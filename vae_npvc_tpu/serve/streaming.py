@@ -178,7 +178,16 @@ class StreamingSession:
         return fn
 
     def _emit_block(self, t0, window):
-        mel = np.asarray(self._block_jit()(window[None]))[0]
+        try:
+            mel = np.asarray(self._block_jit()(window[None]))[0]
+        except Exception:  # noqa: BLE001 — device failure: CPU retry,
+            # same policy as every other device stage (engine._mel_batch)
+            import jax
+            feat = {k: v for k, v in self.engine.feature.items()
+                    if k != "fs"}
+            with jax.default_device(jax.devices("cpu")[0]):
+                mel = np.asarray(features.logmelspectrogram(
+                    window[None], fs=self.fs, **feat, center=False))[0]
         assert mel.shape == (self.block_frames, self.n_mels)
         assert t0 == self._mel_frames
         self._mel_blocks.append(mel)
