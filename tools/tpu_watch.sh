@@ -18,7 +18,8 @@ while true; do
       echo "$(date -u +%FT%TZ) queue launched (pid $!)" >>"$LOG"
     fi
   else
-    echo "$(date -u +%FT%TZ) TPU DOWN (probe rc=$?)" >>"$LOG"
+    rc=$?  # capture before $(date) clobbers $?
+    echo "$(date -u +%FT%TZ) TPU DOWN (probe rc=$rc)" >>"$LOG"
   fi
   sleep 300
 done
