@@ -43,6 +43,37 @@ def test_doctor_reports_wedged_probe_instead_of_hanging(monkeypatch, capsys):
     assert "timed out" in out["checks"]["devices"]["detail"]
 
 
+def test_doctor_bundle_check(capsys, tmp_path):
+    import numpy as np
+
+    from vae_npvc_tpu.infer.export_serving import export_bundle
+    from vae_npvc_tpu.train.trainer import Trainer
+
+    cfg = toy_config()
+    tr = Trainer(cfg)
+    rng = np.random.default_rng(0)
+    batch = (rng.normal(size=(2, 32, 10)).astype(np.float32),
+             np.zeros((2,), np.int32))
+    tr.init_state(batch)
+    ck = tmp_path / "m.ckpt"
+    tr.save_checkpoint(ck)
+    export_bundle(cfg, ck, tmp_path / "bundle", buckets=[32], batch_size=2,
+                  platforms=("cpu",))
+
+    rc = doctor.main(["--bundle", str(tmp_path / "bundle"),
+                      "--timeout", "600", "--json"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0, out
+    assert out["checks"]["bundle"]["status"] == "ok"
+    assert "1 bucket(s)" in out["checks"]["bundle"]["detail"]
+
+    rc = doctor.main(["--bundle", str(tmp_path / "nosuch"),
+                      "--timeout", "600", "--json"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1
+    assert out["checks"]["bundle"]["status"] == "FAIL"
+
+
 def test_doctor_human_output(capsys):
     rc = doctor.main(["--timeout", "600"])
     text = capsys.readouterr().out

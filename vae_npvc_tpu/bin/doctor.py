@@ -187,12 +187,39 @@ def _check_model(config_path, timeout):
     return "ok", f"{mm} params, infer out {shape}"
 
 
+def _check_bundle(path, timeout):
+    def probe():
+        import numpy as np
+
+        from ..infer.export_serving import ServingBundle
+
+        b = ServingBundle(path)            # device_put of params happens here
+        T = b.buckets[0]
+        L = max(1, min(T, int(b.meta.get("min_frames", 1))))
+        feats = np.zeros((1, T, b.feat_dim), np.float32)
+        out = b.infer(feats, np.zeros((1,), np.int32),
+                      np.full((1,), L, np.int32))
+        return tuple(out.shape), len(b.buckets), b.meta.get("quantize")
+
+    finished, value, exc = _run_with_deadline(probe, timeout)
+    if not finished:
+        return "FAIL", f"bundle load+infer timed out after {timeout:.0f}s"
+    if exc is not None:
+        return "FAIL", f"bundle check failed: {type(exc).__name__}: {exc}"
+    shape, n_buckets, quant = value
+    q = f", {quant} params" if quant else ""
+    return "ok", f"infer out {shape}, {n_buckets} bucket(s){q}"
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         description="vae_npvc_tpu environment self-check")
     ap.add_argument("--config", default=None,
                     help="optional experiment YAML: build the model and run "
                          "one tiny infer call")
+    ap.add_argument("--bundle", default=None,
+                    help="optional serving-bundle dir: load it and run one "
+                         "infer through the smallest exported bucket")
     ap.add_argument("--timeout", type=float, default=120.0,
                     help="deadline (s) for each device-touching check")
     ap.add_argument("--json", action="store_true",
@@ -207,6 +234,9 @@ def main(argv=None):
     if args.config:
         checks.append(("model",
                        lambda: _check_model(args.config, args.timeout)))
+    if args.bundle:
+        checks.append(("bundle",
+                       lambda: _check_bundle(args.bundle, args.timeout)))
 
     results = {}
     failed = False
