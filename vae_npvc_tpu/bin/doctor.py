@@ -17,9 +17,12 @@ Checks:
   cpu-fallback   the same matmul pinned to CPU (the inference fallback path)
   compile-cache  persistent XLA compilation cache dir (writable? populated?)
   model (opt.)   --config: build the model, count params, one infer call
+  bundle (opt.)  --bundle: load a serving bundle, one infer through the
+                 smallest exported bucket
 
 Usage:
-  vae-npvc-doctor [--config conf/train.yaml] [--timeout 120] [--json]
+  vae-npvc-doctor [--config conf/train.yaml] [--bundle exp/bundle]
+                  [--timeout 120] [--json]
 """
 
 from __future__ import annotations
