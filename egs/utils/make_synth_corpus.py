@@ -87,6 +87,11 @@ def main():
     p.add_argument("--n_vctk_spk", type=int, default=6)
     p.add_argument("--n_vctk_utts", type=int, default=60)
     p.add_argument("--n_eval_utts", type=int, default=10)
+    p.add_argument("--n_aishell_spk", type=int, default=0,
+                   help="also emit an AISHELL-3-layout corpus "
+                        "(aishell3/train/wav/SSBnnnn/...) with this many "
+                        "speakers — for the combined-corpus pretrain recipe")
+    p.add_argument("--n_aishell_utts", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -138,6 +143,17 @@ def main():
                       synth_utt(text, profiles[spk], args.fs, rng=rng),
                       args.fs)
             texts[utt] = text
+
+    # AISHELL-3-layout corpus (train/wav/<SPK>/<SPK>Wxxxx.wav, the
+    # convention local/data_prep.py walks) — same synthetic speech model,
+    # distinct speaker names, shares the master transcript file
+    for s in range(args.n_aishell_spk):
+        spk = f"SSB{s:04d}"
+        prof = speaker_profile(rng)
+        for u in range(1, args.n_aishell_utts + 1):
+            utt = f"{spk}W{u:04d}"
+            texts[utt] = gen(out / "aishell3" / "train" / "wav" / spk,
+                             spk, utt, prof)
 
     with open(out / "text", "w") as f:
         for utt in sorted(t for t in texts if texts[t]):

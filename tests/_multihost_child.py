@@ -54,7 +54,7 @@ want = float(np.arange(8 * 3, dtype=np.float32).mean())
 assert abs(got - want) < 1e-5, (got, want)
 
 # explicit collective over the global mesh (the shard_map/psum path)
-from jax.experimental.shard_map import shard_map  # noqa: E402
+from jax import shard_map  # noqa: E402
 
 summed = jax.jit(shard_map(
     lambda x: jax.lax.psum(jnp.sum(x), "data"),

@@ -76,6 +76,36 @@ def test_bf16_inputs_fp32_math():
                                np.asarray(want), rtol=2e-2, atol=2e-2)
 
 
+def test_bf16_gradient_parity():
+    """bf16 operands: the round-4 dtype policy keeps accumulations fp32 —
+    gradients must track the fp32 oracle within bf16 rounding."""
+    B, H, T, d = 2, 2, 64, 32
+    q, k, v = (_rand((B, H, T, d), s).astype(jnp.bfloat16)
+               for s in (30, 31, 32))
+    lengths = jnp.asarray([40, 64], jnp.int32)
+    w = _rand((B, H, T, d), 33)
+    qmask = (jnp.arange(T)[None, None, :, None]
+             < lengths[:, None, None, None]).astype(jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, lengths, tile_q=128,
+                                       interpret=True)
+                       .astype(jnp.float32) * w * qmask)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32), lengths) * w * qmask)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        *(a.astype(jnp.float32) for a in (q, k, v)))
+    for a, b, name in zip(g_fused, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b), rtol=5e-2, atol=5e-2,
+                                   err_msg=f"d{name}")
+
+
 def test_extreme_scale_stays_finite():
     """The GST-class hazard: huge-but-finite scores must not NaN."""
     q = _rand((1, 1, 128, 32), 14) * 1e16

@@ -41,6 +41,11 @@ def test_doctor_reports_wedged_probe_instead_of_hanging(monkeypatch, capsys):
     assert out["ok"] is False
     assert out["checks"]["devices"]["status"] == "FAIL"
     assert "timed out" in out["checks"]["devices"]["detail"]
+    # later device-touching checks must be skipped, not block on the same
+    # backend lock and burn --timeout each with a misleading cascade (ADVICE
+    # r3): triage points at the transport only
+    assert out["checks"]["cpu-fallback"]["status"] == "skip"
+    assert "wedged" in out["checks"]["cpu-fallback"]["detail"]
 
 
 def test_doctor_bundle_check(capsys, tmp_path):

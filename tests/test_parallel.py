@@ -225,7 +225,7 @@ class TestTensorParallel:
 
 class TestHalo:
     def test_sharded_conv_matches_unsharded(self):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         mesh = data_mesh()
         rng = np.random.default_rng(1)
@@ -248,12 +248,12 @@ class TestHalo:
         # shard time axis over 8 devices (T=64 → 8 frames/shard)
         out = shard_map(local, mesh=mesh, in_specs=P(None, "data", None),
                         out_specs=P(None, "data", None),
-                        check_rep=False)(x)
+                        check_vma=False)(x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
     def test_psum_group_norm_matches_global(self):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         from vae_npvc_tpu.nn.blocks import group_norm
 
@@ -271,7 +271,7 @@ class TestHalo:
 
         out = shard_map(local, mesh=mesh, in_specs=P(None, "data", None),
                         out_specs=P(None, "data", None),
-                        check_rep=False)(x)
+                        check_vma=False)(x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-5)
 
@@ -302,7 +302,7 @@ class TestSequenceParallelInfer:
 
     def test_ids_match_too(self):
         import jax.numpy as jnp
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         from vae_npvc_tpu.models import build_model
 
@@ -321,6 +321,6 @@ class TestSequenceParallelInfer:
         fn = shard_map(
             lambda xs: seq_model.apply(variables, xs, method="encode"),
             mesh=mesh, in_specs=P(None, "data"),
-            out_specs=P(None, "data"), check_rep=False)
+            out_specs=P(None, "data"), check_vma=False)
         ids = fn(x)
         np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))

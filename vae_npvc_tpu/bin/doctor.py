@@ -5,8 +5,9 @@ line per check (``ok`` / ``warn`` / ``FAIL``), exiting non-zero iff a required
 check failed. The accelerator probe runs in a daemon thread with a deadline:
 on backends where a wedged device transport makes every op (even
 ``jax.default_backend()``) hang forever, the doctor reports ``device probe
-timed out`` instead of hanging with it — the exact triage this tool exists
-for. No reference counterpart (operational tooling; the reference assumes a
+timed out`` instead of hanging with it, and skips the remaining
+device-touching checks (they would block on the same backend lock) — the
+exact triage this tool exists for. No reference counterpart (operational tooling; the reference assumes a
 working local CUDA install).
 
 Checks:
@@ -63,6 +64,12 @@ def _run_with_deadline(fn, timeout):
 # hard-exits when any are still alive
 _leaked_threads: list = []
 
+# set by _check_devices on timeout: later device-touching checks would block
+# on the same backend-init lock the stuck probe holds and each burn a full
+# --timeout with a misleading "CPU fallback broken" cascade — skip them so
+# triage points at the transport
+_wedged: dict = {}
+
 
 def _check_imports():
     import flax
@@ -92,6 +99,7 @@ def _device_probe():
 def _check_devices(timeout):
     finished, value, exc = _run_with_deadline(_device_probe, timeout)
     if not finished:
+        _wedged["devices"] = True
         return "FAIL", (f"device probe timed out after {timeout:.0f}s "
                         "(wedged accelerator transport? every device op "
                         "may hang — restart the tunnel/runtime)")
@@ -110,7 +118,9 @@ def _check_platform():
 
     want = os.environ.get("VAE_NPVC_JAX_PLATFORM", "")
     have = jax.config.jax_platforms or "(auto)"
-    if want and want not in str(have):
+    # exact membership in the comma-separated platform list — a substring
+    # test would accept e.g. want="cpu" against "xpcpux" or partial entries
+    if want and want not in str(have).split(","):
         return "warn", (f"VAE_NPVC_JAX_PLATFORM={want} but jax_platforms="
                         f"{have} (set before the first jax import?)")
     return "ok", f"jax_platforms={have}"
@@ -228,24 +238,34 @@ def main(argv=None):
     ap.add_argument("--json", action="store_true",
                     help="machine-readable one-line-JSON output")
     args = ap.parse_args(argv)
+    _wedged.clear()
 
-    checks = [("imports", _check_imports),
-              ("platform", _check_platform),
-              ("devices", lambda: _check_devices(args.timeout)),
-              ("cpu-fallback", lambda: _check_cpu_fallback(args.timeout)),
-              ("compile-cache", _check_cache)]
+    # (name, fn, touches_device): device-touching checks are skipped after
+    # the devices probe times out — they would block on the backend lock the
+    # stuck probe thread holds and burn --timeout each (advisor r3)
+    checks = [("imports", _check_imports, False),
+              ("platform", _check_platform, False),
+              ("devices", lambda: _check_devices(args.timeout), False),
+              ("cpu-fallback",
+               lambda: _check_cpu_fallback(args.timeout), True),
+              ("compile-cache", _check_cache, False)]
     if args.config:
         checks.append(("model",
-                       lambda: _check_model(args.config, args.timeout)))
+                       lambda: _check_model(args.config, args.timeout), True))
     if args.bundle:
         checks.append(("bundle",
-                       lambda: _check_bundle(args.bundle, args.timeout)))
+                       lambda: _check_bundle(args.bundle, args.timeout),
+                       True))
 
     results = {}
     failed = False
-    for name, fn in checks:
+    for name, fn, touches_device in checks:
         try:
-            status, detail = fn()
+            if touches_device and _wedged.get("devices"):
+                status, detail = "skip", ("device transport wedged (devices "
+                                          "probe timed out) — not probing")
+            else:
+                status, detail = fn()
         except Exception as e:  # noqa: BLE001 — a check must never crash
             status, detail = "FAIL", f"{type(e).__name__}: {e}"
         results[name] = {"status": status, "detail": detail}

@@ -11,6 +11,15 @@ O(B·H·T·d), and the softmax is fp32 with explicit max-subtraction (the
 same hazard class as the GST fusion NaN, nn/gst.py — here structurally
 impossible because the kernel owns the schedule).
 
+Dtype policy (round 4): matmul operands stay in the INPUT dtype — on TPU a
+bf16 caller gets native MXU bf16 passes (the previous fp32 casts forced the
+~4×-slower fp32 MXU mode) — while every accumulation, the masking, the
+max-subtraction, and the LSE are fp32. For bf16 operands the QKᵀ products
+are bit-identical to the cast-then-fp32-matmul ones (bf16 is exactly
+representable in fp32); only the AV/dv/dq/dk passes carry bf16-rounded
+probabilities/ds, the standard flash-attention trade
+(tests/test_attention_pallas.py pins both fp32-exact and bf16 parity).
+
 Semantics match the stock path exactly (tests/test_attention_pallas.py):
 ``softmax((q k^T)·scale + key-padding mask) v`` with keys at positions
 ``>= length`` excluded per batch row. Training works: a custom VJP
@@ -80,9 +89,14 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale,
                 tile_q):
     import jax.experimental.pallas as pl
 
-    q = q_ref[0].astype(jnp.float32)                     # (TQ, dp)
-    k = k_ref[0].astype(jnp.float32)                     # (Tp, dp)
-    v = v_ref[0].astype(jnp.float32)                     # (Tp, dp)
+    # matmuls run in the INPUT dtype with fp32 accumulation: bf16 operands
+    # are exactly representable in fp32, so the products equal the
+    # cast-then-fp32-matmul ones while the MXU runs its native (≈4×
+    # faster) bf16 pass. Softmax/max-subtraction/LSE stay fp32 — the
+    # stability contract is unchanged.
+    q = q_ref[0]                                         # (TQ, dp)
+    k = k_ref[0]                                         # (Tp, dp)
+    v = v_ref[0]                                         # (Tp, dp)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
@@ -93,9 +107,11 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale,
 
     m = jnp.max(s, axis=-1, keepdims=True)               # (TQ, 1)
     m = jnp.maximum(m, NEG_INF / 2)                      # all-masked guard
-    p = jnp.exp(s - m)                                   # (TQ, Tp)
+    p = jnp.exp(s - m)                                   # (TQ, Tp), fp32
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+    # AV in the input dtype too (flash-standard): bf16 probabilities cost
+    # ~3 decimal digits on an already-bf16 output, and halve the pass
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o_ref[0] = (o / jnp.maximum(denom, 1e-30)).astype(o_ref.dtype)
     lse = m + jnp.log(jnp.maximum(denom, 1e-30))         # (TQ, 1)
@@ -170,29 +186,34 @@ def _bwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, do_ref, l_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0].astype(jnp.float32)                     # (TQ, dp)
-    k = k_ref[0].astype(jnp.float32)                     # (Tp, dp)
-    v = v_ref[0].astype(jnp.float32)
+    # same dtype policy as the forward: operands stay in the input dtype
+    # (native MXU bf16 pass), every accumulation and the p/ds math is fp32
+    q = q_ref[0]                                         # (TQ, dp)
+    k = k_ref[0]                                         # (Tp, dp)
+    v = v_ref[0]
     o = o_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]
     lse = l_ref[0, 0]                                    # (TQ,)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     kid = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(kid < len_ref[pl.program_id(0), 0], s, NEG_INF)
-    p = jnp.exp(s - lse[:, None])                        # normalized probs
+    p = jnp.exp(s - lse[:, None])                        # normalized, fp32
 
-    dv_acc[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+    dv_acc[:] += jax.lax.dot_general(p.astype(do.dtype), do,
+                                     (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    D = jnp.sum(do * o, axis=-1, keepdims=True)          # (TQ, 1)
-    ds = p * (dp - D) * scale                            # (TQ, Tp)
+    D = jnp.sum(do.astype(jnp.float32) * o, axis=-1,
+                keepdims=True)                           # (TQ, 1)
+    ds = p * (dp - D) * scale                            # (TQ, Tp), fp32
+    dsc = ds.astype(q.dtype)
     dq_ref[0] = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
+        dsc, k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-    dk_acc[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+    dk_acc[:] += jax.lax.dot_general(dsc, q, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
 
     @pl.when(iq == nq - 1)

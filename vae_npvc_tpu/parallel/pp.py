@@ -70,7 +70,7 @@ def pipeline_stack(block_apply, stacked_params, inputs, mesh, axis=AXIS):
         M microbatches (replicated on every device).
     Returns the outputs pytree with ``(M, ...)`` leaves, replicated.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_stages = mesh.shape[axis]
     L = jax.tree.leaves(stacked_params)[0].shape[0]
@@ -117,7 +117,7 @@ def pipeline_stack(block_apply, stacked_params, inputs, mesh, axis=AXIS):
 
     fn = shard_map(per_device, mesh=mesh,
                    in_specs=(P_(axis), P_()), out_specs=P_(),
-                   check_rep=False)
+                   check_vma=False)
     return fn(stacked_params, inputs)
 
 

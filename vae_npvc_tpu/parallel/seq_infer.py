@@ -25,7 +25,7 @@ AXIS = "data"
 def sequence_parallel_infer(config, variables, x, y_idx, mesh,
                             axis_name=AXIS):
     """Time-sharded ``model.infer`` over ``mesh``'s ``axis_name`` axis."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..models import build_model
 
@@ -41,5 +41,5 @@ def sequence_parallel_infer(config, variables, x, y_idx, mesh,
     fn = shard_map(local_infer, mesh=mesh,
                    in_specs=(P(None, axis_name, None), P()),
                    out_specs=P(None, axis_name, None),
-                   check_rep=False)
+                   check_vma=False)
     return jax.jit(fn)(x, y_idx)

@@ -34,7 +34,7 @@ def make_shard_map_step(trainer):
     registered model whose loss is a frame-mean (losses are pmean-ed, which
     equals the global frame_mean for equal shard sizes).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..models import build_model
 
@@ -95,7 +95,7 @@ def make_shard_map_step(trainer):
         per_shard, mesh=mesh,
         in_specs=(state_spec, P(AXIS), P(AXIS), state_spec),
         out_specs=(state_spec, state_spec),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(step, donate_argnums=(0,))
 
