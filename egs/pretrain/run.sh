@@ -66,6 +66,18 @@ if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
         for f in wav.scp utt2spk; do
             cat $(for d in "$@"; do echo data/${d}/${f}; done) | sort > data/${out}/${f}
         done
+        python - "$out" <<'EOF'
+import sys
+from collections import defaultdict
+out = sys.argv[1]
+spk2utt = defaultdict(list)
+for line in open(f"data/{out}/utt2spk"):
+    u, s = line.split()
+    spk2utt[s].append(u)
+with open(f"data/{out}/spk2utt", "w") as wf:
+    for s, us in spk2utt.items():
+        wf.write(f"{s} {' '.join(us)}\n")
+EOF
     done
 fi
 
@@ -75,7 +87,7 @@ if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
         ${PY} vae_npvc_tpu.bin.make_fbank --fs ${fs} ${fmax:+--fmax ${fmax}} ${fmin:+--fmin ${fmin}} \
             --n_fft ${n_fft} --n_shift ${n_shift} --n_mels ${n_mels} \
             data/${x} fbank/${x}
-        cp data/${x}/utt2spk fbank/${x}/ 2>/dev/null || true
+        for f in utt2spk spk2utt; do cp data/${x}/${f} fbank/${x}/ 2>/dev/null || true; done
     done
     ${PY} vae_npvc_tpu.bin.apply_cmvn compute scp:fbank/vcc20_train/feats.scp data/vcc20_cmvn.ark
     ${PY} vae_npvc_tpu.bin.apply_cmvn compute scp:fbank/aishell3_all/feats.scp data/aishell3_cmvn.ark

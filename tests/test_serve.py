@@ -100,6 +100,11 @@ def test_engine_wav_output_and_unknown_target(toy_engine_parts):
         with pytest.raises(KeyError):
             eng.resolve_target("nope")
         assert eng.resolve_target("2") == 2      # numeric fallback
+        # out-of-range numeric ids must be rejected at the API edge — a
+        # jitted embedding gather on a bad id silently returns garbage /
+        # non-finite audio (found by tools/serve_soak.py)
+        with pytest.raises(KeyError, match="out of range"):
+            eng.resolve_target(99)
     finally:
         eng.close()
 

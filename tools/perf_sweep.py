@@ -57,8 +57,15 @@ def patch_gn_identity():
 
     orig = blocks.group_norm
 
-    def fake(x, scale, bias, num_groups, eps=1e-5, mask=None, seq_axis=None):
-        return (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
+    def fake(x, scale, bias, num_groups, eps=1e-5, mask=None, seq_axis=None,
+             glu=False):
+        import jax
+
+        out = (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
+        if glu:
+            H = out.shape[-1] // 2
+            out = jnp.tanh(out[..., :H]) * jax.nn.sigmoid(out[..., H:])
+        return out
 
     blocks.group_norm = fake
     return lambda: setattr(blocks, "group_norm", orig)
@@ -74,12 +81,13 @@ def patch_gn_onepass():
     orig = blocks.group_norm
 
     def onepass(x, scale, bias, num_groups, eps=1e-5, mask=None,
-                seq_axis=None):
+                seq_axis=None, glu=False):
         B, T, C = x.shape
         G = num_groups
         xf = x.reshape(B, T, G, C // G)
-        if mask is not None or seq_axis is not None:
-            return orig(x, scale, bias, num_groups, eps, mask, seq_axis)
+        if mask is not None or seq_axis is not None or glu:
+            return orig(x, scale, bias, num_groups, eps, mask, seq_axis,
+                        glu)
         n = T * (C // G)
         s1 = jnp.sum(xf, axis=(1, 3), keepdims=True, dtype=jnp.float32)
         s2 = jnp.sum(jnp.square(xf.astype(jnp.float32)), axis=(1, 3),

@@ -30,6 +30,19 @@ if _os.environ.get("VAE_NPVC_JAX_PLATFORM"):
     except RuntimeError:
         pass
 
+if _os.environ.get("VAE_NPVC_NUM_CPU_DEVICES"):
+    # Same escape hatch for the virtual CPU device count
+    # (--xla_force_host_platform_device_count is frozen with XLA_FLAGS by
+    # the pre-import): lets CLI runs exercise an 8-device SPMD mesh on one
+    # host, e.g. the combined-corpus pretrain smoke (egs/pretrain).
+    import jax as _jax2
+
+    try:
+        _jax2.config.update("jax_num_cpu_devices",
+                            int(_os.environ["VAE_NPVC_NUM_CPU_DEVICES"]))
+    except RuntimeError:
+        pass
+
 if _os.environ.get("VAE_NPVC_COMPILATION_CACHE", "1") not in ("0", "false"):
     # Persistent XLA compilation cache: a preemption-resumed training CLI (or
     # any restarted job) reloads its compiled executables instead of paying

@@ -278,11 +278,20 @@ class ConversionEngine:
         if self.spk_map is not None and str(target) in self.spk_map:
             return self.spk_map[str(target)]
         try:
-            return int(target)
+            idx = int(target)
         except (TypeError, ValueError):
             raise KeyError(
                 f"unknown target speaker {target!r}; known: "
                 f"{sorted(self.speakers())}") from None
+        # range-check numeric ids: an out-of-range id silently produces a
+        # garbage/non-finite conversion through the jitted embedding gather
+        # (found by tools/serve_soak.py) — reject it at the API edge instead
+        y_num = int((self.bundle.meta.get("y_num") or 0) if self.bundle
+                    else self.config.get("y_num", 0))
+        if y_num and not 0 <= idx < y_num:
+            raise KeyError(f"target speaker id {idx} out of range "
+                           f"[0, {y_num})")
+        return idx
 
     def _mel_jit(self):
         import jax
