@@ -38,6 +38,37 @@ TINY = {
 
 
 class TestWganGp:
+    def test_dp_matches_single_device(self):
+        """All three GAN phases under an 8-device GSPMD data mesh must equal
+        the 1-device run exactly up to reduction order — the DP-equality
+        evidence the basic trainer has (test_parallel) extended to the
+        second trainer."""
+        from vae_npvc_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(0)
+        batch = (rng.normal(size=(8, 16, 10)).astype(np.float32),
+                 (np.arange(8) % 3).astype(np.int32))
+
+        results = []
+        for mesh in (make_mesh(n_data=1, devices=jax.devices()[:1]),
+                     make_mesh(n_data=len(jax.devices()))):
+            trainer = build_trainer(TINY, mesh=mesh)
+            trainer.init_state(batch)
+            details = [trainer.train_step(batch) for _ in range(4)]
+            results.append((jax.device_get(trainer.state.params), details))
+
+        (p1, d1), (p8, d8) = results
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p8)):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+        # critic + adversarial detail from the post-pre_iter steps
+        assert "DISC loss" in d1[-1] and "ADV loss" in d1[-1]
+        for da, db in zip(d1, d8):
+            for k in da:
+                np.testing.assert_allclose(float(da[k]), float(db[k]),
+                                           rtol=2e-4, atol=2e-5,
+                                           err_msg=k)
+
     def test_phase_schedule_and_checkpoint(self, tmp_path):
         trainer = build_trainer(TINY)
         rng = np.random.default_rng(0)

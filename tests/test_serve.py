@@ -185,6 +185,28 @@ def test_http_server_end_to_end(toy_engine_parts):
         eng.close()
 
 
+def test_doctor_url_check_against_live_server(toy_engine_parts):
+    """vae-npvc-doctor --url probes a running serve endpoint (deployment
+    triage; bin/doctor._check_url)."""
+    from vae_npvc_tpu.bin.doctor import _check_url
+    from vae_npvc_tpu.bin.serve import serve
+
+    eng = _engine(toy_engine_parts, vocoder="none")
+    httpd = serve(eng, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, detail = _check_url(f"http://127.0.0.1:{port}", 30)
+        assert status == "ok", detail
+        assert "3 target speaker(s)" in detail
+    finally:
+        httpd.shutdown()
+        eng.close()
+    status, detail = _check_url("http://127.0.0.1:1", 10)
+    assert status == "FAIL" and "unreachable" in detail
+
+
 def test_engine_jpwg_vocoder(toy_engine_parts, tmp_path):
     """The native-vocoder backend: forge a tiny JPWG checkpoint, engine
     synthesizes hop-aligned finite audio through the chunked-halo path."""

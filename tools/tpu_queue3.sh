@@ -8,8 +8,29 @@ OUT=/tmp/onchip
 mkdir -p "$OUT"
 LOG=${TPU_QUEUE_LOG:-/tmp/tpu_queue3.log}
 
+# wait_up: block until a FAST probe answers (the tunnel flaps; launching a
+# job against a wedged transport burns its whole timeout and the TERM at
+# timeout can deepen the wedge). Gives up after MAX_WAIT_S and lets the
+# queue try anyway.
+MAX_WAIT_S=${TPU_QUEUE_MAX_WAIT_S:-7200}
+wait_up() {
+  local t0=$(date +%s)
+  while true; do
+    if timeout 60 python tools/tpu_probe.py >>"$LOG" 2>&1; then
+      return 0
+    fi
+    if [ $(( $(date +%s) - t0 )) -ge "$MAX_WAIT_S" ]; then
+      echo "!!! $(date -u +%FT%TZ) wait_up gave up after ${MAX_WAIT_S}s" >>"$LOG"
+      return 1
+    fi
+    echo "... $(date -u +%FT%TZ) tunnel down; waiting" >>"$LOG"
+    sleep 240
+  done
+}
+
 run() {
   local t=$1; shift
+  wait_up
   echo "=== $(date -u +%FT%TZ) [$t s] $*" >>"$LOG"
   timeout "$t" "$@" >>"$LOG" 2>&1
   echo "--- exit=$? $(date -u +%FT%TZ)" >>"$LOG"

@@ -20,6 +20,8 @@ Checks:
   model (opt.)   --config: build the model, count params, one infer call
   bundle (opt.)  --bundle: load a serving bundle, one infer through the
                  smallest exported bucket
+  server (opt.)  --url: probe a RUNNING vae-npvc-serve endpoint
+                 (/health + /speakers) — deployment-side triage
 
 Usage:
   vae-npvc-doctor [--config conf/train.yaml] [--bundle exp/bundle]
@@ -200,6 +202,34 @@ def _check_model(config_path, timeout):
     return "ok", f"{mm} params, infer out {shape}"
 
 
+def _check_url(url, timeout):
+    """Probe a running vae-npvc-serve endpoint: /health + /speakers."""
+    def probe():
+        import json as _json
+        import urllib.request
+
+        base = url.rstrip("/")
+        with urllib.request.urlopen(base + "/health",
+                                    timeout=min(timeout, 30)) as r:
+            health = _json.loads(r.read().decode())
+        with urllib.request.urlopen(base + "/speakers",
+                                    timeout=min(timeout, 30)) as r:
+            speakers = _json.loads(r.read().decode())
+        return health, len(speakers)
+
+    finished, value, exc = _run_with_deadline(probe, timeout)
+    if not finished:
+        return "FAIL", f"server probe timed out after {timeout:.0f}s"
+    if exc is not None:
+        return "FAIL", f"server unreachable: {type(exc).__name__}: {exc}"
+    health, n_spk = value
+    if health.get("status") != "ok":
+        return "FAIL", f"/health not ok: {health}"
+    return "ok", (f"/health ok (iter {health.get('iteration', '?')}, "
+                  f"vocoder {health.get('vocoder', '?')}), "
+                  f"{n_spk} target speaker(s)")
+
+
 def _check_bundle(path, timeout):
     def probe():
         import numpy as np
@@ -233,6 +263,10 @@ def main(argv=None):
     ap.add_argument("--bundle", default=None,
                     help="optional serving-bundle dir: load it and run one "
                          "infer through the smallest exported bucket")
+    ap.add_argument("--url", default=None,
+                    help="optional running vae-npvc-serve base URL "
+                         "(e.g. http://host:8080): probe /health + "
+                         "/speakers")
     ap.add_argument("--timeout", type=float, default=120.0,
                     help="deadline (s) for each device-touching check")
     ap.add_argument("--json", action="store_true",
@@ -256,6 +290,10 @@ def main(argv=None):
         checks.append(("bundle",
                        lambda: _check_bundle(args.bundle, args.timeout),
                        True))
+    if args.url:
+        # pure HTTP — probes the SERVER process, not this host's device
+        checks.append(("server",
+                       lambda: _check_url(args.url, args.timeout), False))
 
     results = {}
     failed = False
