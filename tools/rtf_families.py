@@ -105,7 +105,11 @@ def _tts_row(name, config, B=8, Ttok=128, Tmel=512, steps=8):
         v, t, yy, tl, max_frames=Tmel, method="infer"))
 
     mel, mel_lens = infer(variables, tokens, y, tok_lens)
-    frames = int(np.sum(np.asarray(mel_lens)))
+    # the compute always covers the full B x Tmel canvas (NAR renders every
+    # frame; the AR scan runs max_frames steps regardless of the stop
+    # token), so RTF is computed over it — random-init mel_lens (a trained
+    # model's stop/durations) would under-credit the same wall time
+    frames = B * Tmel
     audio_s = frames / AISHELL_FRAME_HZ
     t0 = time.perf_counter()
     np.asarray(infer(variables, tokens, y, tok_lens)[0])
@@ -146,7 +150,13 @@ def _gl_row(B=8, T=1024, steps=3, n_iter=64):
             "rtf_single": round(single / audio_s, 7)}
 
 
-def _jpwg_row(B=8, T=1024, steps=3):
+def _jpwg_row(B=8, T=256, steps=3):
+    # T is capped at the production bucket scale: the decode path vocodes in
+    # bucketed/chunked mel windows (infer/vocoder.jpwg_decode_scp bucket=64,
+    # chunked long utterances); a full 1024-frame batch through the 30-layer
+    # generator at fp32 needs >31 GB HBO temps (measured OOM on v5e — the
+    # 64-channel activations pad 2x in the (8,128) layout) and is a shape
+    # the shipped pipeline never runs.
     import jax
     import jax.numpy as jnp
 
@@ -207,7 +217,7 @@ def main(argv=None):
             elif name == "gl":
                 row = _gl_row(B=args.batch, T=args.frames)
             elif name == "jpwg":
-                row = _jpwg_row(B=args.batch, T=args.frames)
+                row = _jpwg_row(B=args.batch, T=min(args.frames, 256))
             else:
                 print(f"unknown family {name}", file=sys.stderr)
                 continue
