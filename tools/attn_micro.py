@@ -40,6 +40,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=50)
     ap.add_argument("--shape", default="32,4,768,96")
+    ap.add_argument("--interpret", action="store_true",
+                    help="Pallas interpret mode (CPU smoke of the harness)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
     B, H, T, d = map(int, args.shape.split(","))
@@ -54,11 +56,14 @@ def main(argv=None):
     qf = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
     lens = jnp.asarray(rng.integers(T // 2, T + 1, size=(B,)), jnp.int32)
 
+    interp = bool(args.interpret)
     rows = []
     for dtype_name, q in (("bf16", qf.astype(jnp.bfloat16)), ("fp32", qf)):
-        fwd = jax.jit(lambda a: fused_attention(a, a, a, lens))
+        fwd = jax.jit(lambda a: fused_attention(a, a, a, lens,
+                                                interpret=interp))
         bwd = jax.jit(jax.grad(lambda a: jnp.sum(
-            fused_attention(a, a, a, lens).astype(jnp.float32))))
+            fused_attention(a, a, a, lens, interpret=interp)
+            .astype(jnp.float32))))
         sfwd = jax.jit(lambda a: reference_attention(a, a, a, lens))
         sbwd = jax.jit(jax.grad(lambda a: jnp.sum(
             reference_attention(a, a, a, lens).astype(jnp.float32))))
