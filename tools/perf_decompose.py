@@ -148,6 +148,9 @@ VARIANTS = {
     "gn_affine_noclip": ({"max_grad_norm": 0}, patch_gn_identity),
     "vq_identity": (None, patch_vq_identity),
     "loss_sum": (None, patch_loss_sum),
+    # fwd+bwd only (grads computed and materialized, no optimizer/guard/
+    # clip): baseline − this = the whole post-gradient tail
+    "grads_only": (None, None),
 }
 
 
@@ -157,8 +160,35 @@ def measure(name, steps):
     cfg_patch, patch_fn = VARIANTS[name]
     trainer, dev_batch, undo = build(cfg_patch, patch_fn)
     try:
-        sec, _ = time_steps(lambda: trainer.train_step(dev_batch),
-                            lambda d: float(d["Total"]), steps)
+        if name == "grads_only":
+            import jax
+            import jax.numpy as jnp
+
+            feats, spks = dev_batch
+            state = trainer.state
+
+            def gonly(params, ema, f, s, rng):
+                def loss_fn(p):
+                    variables = {"params": p, **ema}
+                    (x, loss, detail), mut = trainer.model.apply(
+                        variables, f, s, train=True,
+                        mutable=list(ema.keys()), rngs={"vq": rng})
+                    return loss, detail
+                grads, detail = jax.grad(loss_fn, has_aux=True)(params)
+                # reduce grads to one scalar so the fence forces every
+                # gradient without a host transfer of the full tree
+                gsum = sum(jnp.sum(jnp.square(g)) for g in
+                           jax.tree_util.tree_leaves(grads))
+                return gsum, detail["Total"]
+
+            fn = jax.jit(gonly)
+            rng = trainer.base_rng
+            sec, _ = time_steps(
+                lambda: fn(state.params, state.ema, feats, spks, rng),
+                lambda o: float(o[0]), steps)
+        else:
+            sec, _ = time_steps(lambda: trainer.train_step(dev_batch),
+                                lambda d: float(d["Total"]), steps)
     finally:
         undo()
     return sec * 1e3
@@ -226,6 +256,9 @@ def main(argv=None):
         if "loss_sum" in rows:
             itemized["loss_fp32_marginal_ms"] = round(b - rows["loss_sum"],
                                                       2)
+        if "grads_only" in rows:
+            itemized["post_grad_tail_ms"] = round(b - rows["grads_only"],
+                                                  2)
         result["itemized"] = itemized
         print(json.dumps(itemized), flush=True)
 

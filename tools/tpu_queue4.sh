@@ -32,6 +32,11 @@ run() {
 # kernel (it's just a small share of the step), or not engage at all?
 run 1800 python tools/attn_micro.py --out "$OUT/attn_micro.json"
 
+# post-gradient tail: baseline vs grads-only (closes the itemized floor
+# table of VERDICT item 1)
+run 2400 python tools/perf_decompose.py --steps 20 \
+    --variants baseline,grads_only --out "$OUT/decompose_tail.json"
+
 # re-take the two RTF rows the first sweep took wrong (AR frames
 # under-credit; jpwg full-utterance OOM — now production-bucketed)
 run 2400 python tools/rtf_families.py \
