@@ -43,4 +43,12 @@ run 2400 python tools/rtf_families.py \
     --families token_tts_conv,token_tts_transformer,token_tts_tacotron2,jpwg \
     --out "$OUT/rtf_families_fix.json"
 
+# re-soak after the malloc-arena fix (the first on-chip soak measured
+# +3.3 GB RSS / 6 min live and +6.6 GB bundle — glibc arena fragmentation,
+# fixed by mallopt(M_ARENA_MAX,2) in ConversionEngine.__init__)
+run 1200 python tools/serve_soak.py --minutes 6 --clients 6 \
+    --vocoder none --out "$OUT/soak_live_v2.json"
+run 1200 python tools/serve_soak.py --minutes 6 --clients 6 \
+    --vocoder none --bundle --out "$OUT/soak_bundle_v2.json"
+
 echo "QUEUE4 DONE $(date -u +%FT%TZ)" >>"$LOG"

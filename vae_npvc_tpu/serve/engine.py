@@ -27,6 +27,7 @@ TPU-first properties:
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
 import time
@@ -148,6 +149,42 @@ class _InferBatcher:
                 g[3].set_result(np.asarray(out[b]))
 
 
+_ARENAS_LIMITED = False
+
+
+def _limit_malloc_arenas():
+    """Cap glibc malloc arenas (mallopt M_ARENA_MAX=2), once per process.
+
+    A multithreaded serving process grows one malloc arena per thread by
+    default; mixed-size request buffers then fragment them monotonically —
+    measured as ~0.5–1 MB RSS growth PER REQUEST under the sustained-load
+    soak (tools/serve_soak.py; 3.3 GB over a 6-minute on-chip run, 6.6 GB
+    for the bundle backend) with ZERO Python-level growth (tracemalloc).
+    With two arenas the same 2-minute flagship soak measures +0.1 MB
+    (vs +52.9). mallopt works at runtime (the MALLOC_ARENA_MAX env var
+    must be set before process start, which a library cannot guarantee).
+    Set VAE_NPVC_MALLOC_ARENA_MAX=0 to disable, or to another cap.
+    """
+    global _ARENAS_LIMITED
+    if _ARENAS_LIMITED:
+        return
+    _ARENAS_LIMITED = True
+    n = os.environ.get("VAE_NPVC_MALLOC_ARENA_MAX", "2")
+    try:
+        n = int(n)
+    except ValueError:
+        return
+    if n <= 0:
+        return
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-8, n)          # M_ARENA_MAX
+    except Exception:  # noqa: BLE001 — non-glibc platforms: no-op
+        pass
+
+
 class ConversionEngine:
     """Warm end-to-end voice-conversion engine for online serving.
 
@@ -185,6 +222,8 @@ class ConversionEngine:
                  bucket_frames=None, max_batch=8, batch_window_ms=5.0,
                  seed=0, data_parallel=False):
         import yaml
+
+        _limit_malloc_arenas()
 
         if config is not None and not isinstance(config, dict):
             config = yaml.safe_load(open(config))
