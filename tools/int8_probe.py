@@ -53,27 +53,46 @@ def throughput_rows(repeats=20):
         b = rng.normal(size=(K, N)).astype(np.float32)
         flops = 2 * M * K * N
 
-        def bench(dot, xa, xb):
-            f = jax.jit(dot)
+        def bench(xa, xb, pet, acc_dtype):
+            # `repeats` dots chained inside ONE jit via a serial data
+            # dependency — per-call tunnel dispatch latency otherwise
+            # dominates (a first cut measured "0.6 TFLOP/s" for a matmul
+            # this chip runs at ~190: pure latency). Same idiom as the r3
+            # chained-conv micro-bench.
+            def many(x, y):
+                # the carried scalar is a REAL value from the previous dot
+                # (not a provable zero — a 0-multiplier would let XLA hoist
+                # the loop-invariant dot out of the loop)
+                if jnp.issubdtype(acc_dtype, jnp.integer):
+                    tiny = lambda s: (s % 2).astype(x.dtype)  # noqa: E731
+                else:
+                    tiny = lambda s: (s * 1e-30).astype(x.dtype)  # noqa: E731
+
+                def body(i, carry):
+                    s, _ = carry
+                    x2 = x.at[0, 0].add(tiny(s))
+                    o = jax.lax.dot(x2, y, preferred_element_type=pet)
+                    return (o[0, 0], o)
+                return jax.lax.fori_loop(
+                    0, repeats, body,
+                    (jnp.zeros((), pet),
+                     jnp.zeros((M, N), pet)))[1]
+
+            f = jax.jit(many)
             out = f(xa, xb)
-            np.asarray(out).ravel()[:1]          # fence
+            np.asarray(out).ravel()[:1]          # fence (compile + run)
             t0 = time.perf_counter()
-            for _ in range(repeats):
-                out = f(xa, xb)
+            out = f(xa, xb)
             np.asarray(out).ravel()[:1]
             return (time.perf_counter() - t0) / repeats
 
-        t_bf16 = bench(
-            lambda x, y: jax.lax.dot(x, y,
-                                     preferred_element_type=jnp.float32),
-            jnp.asarray(a, jnp.bfloat16), jnp.asarray(b, jnp.bfloat16))
+        t_bf16 = bench(jnp.asarray(a, jnp.bfloat16),
+                       jnp.asarray(b, jnp.bfloat16), jnp.float32,
+                       jnp.bfloat16)
         qa = jnp.asarray(np.clip(np.round(a * 10), -127, 127), jnp.int8)
         qb = jnp.asarray(np.clip(np.round(b * 10), -127, 127), jnp.int8)
         try:
-            t_int8 = bench(
-                lambda x, y: jax.lax.dot(x, y,
-                                         preferred_element_type=jnp.int32),
-                qa, qb)
+            t_int8 = bench(qa, qb, jnp.int32, jnp.int8)
             err = None
         except Exception as e:  # noqa: BLE001 — backend may reject int8
             t_int8, err = None, f"{type(e).__name__}: {e}"

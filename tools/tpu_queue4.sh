@@ -43,6 +43,11 @@ run 2400 python tools/rtf_families.py \
     --families token_tts_conv,token_tts_transformer,token_tts_tacotron2,jpwg \
     --out "$OUT/rtf_families_fix.json"
 
+# int8 throughput re-take with chained-dot timing (first cut measured
+# pure tunnel dispatch latency); drift already measured, skip it
+run 1800 python tools/int8_probe.py --skip_drift \
+    --out "$OUT/int8_probe_v2.json"
+
 # re-soak after the malloc-arena fix (the first on-chip soak measured
 # +3.3 GB RSS / 6 min live and +6.6 GB bundle — glibc arena fragmentation,
 # fixed by mallopt(M_ARENA_MAX,2) in ConversionEngine.__init__)
