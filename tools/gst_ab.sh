@@ -19,8 +19,18 @@ LOG=${GST_AB_LOG:-/tmp/gst_ab.log}
 cd "$W/egs/vcc20/vae2" || exit 1
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 
+wait_up() {
+  local t0=$(date +%s)
+  while ! (cd /root/repo && timeout 60 python tools/tpu_probe.py >>"$LOG" 2>&1); do
+    if [ $(( $(date +%s) - t0 )) -ge 7200 ]; then return 1; fi
+    echo "... $(date -u +%FT%TZ) tunnel down; waiting" >>"$LOG"
+    sleep 240
+  done
+}
+
 run() {
   local t=$1; shift
+  wait_up
   echo "=== $(date -u +%FT%TZ) [$t s] $*" >>"$LOG"
   timeout "$t" "$@" >>"$LOG" 2>&1
   echo "--- exit=$? $(date -u +%FT%TZ)" >>"$LOG"
@@ -37,8 +47,13 @@ EOF
 
 FLAGS="--transcriptions $W/corpus/text --mcd_gt_root $W/corpus/vcc2020_eval"
 for v in p0 p1; do
-  run 3600 bash run.sh --stage 3 --stop_stage 3 \
-      --train_config conf/gst_ab_${v}.yaml $FLAGS
+  # the tunnel flaps ~20 min up / 40 down: retry the train stage (the CLI
+  # auto-resumes from iter.N) until the final checkpoint exists
+  for attempt in 1 2 3 4; do
+    [ -e "exp/train_gst_ab_${v}/iter.10000" ] && break
+    run 3600 bash run.sh --stage 3 --stop_stage 3 \
+        --train_config conf/gst_ab_${v}.yaml $FLAGS
+  done
   run 7200 bash run.sh --stage 5 --stop_stage 7 --trgspk TEF1 \
       --train_config conf/gst_ab_${v}.yaml $FLAGS
 done
