@@ -24,15 +24,26 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
-def bench(fn, args, repeats):
+def bench(fn, q, repeats):
+    """Time ``repeats`` applications of fn chained inside ONE jit.
+
+    fn maps (B,H,T,d)→(B,H,T,d), so the output feeds the next call's input
+    directly — a serial dependency XLA cannot hoist. Per-call tunnel
+    dispatch latency (~20 ms on the dev setup) otherwise dominates: a
+    per-call loop measured "22 ms" for a kernel the whole 6-layer train
+    step runs in 20.5 ms.
+    """
     import jax
 
-    out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    def many(a):
+        return jax.lax.fori_loop(0, repeats, lambda i, acc: fn(acc), a)
+
+    f = jax.jit(many)
+    out = f(q)
+    np.asarray(out).ravel()[:1]          # compile + run fence
     t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    out = f(q)
+    np.asarray(out).ravel()[:1]
     return (time.perf_counter() - t0) / repeats * 1e3
 
 
@@ -59,19 +70,25 @@ def main(argv=None):
     interp = bool(args.interpret)
     rows = []
     for dtype_name, q in (("bf16", qf.astype(jnp.bfloat16)), ("fp32", qf)):
-        fwd = jax.jit(lambda a: fused_attention(a, a, a, lens,
-                                                interpret=interp))
-        bwd = jax.jit(jax.grad(lambda a: jnp.sum(
-            fused_attention(a, a, a, lens, interpret=interp)
-            .astype(jnp.float32))))
-        sfwd = jax.jit(lambda a: reference_attention(a, a, a, lens))
-        sbwd = jax.jit(jax.grad(lambda a: jnp.sum(
-            reference_attention(a, a, a, lens).astype(jnp.float32))))
+        k = q * 0.5
+        v = q * 0.25
+        fwd = lambda a: fused_attention(a, k, v, lens,  # noqa: E731
+                                        interpret=interp)
+        bwd = jax.grad(lambda a: jnp.sum(
+            fused_attention(a, k, v, lens, interpret=interp)
+            .astype(jnp.float32)))
+        # grads have q's shape+dtype, so they chain too
+        bwd_c = lambda a: bwd(a).astype(q.dtype)  # noqa: E731
+        sfwd = lambda a: reference_attention(a, k, v,  # noqa: E731
+                                             lens).astype(q.dtype)
+        sbwd = jax.grad(lambda a: jnp.sum(
+            reference_attention(a, k, v, lens).astype(jnp.float32)))
+        sbwd_c = lambda a: sbwd(a).astype(q.dtype)  # noqa: E731
         row = {"operands": dtype_name,
-               "fused_fwd_ms": round(bench(fwd, (q,), args.repeats), 3),
-               "fused_grad_ms": round(bench(bwd, (q,), args.repeats), 3),
-               "stock_fwd_ms": round(bench(sfwd, (q,), args.repeats), 3),
-               "stock_grad_ms": round(bench(sbwd, (q,), args.repeats), 3)}
+               "fused_fwd_ms": round(bench(fwd, q, args.repeats), 3),
+               "fused_grad_ms": round(bench(bwd_c, q, args.repeats), 3),
+               "stock_fwd_ms": round(bench(sfwd, q, args.repeats), 3),
+               "stock_grad_ms": round(bench(sbwd_c, q, args.repeats), 3)}
         rows.append(row)
         print(json.dumps(row), flush=True)
 
