@@ -36,14 +36,15 @@ def bench(fn, q, repeats):
     import jax
 
     def many(a):
-        return jax.lax.fori_loop(0, repeats, lambda i, acc: fn(acc), a)
+        out = jax.lax.fori_loop(0, repeats, lambda i, acc: fn(acc), a)
+        # device-side scalar fence: fetching the full tensor through the
+        # dev tunnel costs ~seconds and swamps the measurement
+        return out.reshape(-1)[0]
 
     f = jax.jit(many)
-    out = f(q)
-    np.asarray(out).ravel()[:1]          # compile + run fence
+    np.asarray(f(q))                     # compile + run fence
     t0 = time.perf_counter()
-    out = f(q)
-    np.asarray(out).ravel()[:1]
+    np.asarray(f(q))
     return (time.perf_counter() - t0) / repeats * 1e3
 
 

@@ -73,17 +73,19 @@ def throughput_rows(repeats=20):
                     x2 = x.at[0, 0].add(tiny(s))
                     o = jax.lax.dot(x2, y, preferred_element_type=pet)
                     return (o[0, 0], o)
-                return jax.lax.fori_loop(
+                out = jax.lax.fori_loop(
                     0, repeats, body,
                     (jnp.zeros((), pet),
                      jnp.zeros((M, N), pet)))[1]
+                # fence value is a DEVICE-side scalar: fetching the full
+                # (M, N) result through the dev tunnel costs seconds and
+                # was the first cut's real bottleneck
+                return out[0, 0]
 
             f = jax.jit(many)
-            out = f(xa, xb)
-            np.asarray(out).ravel()[:1]          # fence (compile + run)
+            np.asarray(f(xa, xb))                # fence (compile + run)
             t0 = time.perf_counter()
-            out = f(xa, xb)
-            np.asarray(out).ravel()[:1]
+            np.asarray(f(xa, xb))
             return (time.perf_counter() - t0) / repeats
 
         t_bf16 = bench(jnp.asarray(a, jnp.bfloat16),

@@ -31,4 +31,9 @@ run() {
 # version measured ~20 ms tunnel dispatch, not kernel time)
 run 1800 python tools/attn_micro.py --out "$OUT/attn_micro_v2.json"
 
+# int8 throughput, third take: device-scalar fence (v2 fetched the full
+# 128 MB result through the tunnel per timed call)
+run 1800 python tools/int8_probe.py --skip_drift \
+    --out "$OUT/int8_probe_v3.json"
+
 echo "QUEUE5 DONE $(date -u +%FT%TZ)" >>"$LOG"
