@@ -21,7 +21,7 @@ export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 
 wait_up() {
   local t0=$(date +%s)
-  while ! (cd /root/repo && timeout 60 python tools/tpu_probe.py >>"$LOG" 2>&1); do
+  while ! (cd /root/repo && timeout 60 python /root/repo/tools/tpu_probe.py >>"$LOG" 2>&1); do
     if [ $(( $(date +%s) - t0 )) -ge 7200 ]; then return 1; fi
     echo "... $(date -u +%FT%TZ) tunnel down; waiting" >>"$LOG"
     sleep 240

@@ -16,7 +16,7 @@ MAX_WAIT_S=${TPU_QUEUE_MAX_WAIT_S:-7200}
 wait_up() {
   local t0=$(date +%s)
   while true; do
-    if timeout 60 python tools/tpu_probe.py >>"$LOG" 2>&1; then
+    if timeout 60 python /root/repo/tools/tpu_probe.py >>"$LOG" 2>&1; then
       return 0
     fi
     if [ $(( $(date +%s) - t0 )) -ge "$MAX_WAIT_S" ]; then

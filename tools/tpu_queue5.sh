@@ -10,7 +10,7 @@ MAX_WAIT_S=${TPU_QUEUE_MAX_WAIT_S:-7200}
 wait_up() {
   local t0=$(date +%s)
   while true; do
-    if timeout 60 python tools/tpu_probe.py >>"$LOG" 2>&1; then return 0; fi
+    if timeout 60 python /root/repo/tools/tpu_probe.py >>"$LOG" 2>&1; then return 0; fi
     if [ $(( $(date +%s) - t0 )) -ge "$MAX_WAIT_S" ]; then
       echo "!!! $(date -u +%FT%TZ) wait_up gave up" >>"$LOG"; return 1
     fi
