@@ -2,6 +2,7 @@
 # Round-4 consolidation queue: robustness legs for decisions already made.
 set -u
 cd /root/repo || exit 1
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 OUT=/tmp/onchip
 mkdir -p "$OUT"
 LOG=${TPU_QUEUE_LOG:-/tmp/tpu_queue6.log}
