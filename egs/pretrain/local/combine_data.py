@@ -57,6 +57,8 @@ def combine(out_dir, in_dirs, prefixes=None):
     for d, pref in zip(in_dirs, prefixes):
         d = Path(d)
         local_spk = _read_pairs(d / "spk2spk_id")
+        if not local_spk:
+            sys.exit(f"combine_data: empty spk2spk_id in {d}")
         local_max = max(int(v) for _, v in local_spk)
         n_range = local_max + 1          # ids are dense from make_spk_id,
         # but remap by offset+id (not re-enumeration) so a dir's internal

@@ -41,6 +41,11 @@ mg_expdir=exp/multiband_melgan
 jpwg_config=../vae1/conf/train_jpwg.yaml
 jpwg_expdir=exp/jpwg
 griffin_lim_iters=64
+eval_checkpoint=model.loss.best   # stage 5-7 checkpoint (e.g. iter.3000 —
+                                  # per-checkpoint eval ladders, reproduce.sh)
+shared_asr_ckpt=""            # score with ONE recognizer across expdirs
+shared_lm_ckpt=""             # (A/B fairness + per-checkpoint eval ladders)
+shared_embedder_ckpt=""       # likewise for the speaker embedder
 asr_steps=3000                # CTC-proxy recognizer training steps (stage 7)
 asr_arch=conv                 # CTC-proxy encoder: conv | transformer (the
                               # reference eval ASR's architecture family)
@@ -149,7 +154,7 @@ if [ "${stage}" -le 3 ] && [ "${stop_stage}" -ge 3 ]; then
         --output_dir ${expdir}
 fi
 
-outdir=${expdir}/outputs_model.loss.best
+outdir=${expdir}/outputs_${eval_checkpoint}
 if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then
     echo "stage 5: Conversion ${srcspk} -> ${trgspk}"
     # targeted trials for the per-speaker eval loop (vae1-style maker);
@@ -157,7 +162,7 @@ if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then
     python ../vae1/local/make_trials.py ${dumpdir}/${eval_set} -s ${srcspk} -t ${trgspk}
     cp ${dumpdir}/${train_set}/spk2spk_id ${dumpdir}/${eval_set}/ 2>/dev/null || true
     ${PY} vae_npvc_tpu.bin.decode -c ${train_config} \
-        --checkpoint ${expdir}/model.loss.best \
+        --checkpoint ${expdir}/${eval_checkpoint} \
         --decode-dir ${dumpdir}/${eval_set} \
         --output-dir ${outdir}/${srcspk}_${trgspk}
 fi
@@ -274,6 +279,7 @@ EOF
         fi
         # decode knobs from the reference-shaped yaml (beam-size/lm-weight/
         # lm-order/penalty; reference conf/ob_eval/decode_asr.yaml)
+        if [ -n "${shared_asr_ckpt}" ]; then asr_ckpt=${shared_asr_ckpt}; fi
         asr_decode_opts=""
         if [ -f "${asr_decode_config}" ]; then
             # missing keys fall back to defaults (the reference's actual
@@ -286,7 +292,7 @@ EOF
                 --lm_type $(knob lm-type ngram) \
                 --lm_order $(knob lm-order 3) \
                 --penalty $(knob penalty 0.0) \
-                --lm_ckpt ${expdir}/char_lm.msgpack"
+                --lm_ckpt ${shared_lm_ckpt:-${expdir}/char_lm.msgpack}"
         fi
         asr_line=$(${PY} vae_npvc_tpu.bin.eval_asr \
             --train_dir ${asr_train_dir} \
@@ -319,15 +325,18 @@ EOF
         --converted_scp ${outdir}/${pair}/feats.scp \
         --trials ${dumpdir}/${eval_set}/trials \
         --enroll_dir ${dumpdir}/${train_set} --steps ${sim_steps} \
-        --embedder_ckpt ${expdir}/spk_embedder_${sim_frontend}.msgpack \
+        --embedder_ckpt ${shared_embedder_ckpt:-${expdir}/spk_embedder_${sim_frontend}.msgpack} \
         ${sim_extra} \
         --output_dir ${obdir}/asv/${pair} | tail -1) || sim_line=""
     echo "${sim_line}"
     plda=$(echo "${sim_line}" | grep -oE 'PLDA: [-0-9.]+' | cut -d' ' -f2) || true
     cossim=$(echo "${sim_line}" | grep -oE 'COSSIM: [-0-9.]+' | cut -d' ' -f2) || true
 
-    # the reference's one-line summary (reference test.sh:16-24)
-    echo "RESULT ${pair}  MCD: ${mcd}  CER: ${cer:-n/a}  WER: ${wer:-n/a}  PLDA: ${plda:-n/a}  COSSIM: ${cossim:-n/a}"
+    # the reference's one-line summary (reference test.sh:16-24); also
+    # persisted machine-readably for cross-run summaries (tools/*_summary.py)
+    result_line="RESULT ${pair}  MCD: ${mcd}  CER: ${cer:-n/a}  WER: ${wer:-n/a}  PLDA: ${plda:-n/a}  COSSIM: ${cossim:-n/a}"
+    echo "${result_line}"
+    echo "${result_line}" > ${obdir}/RESULT.${pair}
 fi
 
 if [ "${stage}" -le 8 ] && [ "${stop_stage}" -ge 8 ]; then

@@ -12,6 +12,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke  # fast tier: pytest -m smoke
+
 from vae_npvc_tpu.data import kaldi_io
 
 TINY_CONFIG = {

@@ -20,6 +20,8 @@ import struct
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke  # fast tier: pytest -m smoke
+
 from vae_npvc_tpu.data import kaldi_io as kio
 
 

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke  # fast tier: pytest -m smoke
+
 from vae_npvc_tpu.data import kaldi_io as kio
 
 

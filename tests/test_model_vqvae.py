@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.smoke  # fast tier: pytest -m smoke
+
 from vae_npvc_tpu.models import build_model
 
 TINY = {

@@ -14,14 +14,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def test_perf_decompose_tiny_variants(capsys):
+    # ALL variants, including the hand-rolled grads_only path (the one most
+    # coupled to Trainer internals — exactly what this rot guard is for)
     from tools import perf_decompose
 
     perf_decompose.main(["--tiny", "--steps", "1",
-                         "--variants", "baseline,gn_affine,vq_identity"])
+                         "--variants", ",".join(perf_decompose.VARIANTS)])
     out = [json.loads(l) for l in
            capsys.readouterr().out.strip().splitlines()]
     names = {r.get("variant") for r in out if "variant" in r}
-    assert names == {"baseline", "gn_affine", "vq_identity"}
+    assert names == set(perf_decompose.VARIANTS)
     assert all(r["ms_per_step"] > 0 for r in out if "variant" in r)
 
 

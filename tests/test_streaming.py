@@ -252,3 +252,60 @@ def test_http_stream_route(toy_engine_parts):
     finally:
         httpd.shutdown()
         eng.close()
+
+
+# --------------------------------------------------------------------------
+# approximate chunked conversion (round 5 — beyond-reference streaming):
+# conversion overlaps ingest, GroupNorm statistics limited to
+# prefix+lookahead through the SAME masked bucketed executables
+
+
+def test_chunked_mode_full_lookahead_is_exact(toy_engine_parts):
+    """lookahead >= utterance ⇒ every chunk's prefix is clipped to T_true,
+    i.e. full-utterance statistics ⇒ output EXACTLY equals offline."""
+    eng = _engine(toy_engine_parts)
+    try:
+        rng = np.random.default_rng(7)
+        wav = (rng.normal(size=(9000,)) * 0.1).astype(np.float32)
+        want, _ = eng.convert(wav, 8000, "B", return_mel=True)
+
+        s = StreamingSession(eng, "B", 8000, block_frames=16,
+                             chunk_frames=16, lookahead_frames=10 ** 6)
+        for c in _ragged_chunks(wav):
+            s.feed(c)
+        (at, mel), = list(s.finish())
+        assert at == 0
+        np.testing.assert_array_equal(mel, want)
+    finally:
+        eng.close()
+
+
+def test_chunked_mode_overlaps_ingest_and_bounded_deviation(toy_engine_parts):
+    """With small lookahead, chunks must convert DURING feed (the latency
+    win), the assembled output has the exact offline shape, and deviation
+    is finite (statistics truncation only — not garbage)."""
+    eng = _engine(toy_engine_parts)
+    try:
+        rng = np.random.default_rng(8)
+        wav = (rng.normal(size=(12000,)) * 0.1).astype(np.float32)
+        want, _ = eng.convert(wav, 8000, "B", return_mel=True)
+
+        s = StreamingSession(eng, "B", 8000, block_frames=16,
+                             chunk_frames=32, lookahead_frames=16)
+        mid_converted = []
+        for c in _ragged_chunks(wav, seed=3):
+            s.feed(c)
+            mid_converted.append(s.converted_frames)
+        assert mid_converted[-1] > 0, \
+            "no chunk converted during ingest (the whole point)"
+        (at, mel), = list(s.finish())
+        assert mel.shape == want.shape
+        assert np.isfinite(mel).all()
+        dev = float(np.sqrt(np.mean((mel - want) ** 2)))
+        scale = float(np.sqrt(np.mean(want ** 2)))
+        assert dev < scale, f"deviation {dev} not bounded vs scale {scale}"
+        # and the last chunk (exact statistics by construction: its prefix
+        # is clipped to T_true) matches offline exactly
+        np.testing.assert_allclose(mel[-8:], want[-8:], rtol=0, atol=1e-5)
+    finally:
+        eng.close()

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.smoke  # fast tier: pytest -m smoke
+
 from vae_npvc_tpu.ops import vq
 from vae_npvc_tpu.ops.losses import log_loss, LOG_2PI
 

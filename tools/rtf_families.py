@@ -105,6 +105,8 @@ def _tts_row(name, config, B=8, Ttok=128, Tmel=512, steps=8):
         v, t, yy, tl, max_frames=Tmel, method="infer"))
 
     mel, mel_lens = infer(variables, tokens, y, tok_lens)
+    np.asarray(mel)   # fence the warmup (async backend) before timing t0,
+    #                   same methodology as _conversion_row/_gl_row
     # the compute always covers the full B x Tmel canvas (NAR renders every
     # frame; the AR scan runs max_frames steps regardless of the stop
     # token), so RTF is computed over it — random-init mel_lens (a trained

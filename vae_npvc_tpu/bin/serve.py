@@ -242,11 +242,22 @@ def make_handler(engine):
                                                "integer ?sr=")
             if fmt not in ("i16", "f32"):
                 return self._stream_error(400, f"unknown format {fmt!r}")
+            # ?chunk=C[&lookahead=L]: APPROXIMATE chunked conversion —
+            # chunks convert while audio still arrives, with GroupNorm
+            # statistics over prefix+L frames instead of the utterance
+            # (deviation-vs-L curve: docs/SERVING.md). Default = exact mode.
+            try:
+                chunk = int(q.get("chunk", [0])[0]) or None
+                lookahead = int(q.get("lookahead", [64])[0])
+            except ValueError:
+                return self._stream_error(400, "integer ?chunk=/?lookahead=")
             dtype, width, scale = (
                 (np.int16, 2, 1 / 32768.0) if fmt == "i16"
                 else (np.float32, 4, 1.0))
             try:
-                session = StreamingSession(engine, target, sr)
+                session = StreamingSession(engine, target, sr,
+                                           chunk_frames=chunk,
+                                           lookahead_frames=lookahead)
             except KeyError as e:
                 return self._stream_error(400, str(e))
             t0 = time.monotonic()

@@ -294,6 +294,21 @@ class ConversionEngine:
                               self.feature["n_mels"])
         elif vocoder not in ("gl", "none"):
             raise ValueError(f"unknown vocoder {vocoder!r}")
+        # speaker-id bound for resolve_target's range guard: prefer the
+        # model's y_num; fall back to the spk map's densest bound so older
+        # bundles without y_num in meta still reject out-of-range ids
+        # (the guard exists because an out-of-range id flows through the
+        # jitted embedding gather into non-finite audio — serve_soak find)
+        self._y_bound = int((self.bundle.meta.get("y_num") or 0)
+                            if self.bundle else self.config.get("y_num", 0))
+        if not self._y_bound and self.spk_map:
+            self._y_bound = max(int(v) for v in self.spk_map.values()) + 1
+        if not self._y_bound:
+            logger.warning(
+                "speaker-id range unknown (no y_num in %s, no spk2spk_id "
+                "map): out-of-range numeric target ids cannot be rejected "
+                "and may produce non-finite audio",
+                "bundle meta" if self.bundle else "config")
         self.batcher = _InferBatcher(_runner, max_batch=max_batch,
                                      window_ms=batch_window_ms,
                                      pad_multiple=pad_multiple)
@@ -325,11 +340,9 @@ class ConversionEngine:
         # range-check numeric ids: an out-of-range id silently produces a
         # garbage/non-finite conversion through the jitted embedding gather
         # (found by tools/serve_soak.py) — reject it at the API edge instead
-        y_num = int((self.bundle.meta.get("y_num") or 0) if self.bundle
-                    else self.config.get("y_num", 0))
-        if y_num and not 0 <= idx < y_num:
+        if self._y_bound and not 0 <= idx < self._y_bound:
             raise KeyError(f"target speaker id {idx} out of range "
-                           f"[0, {y_num})")
+                           f"[0, {self._y_bound})")
         return idx
 
     def _mel_jit(self):

@@ -71,10 +71,31 @@ class StreamingSession:
     out_chunk_frames : int
         Output granularity in mel frames (``× hop`` samples per yielded
         wav chunk). Defaults to the engine's ``bucket_frames``.
+    chunk_frames : int or None
+        ``None`` (default) = exact mode: conversion runs once at
+        :meth:`finish` with utterance-global GroupNorm statistics —
+        bit-identical to offline.  An int enables APPROXIMATE chunked
+        conversion: mel chunk ``k`` (frames ``[kC, (k+1)C)``) is converted
+        as soon as ``(k+1)·C + lookahead`` mel frames exist, by running the
+        model on the prefix ``[0, (k+1)C + lookahead)`` through the same
+        masked bucketed executables (masked GroupNorm statistics over the
+        prefix — tests/test_masked_inference.py) and emitting only chunk
+        ``k``'s rows.  Conversion therefore overlaps ingest, and the
+        only deviation from offline output is GroupNorm statistics
+        truncated to the prefix instead of the full utterance (the convs
+        themselves see ``lookahead`` future frames — exact once lookahead
+        covers the receptive field).  Deviation-vs-lookahead curve:
+        tools/stream_approx_curve.py / docs/SERVING.md.  The reference has
+        no streaming at all (reference decoder/basic.py:58-75, serial
+        full-utterance).
+    lookahead_frames : int
+        Future-context frames each chunk's prefix extends past its end
+        (chunked mode only). Larger = closer to offline, higher latency.
     """
 
     def __init__(self, engine, target, sr, *, block_frames=64,
-                 out_chunk_frames=None):
+                 out_chunk_frames=None, chunk_frames=None,
+                 lookahead_frames=64):
         self.engine = engine
         self.tgt = engine.resolve_target(target)
         self.sr = int(sr)
@@ -95,6 +116,10 @@ class StreamingSession:
         self._mel_blocks: list = []
         self._mel_frames = 0
         self._done = False
+        self.chunk_frames = None if chunk_frames is None else int(chunk_frames)
+        self.lookahead_frames = int(lookahead_frames)
+        self._conv_blocks: list = []     # converted mel chunks (approx mode)
+        self._conv_frames = 0            # frames already converted
 
     # ------------------------------------------------------------- ingest
     @property
@@ -121,6 +146,8 @@ class StreamingSession:
             self._n += x.size
         if self._incremental:
             self._drain_safe_frames()
+            if self.chunk_frames is not None:
+                self._convert_ready_chunks()
 
     def _drain_safe_frames(self):
         """Emit every complete block of frames whose windows are fully
@@ -193,6 +220,35 @@ class StreamingSession:
         self._mel_blocks.append(mel)
         self._mel_frames += self.block_frames
 
+    # ------------------------------------------- approximate chunked mode
+    @property
+    def converted_frames(self) -> int:
+        """Mel frames already converted during ingest (chunked mode)."""
+        return self._conv_frames
+
+    def _convert_prefix(self, end, pe):
+        """Convert prefix ``[0, pe)`` through the engine's masked bucketed
+        executable (GroupNorm statistics over the prefix, lengths-masked
+        exactly as any short utterance) and keep rows
+        ``[self._conv_frames, end)``."""
+        eng = self.engine
+        mel_raw = np.concatenate(self._mel_blocks, axis=0)[:pe]
+        T_pad = eng._pick_pad(pe)
+        feats = np.zeros((T_pad, self.n_mels), np.float32)
+        feats[:pe] = cmvn_mod.apply(mel_raw, eng.stats)
+        out = eng._infer_mel(feats, pe, self.tgt)
+        self._conv_blocks.append(
+            out[self._conv_frames:end].astype(np.float32))
+        self._conv_frames = end
+
+    def _convert_ready_chunks(self):
+        """Convert every chunk whose prefix-plus-lookahead has fully
+        arrived (called from feed; overlaps conversion with ingest)."""
+        C, L = self.chunk_frames, self.lookahead_frames
+        while self._mel_frames >= self._conv_frames + C + L:
+            end = self._conv_frames + C
+            self._convert_prefix(end, end + L)
+
     # ------------------------------------------------------------- finish
     def finish(self):
         """End of input: convert and yield output chunks.
@@ -228,9 +284,20 @@ class StreamingSession:
                 L, n_pad))
         mel_raw = np.concatenate(self._mel_blocks, axis=0)
 
-        feats = np.zeros((T_pad, self.n_mels), np.float32)
-        feats[:T_true] = cmvn_mod.apply(mel_raw[:T_true], eng.stats)
-        mel_out = eng._infer_mel(feats, T_true, self.tgt)
+        if self.chunk_frames is not None:
+            # approximate mode: flush the tail chunks (prefixes clipped to
+            # the utterance — the final chunk's statistics are exact)
+            while self._conv_frames < T_true:
+                end = min(T_true, self._conv_frames + self.chunk_frames)
+                pe = min(T_true, end + self.lookahead_frames)
+                self._convert_prefix(end, pe)
+            mel_out = (np.concatenate(self._conv_blocks, axis=0)
+                       if self._conv_blocks
+                       else np.zeros((0, self.n_mels), np.float32))
+        else:
+            feats = np.zeros((T_pad, self.n_mels), np.float32)
+            feats[:T_true] = cmvn_mod.apply(mel_raw[:T_true], eng.stats)
+            mel_out = eng._infer_mel(feats, T_true, self.tgt)
         T_out = mel_out.shape[0]
 
         if eng.vocoder == "none":
