@@ -87,6 +87,12 @@ run 3600 python tools/stream_approx_curve.py \
     --chunks 64,128 --lookaheads 0,16,32,64,128,256 --n_utts 5 \
     --out "$OUT/stream_approx.json"
 
+# streamed serving with approximate chunked conversion: after-last-byte
+# latency (TTFA) for exact vs chunked mode at the flagship shape
+run 3600 python tools/serve_bench.py --vocoder jpwg --stream \
+    --stream_chunk 128 --stream_lookahead 64 \
+    --out "$OUT/serve_jpwg_stream_r5.json"
+
 run 7200 bash egs/vcc20/vae1/reproduce.sh --workspace /tmp/reproduce_vae1
 run 1200 python bench.py
 

@@ -140,7 +140,10 @@ def concurrent_leg(eng, seconds=2.0, clients=8, per_client=8):
 
     def client(i):
         for _ in range(per_client):
-            eng.convert(wavs[i], eng.fs, i % 4)
+            # spread requests over the model's REAL speaker range —
+            # a fixed modulo can exceed a small y_num (the engine now
+            # rejects out-of-range ids instead of gathering garbage)
+            eng.convert(wavs[i], eng.fs, i % max(1, len(eng.speakers())))
 
     t0 = time.perf_counter()
     with ThreadPoolExecutor(clients) as ex:
@@ -154,12 +157,17 @@ def concurrent_leg(eng, seconds=2.0, clients=8, per_client=8):
             "audio_s_per_wall_s": n * seconds / wall}
 
 
-def stream_leg(eng, seconds, n=10, out_chunk_frames=None):
+def stream_leg(eng, seconds, n=10, out_chunk_frames=None,
+               chunk_frames=None, lookahead_frames=64):
     """StreamingSession latency split: time-to-first-audio vs total.
 
     The streaming win is TTFA — with the jpwg vocoder the first chunk
     leaves after one vocoder dispatch instead of after full synthesis;
     Griffin-Lim (global transform) has TTFA ≈ total by construction.
+    With chunk_frames set (approximate chunked conversion, round 5) most
+    mel chunks convert DURING feed, so the after-last-byte latency drops
+    to the tail conversion + synthesis; feed_ms grows by the inline
+    conversions — both are reported.
     """
     from vae_npvc_tpu.serve.streaming import StreamingSession
 
@@ -171,7 +179,9 @@ def stream_leg(eng, seconds, n=10, out_chunk_frames=None):
     def run():
         t0 = time.perf_counter()
         s = StreamingSession(eng, 0, eng.fs,
-                             out_chunk_frames=out_chunk_frames)
+                             out_chunk_frames=out_chunk_frames,
+                             chunk_frames=chunk_frames,
+                             lookahead_frames=lookahead_frames)
         for a in range(0, wav.size, feed_chunk):
             s.feed(wav[a:a + feed_chunk])
         t_fed = time.perf_counter()
@@ -209,6 +219,10 @@ def main():
     ap.add_argument("--stream", action="store_true",
                     help="add StreamingSession legs (TTFA vs total; the "
                          "jpwg vocoder is the showcase)")
+    ap.add_argument("--stream_chunk", type=int, default=128,
+                    help="also measure approximate chunked conversion at "
+                         "this chunk size (0 = skip)")
+    ap.add_argument("--stream_lookahead", type=int, default=64)
     args = ap.parse_args()
 
     import jax
@@ -231,6 +245,13 @@ def main():
             sn = 3 if args.tiny else 10
             res["stream"] = [stream_leg(eng, 2.0, sn),
                              stream_leg(eng, 6.0, sn)]
+            C, L = args.stream_chunk, args.stream_lookahead
+            if C:
+                res["stream_chunked"] = [
+                    stream_leg(eng, 2.0, sn, chunk_frames=C,
+                               lookahead_frames=L),
+                    stream_leg(eng, 6.0, sn, chunk_frames=C,
+                               lookahead_frames=L)]
     finally:
         eng.close()
     print(json.dumps(res, indent=2))

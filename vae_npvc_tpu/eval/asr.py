@@ -232,7 +232,10 @@ def train_ctc(data_dir, *, steps: int = 3000, batch_size: int = 16,
                                        jax.random.fold_in(base_rng, i))
         if log_every and i % log_every == 0:
             print(f"ctc step {i}: loss {float(loss):.4f}")
-    print(f"ctc final loss: {float(loss):.4f}")
+    # steps=0 is legal (score with random init / caller expected a ckpt hit
+    # — e.g. an --arch flag mismatching the stored arch falls through here)
+    print("ctc final loss: "
+          + (f"{float(loss):.4f}" if loss is not None else "n/a (0 steps)"))
     return CTCRecognizer(model, params, vocab, arch=arch)
 
 
