@@ -66,21 +66,45 @@ def eval_one(w, run, ckpt, target, shared, decode_knobs):
     if result_file.exists():
         print(f"[skip] {run}/{ckpt}/{target} (RESULT exists)")
         return None
+    obdir.mkdir(parents=True, exist_ok=True)
+    # per-row lock: two matrix processes may split the job list (e.g. chip
+    # + CPU during a tunnel outage); O_EXCL keeps them off the same row
+    lock = obdir / f".lock.{pair}"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        if time.time() - lock.stat().st_mtime < 1800:
+            print(f"[skip] {run}/{ckpt}/{target} (locked by another "
+                  "matrix process)")
+            return None
+        # stale lock (>30 min): the holder died; take over
     print(f"[eval] {run}/{ckpt}/{target}")
     conf = rd / "conf" / f"{run}.yaml"
 
     # ---- stage 5: trials + decode (bin/decode == run.sh:157-163)
+    # Private shadow of dump/eval per process: run.sh regenerates
+    # dump/eval/trials for the CURRENT target (the round-3 stale-trials
+    # gotcha); two matrix processes (e.g. chip + CPU splitting the job
+    # list) would race on that shared file otherwise.
+    shadow = rd / f"dump/eval_mx{os.getpid()}"
+    shadow.mkdir(exist_ok=True)
+    for fname, srcdir in (("feats.scp", "dump/eval"),
+                          ("utt2num_frames", "dump/eval"),
+                          ("utt2spk", "dump/eval"),
+                          ("text", "dump/eval"),
+                          ("spk2spk_id", "dump/train")):
+        fsrc = rd / srcdir / fname
+        if fsrc.exists():
+            (shadow / fname).write_bytes(fsrc.read_bytes())
     subprocess.run([sys.executable,
                     str(rd / "../vae1/local/make_trials.py"),
-                    str(rd / "dump/eval"), "-s", SRC, "-t", target],
+                    str(shadow), "-s", SRC, "-t", target],
                    check=True, cwd=rd)
-    sp = rd / "dump/train/spk2spk_id"
-    if sp.exists():
-        (rd / "dump/eval/spk2spk_id").write_bytes(sp.read_bytes())
     from vae_npvc_tpu.bin import decode as decode_cli
     _call(decode_cli.main,
           ["-c", conf, "--checkpoint", exp / ckpt,
-           "--decode-dir", rd / "dump/eval",
+           "--decode-dir", shadow,
            "--output-dir", outdir / pair], "decode")
 
     # ---- stage 6: denorm + Griffin-Lim (run.sh:166-202, voc=GL)
@@ -130,7 +154,7 @@ def eval_one(w, run, ckpt, target, shared, decode_knobs):
     out = _call(sim_cli.main,
                 ["-c", conf, "--train_dir", rd / "dump/train",
                  "--converted_scp", outdir / pair / "feats.scp",
-                 "--trials", rd / "dump/eval/trials",
+                 "--trials", shadow / "trials",
                  "--enroll_dir", rd / "dump/train",
                  "--steps", shared["sim_steps"],
                  "--embedder_ckpt", shared["emb_ckpt"],
@@ -141,6 +165,7 @@ def eval_one(w, run, ckpt, target, shared, decode_knobs):
     line = (f"RESULT {pair}  MCD: {mcd}  CER: {cer}  WER: {wer}  "
             f"PLDA: {plda}  COSSIM: {cossim}")
     result_file.write_text(line + "\n")
+    lock.unlink(missing_ok=True)
     print(line)
     return line
 
