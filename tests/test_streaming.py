@@ -309,3 +309,15 @@ def test_chunked_mode_overlaps_ingest_and_bounded_deviation(toy_engine_parts):
         np.testing.assert_allclose(mel[-8:], want[-8:], rtol=0, atol=1e-5)
     finally:
         eng.close()
+
+
+def test_chunked_mode_rejects_invalid_geometry(toy_engine_parts):
+    eng = _engine(toy_engine_parts)
+    try:
+        with pytest.raises(ValueError):
+            StreamingSession(eng, "B", 8000, chunk_frames=-5)
+        with pytest.raises(ValueError):
+            StreamingSession(eng, "B", 8000, chunk_frames=16,
+                             lookahead_frames=-1)
+    finally:
+        eng.close()

@@ -258,7 +258,8 @@ def make_handler(engine):
                 session = StreamingSession(engine, target, sr,
                                            chunk_frames=chunk,
                                            lookahead_frames=lookahead)
-            except KeyError as e:
+            except (KeyError, ValueError) as e:
+                # unknown target / invalid chunk geometry — client error
                 return self._stream_error(400, str(e))
             t0 = time.monotonic()
             try:

@@ -118,6 +118,13 @@ class StreamingSession:
         self._done = False
         self.chunk_frames = None if chunk_frames is None else int(chunk_frames)
         self.lookahead_frames = int(lookahead_frames)
+        if self.chunk_frames is not None and self.chunk_frames <= 0:
+            raise ValueError(f"chunk_frames must be > 0 "
+                             f"(got {self.chunk_frames}); use None for "
+                             "exact utterance-end conversion")
+        if self.lookahead_frames < 0:
+            raise ValueError(
+                f"lookahead_frames must be >= 0 (got {self.lookahead_frames})")
         self._conv_blocks: list = []     # converted mel chunks (approx mode)
         self._conv_frames = 0            # frames already converted
 
