@@ -80,7 +80,23 @@ def eval_one(w, run, ckpt, target, shared, decode_knobs):
             return None
         # stale lock (>30 min): the holder died; take over
     print(f"[eval] {run}/{ckpt}/{target}")
+    try:
+        return _eval_one_locked(w, rd, run, ckpt, target, pair, outdir,
+                                obdir, result_file, shared, decode_knobs)
+    except Exception:
+        # release the row lock so a retry (same process or another) can
+        # take the row immediately instead of waiting out the stale window
+        lock.unlink(missing_ok=True)
+        raise
+    finally:
+        if result_file.exists():
+            lock.unlink(missing_ok=True)
+
+
+def _eval_one_locked(w, rd, run, ckpt, target, pair, outdir, obdir,
+                     result_file, shared, decode_knobs):
     conf = rd / "conf" / f"{run}.yaml"
+    exp = rd / "exp" / f"train_{run}"
 
     # ---- stage 5: trials + decode (bin/decode == run.sh:157-163)
     # Private shadow of dump/eval per process: run.sh regenerates
@@ -165,7 +181,6 @@ def eval_one(w, run, ckpt, target, shared, decode_knobs):
     line = (f"RESULT {pair}  MCD: {mcd}  CER: {cer}  WER: {wer}  "
             f"PLDA: {plda}  COSSIM: {cossim}")
     result_file.write_text(line + "\n")
-    lock.unlink(missing_ok=True)
     print(line)
     return line
 
@@ -223,25 +238,33 @@ def main(argv=None):
         jax.clear_caches()
         gc.collect()
 
-    lines = []
-    for run in [r for r in args.runs.split(",") if r]:
-        for t in args.targets.split(","):
-            ln = eval_one(w, run, args.ckpt, t, shared, decode_knobs)
-            if ln:
-                lines.append({"run": run, "ckpt": args.ckpt, "target": t,
-                              "line": ln})
-                _reclaim()
+    lines, failed = [], []
+    jobs = [(run, args.ckpt, t)
+            for run in args.runs.split(",") if run
+            for t in args.targets.split(",")]
     if args.ladder:
-        for n in args.ladder_iters.split(","):
-            ln = eval_one(w, args.ladder, f"iter.{n}", args.ladder_target,
-                          shared, decode_knobs)
-            if ln:
-                lines.append({"run": args.ladder, "ckpt": f"iter.{n}",
-                              "target": args.ladder_target, "line": ln})
-                _reclaim()
+        jobs += [(args.ladder, f"iter.{n}", args.ladder_target)
+                 for n in args.ladder_iters.split(",")]
+    for run, ckpt, t in jobs:
+        try:
+            ln = eval_one(w, run, ckpt, t, shared, decode_knobs)
+        except Exception as e:  # noqa: BLE001 — one bad row (missing
+            # checkpoint, transient device failure) must not kill the matrix
+            print(f"[fail] {run}/{ckpt}/{t}: {type(e).__name__}: {e}")
+            failed.append(f"{run}/{ckpt}/{t}")
+            continue
+        if ln:
+            lines.append({"run": run, "ckpt": ckpt, "target": t,
+                          "line": ln})
+            _reclaim()
+    if failed:
+        print(f"eval_matrix: {len(failed)} FAILED rows: {failed}")
     if args.out:
         Path(args.out).write_text(json.dumps(lines, indent=1))
     print(f"eval_matrix: {len(lines)} rows evaluated")
+    if failed:
+        sys.exit(1)      # nonzero so a retrying caller re-runs the matrix
+        # (completed rows are skipped via their RESULT files)
 
 
 if __name__ == "__main__":
