@@ -184,7 +184,43 @@ def measure_reference_cpu(steps=2, b=16):
     return steps * b * T / dt
 
 
+def _accelerator_answers(deadline_s=150):
+    """Probe the accelerator in a SUBPROCESS with a hard deadline.
+
+    The tunneled TPU transport can wedge (observed r3: 6+ h; r5: hours of
+    1-5-min-latency half-up states) — a device op in THIS process would then
+    hang past any driver timeout with no JSON line printed at all.  A probe
+    child can be killed safely; if it cannot answer within the deadline,
+    bench falls back to a CPU measurement labeled as such (the vs_baseline
+    comparison stays apples-to-apples: both sides on this host's CPU).
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("VAE_NPVC_JAX_PLATFORM") == "cpu":
+        return True     # explicit CPU run — nothing to probe
+    probe = Path(__file__).parent / "tools" / "tpu_probe.py"
+    try:
+        r = subprocess.run([sys.executable, str(probe)],
+                           timeout=deadline_s, capture_output=True)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def main():
+    import os
+    import sys
+
+    if not _accelerator_answers():
+        if os.environ.get("VAE_NPVC_BENCH_FALLBACK") == "1":
+            pass        # already the CPU-fallback child; measure as-is
+        else:
+            # re-exec with the CPU platform pinned BEFORE jax initializes
+            env = dict(os.environ, VAE_NPVC_JAX_PLATFORM="cpu",
+                       VAE_NPVC_BENCH_FALLBACK="1")
+            os.execve(sys.executable, [sys.executable, __file__], env)
     # fingerprint the baseline workload so the cache is invalidated if the
     # benchmark constants or the baseline step definition change
     workload = {"B": B, "T": T, "D": D, "baseline_steps": 2, "baseline_b": 16,
@@ -199,15 +235,25 @@ def main():
         CACHE.write_text(json.dumps({"frames_per_sec": baseline,
                                      "hardware": "host CPU (torch)",
                                      "workload": workload}))
-    value, global_fps = measure_ours()
-    print(json.dumps({
+    fallback = os.environ.get("VAE_NPVC_BENCH_FALLBACK") == "1"
+    # CPU fallback: one step is ~4 orders slower than the chip — keep the
+    # run inside the driver's timeout (compile dominates regardless)
+    value, global_fps = (measure_ours(steps=2, scan_k=1) if fallback
+                         else measure_ours())
+    import jax
+    out = {
         "metric": "train_throughput_mel_frames_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "frames/s/chip",
         # whole-accelerator throughput vs the whole-host CPU baseline
         # (identical on this 1-chip host; stays apples-to-apples on N chips)
         "vs_baseline": round(global_fps / baseline, 2),
-    }))
+        "platform": jax.default_backend(),
+    }
+    if os.environ.get("VAE_NPVC_BENCH_FALLBACK") == "1":
+        out["note"] = ("accelerator did not answer a deadline-guarded "
+                       "probe; measured on host CPU instead")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
